@@ -1,0 +1,83 @@
+"""Table registry — the engine's catalog surface.
+
+Reference parity: ``BallistaContext`` keeps an in-memory per-context table
+registry with ``register_csv/parquet/avro`` and ``CREATE EXTERNAL TABLE``
+DDL (``ballista/client/src/context.rs:253-315, 392-459``).  In Spark the
+same surface is temp views over ``spark.read.*``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+)
+EXTENSION_TABLES = ("events", "documents", "embeddings")
+ALL_TABLES = TPCH_TABLES + EXTENSION_TABLES
+
+
+def _configure_reader(spark: SparkSession) -> None:
+    """Runtime SQL confs the engine depends on, set here (not only in the
+    session factory) because the driver may hand us its own SparkSession.
+
+    - The driver's parquet uses TIMESTAMP(NANOS) on ``events.ts``, which
+      Spark's vectorized reader rejects; ``nanosAsLong`` reads it as raw
+      int64 nanos and :func:`load_table` converts it back to a timestamp.
+    - ``timestampType=TIMESTAMP_NTZ`` makes ``TIMESTAMP '...'`` literals
+      naive, matching both the parquet's isAdjustedToUTC=false columns and
+      the DuckDB oracle's naive TIMESTAMP semantics (SURVEY.md §7 risk 5).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan — projection/predicate pushdown comes free from Spark
+    (reference analogue: ``ParquetScanExecNode`` with pruning predicate,
+    ``datafusion.proto:1158-1162``).
+
+    Timestamp[ns] columns (unsupported by Spark's parquet reader) are read
+    as int64 nanos and converted to TIMESTAMP_NTZ, truncating ns→µs exactly
+    like DuckDB does (floor division — dates here are all post-epoch).
+    """
+    _configure_reader(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    ns_cols = {
+        f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"
+    }
+    for c in ns_cols:
+        df = df.withColumn(
+            c,
+            F.expr(f"CAST(timestamp_micros(CAST({c} DIV 1000 AS BIGINT)) "
+                   f"AS TIMESTAMP_NTZ)"),
+        )
+    return df
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, tables=ALL_TABLES
+) -> dict[str, DataFrame]:
+    """Register every driver table as a temp view so both the DataFrame and
+    ``spark.sql`` entry points see the same catalog (reference
+    ``register_parquet``, ``context.rs:295-305``)."""
+    out: dict[str, DataFrame] = {}
+    for t in tables:
+        if not os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            continue
+        df = load_table(spark, sf_dir, t)
+        df.createOrReplaceTempView(t)
+        out[t] = df
+    return out

@@ -1,0 +1,67 @@
+"""SparkSession factory with reference-equivalent defaults.
+
+The reference (apache/arrow-ballista) exposes a ``BallistaContext`` whose
+execution defaults are documented in ``docs/source/user-guide/configs.md``
+and ``ballista/core/src/config.rs:30-48`` (shuffle partitions, batch size,
+hash-join thresholds, repartition-for-parallelism flags).  In Spark those
+knobs map onto ``spark.sql.shuffle.partitions``, AQE, and the broadcast
+threshold — all set here once so every query in the engine runs with the
+same envelope.
+
+Scale notes (100 TB design):
+ - AQE is on: runtime partition coalescing + skew-join splitting replace the
+   reference's static ``ballista.shuffle.partitions=16``.
+ - ``spark.sql.shuffle.partitions`` is only the *initial* number; AQE
+   re-plans.  On a real cluster raise it to ~2-3x total cores.
+ - Arrow transfer is enabled for the Pandas-UDF extension operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(
+    app_name: str = "arrow-ballista-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Mirrors ``BallistaContext::standalone`` /
+    ``BallistaContext::remote`` (reference
+    ``ballista/client/src/context.rs:87-211``): local mode is the
+    standalone substrate; pointing ``master`` at a cluster is a config
+    change, not code.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    parts = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # reference: ballista.shuffle.partitions (config.rs:31); AQE re-plans
+        .config("spark.sql.shuffle.partitions", str(parts))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # reference broadcast analogue: hash_join_single_partition_threshold
+        # (config.rs:32-33) -> Spark's broadcast threshold (AQE also promotes)
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "90g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.spill.compress", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
