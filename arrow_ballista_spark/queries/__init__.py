@@ -34,6 +34,33 @@ class QueryDef:
 REGISTRY: dict[str, QueryDef] = {}
 
 
+def R(expr: str, digits: int) -> str:
+    """Portable round-half-away-from-zero on the BINARY double value.
+
+    Spark's ROUND is HALF_UP on the shortest decimal representation while
+    DuckDB's is C round() on the binary value — they disagree whenever the
+    true value sits a hair below a .5 boundary (e.g. avg() = 73.91375
+    stored as 73.9137499…).  This floor-based macro evaluates identically
+    in both engines, so rounded aggregates hash-match.
+    """
+    s = 10 ** digits
+    return (
+        f"(floor(abs({expr}) * {s} + 0.5) / {s}e0"
+        f" * (CASE WHEN ({expr}) < 0 THEN -1 ELSE 1 END))"
+    )
+
+
+def cround(col, digits: int):
+    """Column-API twin of :func:`R` for DataFrame-side queries."""
+    from pyspark.sql import functions as F
+
+    if isinstance(col, str):
+        col = F.col(col)
+    s = float(10 ** digits)
+    sign = F.when(col < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return F.floor(F.abs(col) * s + F.lit(0.5)) / F.lit(s) * sign
+
+
 def query(name: str, oracle: str | None, doc: str = ""):
     """Register a query implementation + its DuckDB oracle."""
 
@@ -51,6 +78,7 @@ def load_all() -> dict[str, QueryDef]:
         functions_suite,
         operators,
         tpch,
+        windows,
     )
 
     return REGISTRY

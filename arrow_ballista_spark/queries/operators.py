@@ -1,1 +1,659 @@
-"""(populated in later milestones)"""
+"""Operator-coverage queries: joins, set ops, aggregates, sort/limit.
+
+One named query per operator family from SURVEY.md §2.B.3/2.B.4/2.B.6/2.B.7,
+implemented with the idiomatic DataFrame API (Catalyst picks broadcast vs
+shuffle strategies; see session defaults) and oracled against DuckDB SQL.
+
+Design rules for driver-hash safety:
+ - no NULLs in any output column (COALESCE to sentinels) — pandas nullable
+   dtypes stringify differently across engines;
+ - integer aggregates CAST AS BIGINT in the oracle (DuckDB SUM(int) is
+   HUGEINT);
+ - every ranking/offset window has a total order (unique tiebreak column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arrow_ballista_spark.catalog import load_table, register_tables
+from arrow_ballista_spark.queries import cround, query
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY 2.B.3: all JoinType variants, datafusion.proto:240-249)
+# --------------------------------------------------------------------------
+
+@query(
+    "join_inner",
+    """
+SELECT n_name, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+""",
+    doc="INNER equi-join; dim side broadcast (ref JoinType INNER)",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner"
+    ).select("n_name", "r_name")
+
+
+@query(
+    "join_left_outer",
+    """
+SELECT o_orderstatus,
+       CAST(COUNT(l_orderkey) AS BIGINT) AS matched_lines,
+       COUNT(*) AS total_rows
+FROM orders LEFT OUTER JOIN lineitem
+  ON o_orderkey = l_orderkey AND l_quantity > 45
+GROUP BY o_orderstatus
+""",
+    doc="LEFT OUTER with join-time residual filter (ref JoinType LEFT)",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (orders.o_orderkey == li.l_orderkey) & (li.l_quantity > 45)
+    return (
+        orders.join(li, cond, "left_outer")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("l_orderkey").alias("matched_lines"),
+            F.count(F.lit(1)).alias("total_rows"),
+        )
+    )
+
+
+@query(
+    "join_right_outer",
+    """
+SELECT s_suppkey, CAST(COUNT(l_orderkey) AS BIGINT) AS big_discount_lines
+FROM lineitem RIGHT OUTER JOIN supplier
+  ON l_suppkey = s_suppkey AND l_discount > 0.09
+GROUP BY s_suppkey
+""",
+    doc="RIGHT OUTER join (ref JoinType RIGHT)",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    cond = (li.l_suppkey == sup.s_suppkey) & (li.l_discount > 0.09)
+    return (
+        li.join(sup, cond, "right_outer")
+        .groupBy("s_suppkey")
+        .agg(F.count("l_orderkey").alias("big_discount_lines"))
+    )
+
+
+@query(
+    "join_full_outer",
+    """
+SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       COALESCE(c.rich_custs, 0) AS rich_custs,
+       COALESCE(s.rich_supps, 0) AS rich_supps
+FROM (SELECT c_nationkey AS nk, COUNT(*) AS rich_custs
+      FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nk, COUNT(*) AS rich_supps
+      FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey) s
+  ON c.nk = s.nk
+""",
+    doc="FULL OUTER join of two aggregates (ref JoinType FULL)",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("rich_custs"))
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("rich_supps"))
+    )
+    j = cust.join(sup, cust.nk == sup.nk, "full_outer")
+    return j.select(
+        F.coalesce(cust.nk, sup.nk).alias("nationkey"),
+        F.coalesce(cust.rich_custs, F.lit(0)).alias("rich_custs"),
+        F.coalesce(sup.rich_supps, F.lit(0)).alias("rich_supps"),
+    )
+
+
+@query(
+    "join_left_semi",
+    """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+""",
+    doc="LEFT SEMI join (ref JoinType LEFT_SEMI; EXISTS rewrite)",
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_left_anti",
+    """
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+""",
+    doc="LEFT ANTI join (ref JoinType LEFT_ANTI; NOT EXISTS rewrite)",
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_acctbal")
+
+
+@query(
+    "join_cross",
+    """
+SELECT r_name, seg
+FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer)
+""",
+    doc="CROSS join (ref CrossJoinNode datafusion.proto:275-279)",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    segs = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("seg"))
+        .distinct()
+    )
+    return region.crossJoin(segs)
+
+
+@query(
+    "join_theta",
+    """
+SELECT a.s_suppkey AS poor_supp, b.s_suppkey AS rich_supp
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey
+ AND a.s_acctbal < b.s_acctbal - 9000
+""",
+    doc="theta (non-equi) join -> Spark BNLJ/SMJ (ref NestedLoopJoinExec)",
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load_table(spark, sf_dir, "supplier").alias("a")
+    b = load_table(spark, sf_dir, "supplier").alias("b")
+    cond = (F.col("a.s_nationkey") == F.col("b.s_nationkey")) & (
+        F.col("a.s_acctbal") < F.col("b.s_acctbal") - 9000
+    )
+    return a.join(b, cond).select(
+        F.col("a.s_suppkey").alias("poor_supp"),
+        F.col("b.s_suppkey").alias("rich_supp"),
+    )
+
+
+@query(
+    "join_null_safe",
+    """
+SELECT COALESCE(a.st, 'NULL') AS left_status,
+       COALESCE(b.st, 'NULL') AS right_status
+FROM (SELECT DISTINCT NULLIF(o_orderstatus, 'P') AS st FROM orders) a
+JOIN (SELECT DISTINCT NULLIF(o_orderstatus, 'P') AS st FROM orders) b
+  ON a.st IS NOT DISTINCT FROM b.st
+""",
+    doc="null-safe equality join (ref null_equals_null, JoinNode proto:256-266)",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    side = orders.select(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("st")
+    ).distinct()
+    a, b = side.alias("a"), side.alias("b")
+    return a.join(b, F.col("a.st").eqNullSafe(F.col("b.st"))).select(
+        F.coalesce(F.col("a.st"), F.lit("NULL")).alias("left_status"),
+        F.coalesce(F.col("b.st"), F.lit("NULL")).alias("right_status"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (SURVEY 2.B.7)
+# --------------------------------------------------------------------------
+
+@query(
+    "setop_union_all",
+    """
+SELECT c_custkey AS entity_key, 'customer' AS src FROM customer
+UNION ALL
+SELECT s_suppkey AS entity_key, 'supplier' AS src FROM supplier
+""",
+    doc="n-ary UNION ALL (ref UnionNode datafusion.proto:271-274)",
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"), F.lit("customer").alias("src")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"), F.lit("supplier").alias("src")
+    )
+    return cust.unionAll(sup)
+
+
+@query(
+    "setop_union_distinct",
+    """
+SELECT o_orderstatus AS status FROM orders
+UNION
+SELECT l_linestatus AS status FROM lineitem
+""",
+    doc="UNION with dedup (ref Distinct-over-Union)",
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_linestatus").alias("status")
+    )
+    return o.union(l).distinct()
+
+
+@query(
+    "setop_intersect",
+    """
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders
+""",
+    doc="INTERSECT -> left-semi rewrite (ref JoinType LEFT_SEMI)",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rich = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+    )
+    with_orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return rich.intersect(with_orders)
+
+
+@query(
+    "setop_except",
+    """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+""",
+    doc="EXCEPT -> left-anti rewrite (ref JoinType LEFT_ANTI)",
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    with_orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.exceptAll(with_orders).distinct()
+
+
+# --------------------------------------------------------------------------
+# Aggregations (SURVEY 2.B.4)
+# --------------------------------------------------------------------------
+
+@query(
+    "agg_grouping_sets",
+    """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+       (floor(abs(SUM(l_quantity)) * 100 + 0.5) / 100e0 * (CASE WHEN (SUM(l_quantity)) < 0 THEN -1 ELSE 1 END)) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+    doc="GROUPING SETS + grouping() (ref GroupingSetNode proto:370-381)",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               (floor(abs(SUM(l_quantity)) * 100 + 0.5) / 100e0 * (CASE WHEN (SUM(l_quantity)) < 0 THEN -1 ELSE 1 END)) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "agg_rollup",
+    """
+SELECT COALESCE(r_name, 'ALL') AS region_name,
+       COALESCE(n_name, 'ALL') AS nation_name,
+       CAST(COUNT(s_suppkey) AS BIGINT) AS n_suppliers
+FROM supplier, nation, region
+WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    doc="ROLLUP (ref RollupNode datafusion.proto:370-381)",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    j = sup.join(nat, sup.s_nationkey == nat.n_nationkey).join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            F.col("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       (floor(abs(SUM(l_extendedprice)) * 100 + 0.5) / 100e0 * (CASE WHEN (SUM(l_extendedprice)) < 0 THEN -1 ELSE 1 END)) AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    doc="CUBE (ref CubeNode datafusion.proto:370-381)",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(cround(F.sum("l_extendedprice"), 2).alias("sum_price"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            F.col("sum_price"),
+        )
+    )
+
+
+@query(
+    "agg_distinct_filter",
+    """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+       CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+           AS discounted_rows,
+       (floor(abs(SUM(l_quantity) FILTER (WHERE l_tax > 0.04)) * 100 + 0.5) / 100e0 * (CASE WHEN (SUM(l_quantity) FILTER (WHERE l_tax > 0.04)) < 0 THEN -1 ELSE 1 END)) AS taxed_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="DISTINCT aggregates + per-aggregate FILTER (ref AggregateExprNode "
+        "distinct/filter, datafusion.proto:551-557)",
+)
+def agg_distinct_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_suppkey").alias("distinct_supps"),
+        F.count_distinct("l_partkey").alias("distinct_parts"),
+        F.expr("COUNT(*) FILTER (WHERE l_discount > 0.05)").alias(
+            "discounted_rows"
+        ),
+        F.expr("(floor(abs(SUM(l_quantity) FILTER (WHERE l_tax > 0.04)) * 100 + 0.5) / 100e0 * (CASE WHEN (SUM(l_quantity) FILTER (WHERE l_tax > 0.04)) < 0 THEN -1 ELSE 1 END))").alias(
+            "taxed_qty"
+        ),
+    )
+
+
+@query(
+    "agg_stats",
+    """
+SELECT l_returnflag,
+       (floor(abs(stddev_samp(l_quantity)) * 10000 + 0.5) / 10000e0 * (CASE WHEN (stddev_samp(l_quantity)) < 0 THEN -1 ELSE 1 END)) AS sd_qty,
+       (floor(abs(stddev_pop(l_quantity)) * 10000 + 0.5) / 10000e0 * (CASE WHEN (stddev_pop(l_quantity)) < 0 THEN -1 ELSE 1 END)) AS sdp_qty,
+       (floor(abs(var_samp(l_discount)) * 1000000 + 0.5) / 1000000e0 * (CASE WHEN (var_samp(l_discount)) < 0 THEN -1 ELSE 1 END)) AS var_disc,
+       (floor(abs(var_pop(l_discount)) * 1000000 + 0.5) / 1000000e0 * (CASE WHEN (var_pop(l_discount)) < 0 THEN -1 ELSE 1 END)) AS varp_disc,
+       (floor(abs(corr(l_quantity, l_extendedprice)) * 10000 + 0.5) / 10000e0 * (CASE WHEN (corr(l_quantity, l_extendedprice)) < 0 THEN -1 ELSE 1 END)) AS corr_qty_price,
+       (floor(abs(covar_samp(l_quantity, l_extendedprice)) * 100 + 0.5) / 100e0 * (CASE WHEN (covar_samp(l_quantity, l_extendedprice)) < 0 THEN -1 ELSE 1 END)) AS cov_qty_price,
+       (floor(abs(covar_pop(l_quantity, l_extendedprice)) * 100 + 0.5) / 100e0 * (CASE WHEN (covar_pop(l_quantity, l_extendedprice)) < 0 THEN -1 ELSE 1 END)) AS covp_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="variance/stddev/corr/covar aggregates (ref AggregateFunction "
+        "datafusion.proto:537-543)",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        cround(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        cround(F.stddev_pop("l_quantity"), 4).alias("sdp_qty"),
+        cround(F.var_samp("l_discount"), 6).alias("var_disc"),
+        cround(F.var_pop("l_discount"), 6).alias("varp_disc"),
+        cround(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "corr_qty_price"
+        ),
+        cround(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "cov_qty_price"
+        ),
+        cround(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias(
+            "covp_qty_price"
+        ),
+    )
+
+
+@query(
+    "agg_median_percentile",
+    """
+SELECT o_orderstatus,
+       (floor(abs(median(o_totalprice)) * 100 + 0.5) / 100e0 * (CASE WHEN (median(o_totalprice)) < 0 THEN -1 ELSE 1 END)) AS median_price,
+       (floor(abs(quantile_cont(o_totalprice, 0.9)) * 100 + 0.5) / 100e0 * (CASE WHEN (quantile_cont(o_totalprice, 0.9)) < 0 THEN -1 ELSE 1 END)) AS p90_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+    doc="MEDIAN / percentile-cont (ref AggregateFunction MEDIAN, "
+        "APPROX_PERCENTILE_CONT datafusion.proto:544-548)",
+)
+def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        cround(F.median("o_totalprice"), 2).alias("median_price"),
+        cround(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90_price"),
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    None,  # approx algorithms differ across engines -> rows-only check
+    doc="APPROX_DISTINCT (ref datafusion.proto:535) — HLL sketch; "
+        "cross-engine values differ by design, driver does rows-only",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@query(
+    "agg_array_agg",
+    """
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+FROM nation
+GROUP BY n_regionkey
+""",
+    doc="ARRAY_AGG (ref datafusion.proto:536) — sorted, serialized for "
+        "deterministic cross-engine compare",
+)
+def agg_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load_table(spark, sf_dir, "nation")
+    return nat.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+            "nations_csv"
+        )
+    )
+
+
+@query(
+    "agg_minmax_by",
+    """
+SELECT o_orderstatus,
+       arg_max(o_orderkey, o_totalprice) AS priciest_order,
+       arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+       (floor(abs(MAX(o_totalprice)) * 100 + 0.5) / 100e0 * (CASE WHEN (MAX(o_totalprice)) < 0 THEN -1 ELSE 1 END)) AS max_price,
+       (floor(abs(MIN(o_totalprice)) * 100 + 0.5) / 100e0 * (CASE WHEN (MIN(o_totalprice)) < 0 THEN -1 ELSE 1 END)) AS min_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+    doc="MAX_BY/MIN_BY selector aggregates",
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        cround(F.max("o_totalprice"), 2).alias("max_price"),
+        cround(F.min("o_totalprice"), 2).alias("min_price"),
+    )
+
+
+@query(
+    "select_distinct",
+    """
+SELECT DISTINCT p_brand, p_type FROM part
+""",
+    doc="SELECT DISTINCT (ref DistinctNode datafusion.proto:267-270)",
+)
+def select_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "part").select("p_brand", "p_type").distinct()
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / offset (SURVEY 2.B.6)
+# --------------------------------------------------------------------------
+
+@query(
+    "sort_multi_key_nulls",
+    """
+SELECT o_orderkey,
+       COALESCE(pr, 'NONE') AS priority_or_none
+FROM (SELECT o_orderkey, NULLIF(o_orderpriority, '5-LOW') AS pr
+      FROM orders WHERE o_orderkey <= 500)
+ORDER BY pr ASC NULLS FIRST, o_orderkey DESC
+""",
+    doc="multi-key sort w/ explicit null ordering (ref SortExprNode "
+        "nulls_first, datafusion.proto:645-650; SURVEY §7 risk 3)",
+)
+def sort_multi_key_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    o = o.select(
+        "o_orderkey", F.nullif("o_orderpriority", F.lit("5-LOW")).alias("pr")
+    )
+    return o.orderBy(
+        F.col("pr").asc_nulls_first(), F.col("o_orderkey").desc()
+    ).select(
+        "o_orderkey", F.coalesce("pr", F.lit("NONE")).alias("priority_or_none")
+    )
+
+
+@query(
+    "limit_offset",
+    """
+SELECT o_orderkey, (floor(abs(o_totalprice) * 100 + 0.5) / 100e0 * (CASE WHEN (o_totalprice) < 0 THEN -1 ELSE 1 END)) AS price
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 15 OFFSET 5
+""",
+    doc="LIMIT + OFFSET (ref GlobalLimitExecNode skip/fetch, "
+        "datafusion.proto:1251-1258)",
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", cround("o_totalprice", 2).alias("price"))
+        .offset(5)
+        .limit(15)
+    )
+
+
+@query(
+    "topk",
+    """
+SELECT p_partkey, p_name, (floor(abs(p_retailprice) * 100 + 0.5) / 100e0 * (CASE WHEN (p_retailprice) < 0 THEN -1 ELSE 1 END)) AS price
+FROM part
+ORDER BY p_retailprice DESC, p_partkey
+LIMIT 5
+""",
+    doc="top-k = sort+fetch (ref SortExecNode fetch, "
+        "datafusion.proto:1264-1270 -> Spark TakeOrderedAndProject)",
+)
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+        .select(
+            "p_partkey", "p_name", cround("p_retailprice", 2).alias("price")
+        )
+        .limit(5)
+    )
+
+
+@query(
+    "values_inline",
+    """
+SELECT * FROM (VALUES (1, 'one'), (2, 'two'), (3, 'three')) AS t(id, name)
+""",
+    doc="inline VALUES relation (ref ValuesNode datafusion.proto:214-218)",
+)
+def values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "id int, name string"
+    )
+
+
+@query(
+    "pivot_conditional",
+    """
+SELECT user_id % 10 AS user_bucket,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
+FROM events
+GROUP BY user_id % 10
+""",
+    doc="pivot via conditional aggregation (map-side combinable, no "
+        "per-category shuffle)",
+)
+def pivot_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cats = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", cats)
+        .count()
+        .na.fill(0, cats)
+    )

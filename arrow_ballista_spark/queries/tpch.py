@@ -51,13 +51,13 @@ _shared_sql(
 SELECT
     l_returnflag,
     l_linestatus,
-    ROUND(SUM(l_quantity), 2)                          AS sum_qty,
-    ROUND(SUM(l_extendedprice), 2)                     AS sum_base_price,
-    ROUND(SUM({REV}), 2)                               AS sum_disc_price,
-    ROUND(SUM({REV} * (1 + l_tax)), 2)                 AS sum_charge,
-    ROUND(AVG(l_quantity), 2)                          AS avg_qty,
-    ROUND(AVG(l_extendedprice), 2)                     AS avg_price,
-    ROUND(AVG(l_discount), 4)                          AS avg_disc,
+    (floor(abs(SUM(l_quantity)) * 100 + 0.5) / 100e0 * (CASE WHEN (SUM(l_quantity)) < 0 THEN -1 ELSE 1 END))                          AS sum_qty,
+    (floor(abs(SUM(l_extendedprice)) * 100 + 0.5) / 100e0 * (CASE WHEN (SUM(l_extendedprice)) < 0 THEN -1 ELSE 1 END))                     AS sum_base_price,
+    (floor(abs(SUM({REV})) * 100 + 0.5) / 100e0 * (CASE WHEN (SUM({REV})) < 0 THEN -1 ELSE 1 END))                               AS sum_disc_price,
+    (floor(abs(SUM({REV} * (1 + l_tax))) * 100 + 0.5) / 100e0 * (CASE WHEN (SUM({REV} * (1 + l_tax))) < 0 THEN -1 ELSE 1 END))                 AS sum_charge,
+    (floor(abs(AVG(l_quantity)) * 100 + 0.5) / 100e0 * (CASE WHEN (AVG(l_quantity)) < 0 THEN -1 ELSE 1 END))                          AS avg_qty,
+    (floor(abs(AVG(l_extendedprice)) * 100 + 0.5) / 100e0 * (CASE WHEN (AVG(l_extendedprice)) < 0 THEN -1 ELSE 1 END))                     AS avg_price,
+    (floor(abs(AVG(l_discount)) * 10000 + 0.5) / 10000e0 * (CASE WHEN (AVG(l_discount)) < 0 THEN -1 ELSE 1 END))                          AS avg_disc,
     COUNT(*)                                           AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -101,7 +101,7 @@ _shared_sql(
     f"""
 SELECT
     l_orderkey,
-    ROUND(SUM({REV}), 2) AS revenue,
+    (floor(abs(SUM({REV})) * 100 + 0.5) / 100e0 * (CASE WHEN (SUM({REV})) < 0 THEN -1 ELSE 1 END)) AS revenue,
     o_orderdate
 FROM customer, orders, lineitem
 WHERE c_mktsegment = 'BUILDING'
@@ -137,7 +137,7 @@ ORDER BY o_orderpriority
 _shared_sql(
     "tpch_q5",
     f"""
-SELECT n_name, ROUND(SUM({REV}), 2) AS revenue
+SELECT n_name, (floor(abs(SUM({REV})) * 100 + 0.5) / 100e0 * (CASE WHEN (SUM({REV})) < 0 THEN -1 ELSE 1 END)) AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey
   AND l_orderkey = o_orderkey
@@ -158,7 +158,7 @@ ORDER BY revenue DESC, n_name
 _shared_sql(
     "tpch_q6",
     """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+SELECT (floor(abs(SUM(l_extendedprice * l_discount)) * 100 + 0.5) / 100e0 * (CASE WHEN (SUM(l_extendedprice * l_discount)) < 0 THEN -1 ELSE 1 END)) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -172,7 +172,7 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 _shared_sql(
     "tpch_q7",
     f"""
-SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+SELECT supp_nation, cust_nation, l_year, (floor(abs(SUM(volume)) * 100 + 0.5) / 100e0 * (CASE WHEN (SUM(volume)) < 0 THEN -1 ELSE 1 END)) AS revenue
 FROM (
     SELECT
         n1.n_name AS supp_nation,
@@ -201,8 +201,9 @@ _shared_sql(
     f"""
 SELECT
     o_year,
-    ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-          / SUM(volume), 4) AS mkt_share
+    (floor(abs(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+          / SUM(volume)) * 10000 + 0.5) / 10000e0 * (CASE WHEN (SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+          / SUM(volume)) < 0 THEN -1 ELSE 1 END)) AS mkt_share
 FROM (
     SELECT
         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
@@ -231,7 +232,7 @@ ORDER BY o_year
 _shared_sql(
     "tpch_q9",
     f"""
-SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+SELECT nation, o_year, (floor(abs(SUM(amount)) * 100 + 0.5) / 100e0 * (CASE WHEN (SUM(amount)) < 0 THEN -1 ELSE 1 END)) AS sum_profit
 FROM (
     SELECT
         n_name AS nation,
@@ -256,7 +257,7 @@ _shared_sql(
     f"""
 SELECT
     c_custkey, c_name,
-    ROUND(SUM({REV}), 2) AS revenue,
+    (floor(abs(SUM({REV})) * 100 + 0.5) / 100e0 * (CASE WHEN (SUM({REV})) < 0 THEN -1 ELSE 1 END)) AS revenue,
     c_acctbal, n_name
 FROM customer, orders, lineitem, nation
 WHERE c_custkey = o_custkey
@@ -276,7 +277,7 @@ LIMIT 20
 _shared_sql(
     "tpch_q11",
     """
-SELECT l_partkey, ROUND(SUM(l_extendedprice * l_quantity), 2) AS value
+SELECT l_partkey, (floor(abs(SUM(l_extendedprice * l_quantity)) * 100 + 0.5) / 100e0 * (CASE WHEN (SUM(l_extendedprice * l_quantity)) < 0 THEN -1 ELSE 1 END)) AS value
 FROM lineitem, supplier, nation
 WHERE l_suppkey = s_suppkey
   AND s_nationkey = n_nationkey
@@ -336,9 +337,9 @@ ORDER BY custdist DESC, c_count DESC
 _shared_sql(
     "tpch_q14",
     f"""
-SELECT ROUND(
-    100.00 * SUM(CASE WHEN p_type = 'PROMO' THEN {REV} ELSE 0 END)
-    / SUM({REV}), 4) AS promo_revenue
+SELECT (floor(abs(100.00 * SUM(CASE WHEN p_type = 'PROMO' THEN {REV} ELSE 0 END)
+    / SUM({REV})) * 10000 + 0.5) / 10000e0 * (CASE WHEN (100.00 * SUM(CASE WHEN p_type = 'PROMO' THEN {REV} ELSE 0 END)
+    / SUM({REV})) < 0 THEN -1 ELSE 1 END)) AS promo_revenue
 FROM lineitem, part
 WHERE l_partkey = p_partkey
   AND l_shipdate >= TIMESTAMP '1997-09-01'
@@ -352,7 +353,7 @@ _shared_sql(
     "tpch_q15",
     f"""
 WITH revenue0 AS (
-    SELECT l_suppkey AS supplier_no, ROUND(SUM({REV}), 2) AS total_revenue
+    SELECT l_suppkey AS supplier_no, (floor(abs(SUM({REV})) * 100 + 0.5) / 100e0 * (CASE WHEN (SUM({REV})) < 0 THEN -1 ELSE 1 END)) AS total_revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate < TIMESTAMP '1997-04-01'
@@ -389,7 +390,7 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 _shared_sql(
     "tpch_q17",
     """
-SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT (floor(abs(SUM(l_extendedprice) / 7e0) * 100 + 0.5) / 100e0 * (CASE WHEN (SUM(l_extendedprice) / 7e0) < 0 THEN -1 ELSE 1 END)) AS avg_yearly
 FROM lineitem, part
 WHERE p_partkey = l_partkey
   AND p_brand = 'Brand#3'
@@ -406,7 +407,7 @@ _shared_sql(
     "tpch_q18",
     """
 SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-       ROUND(SUM(l_quantity), 2) AS sum_qty
+       (floor(abs(SUM(l_quantity)) * 100 + 0.5) / 100e0 * (CASE WHEN (SUM(l_quantity)) < 0 THEN -1 ELSE 1 END)) AS sum_qty
 FROM customer, orders, lineitem
 WHERE o_orderkey IN (
     SELECT l_orderkey FROM lineitem
@@ -424,7 +425,7 @@ LIMIT 100
 _shared_sql(
     "tpch_q19",
     f"""
-SELECT ROUND(SUM({REV}), 2) AS revenue
+SELECT (floor(abs(SUM({REV})) * 100 + 0.5) / 100e0 * (CASE WHEN (SUM({REV})) < 0 THEN -1 ELSE 1 END)) AS revenue
 FROM lineitem, part
 WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
        AND l_quantity >= 1 AND l_quantity <= 11
@@ -492,7 +493,7 @@ LIMIT 100
 _shared_sql(
     "tpch_q22",
     """
-SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+SELECT cntrycode, COUNT(*) AS numcust, (floor(abs(SUM(c_acctbal)) * 100 + 0.5) / 100e0 * (CASE WHEN (SUM(c_acctbal)) < 0 THEN -1 ELSE 1 END)) AS totacctbal
 FROM (
     SELECT c_nationkey % 5 AS cntrycode, c_acctbal
     FROM customer
