@@ -1,0 +1,223 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` (no Python
+UDFs in the hot path) so it whole-stage-codegens and scales linearly:
+
+- :func:`exact_dedup` — hash-groupBy keep-first; one shuffle on the dedup
+  key (map-side partial aggregation combines within partitions first).
+- :func:`char_shingles` / :func:`minhash_signature` — map-only (zero
+  shuffle): k-gram extraction and the 128-permutation MinHash signature are
+  per-row array transforms.
+- :func:`lsh_candidate_pairs` — the only shuffle is a self-join keyed on
+  (band_index, band_signature); at 100 TB this is the classic
+  shingle→minhash→band→bucket-join layout where bucket sizes, not the
+  corpus square, bound the join.
+- :func:`jaccard_verify` — exact char-k-gram Jaccard on candidates only.
+- :func:`simhash` — 64-bit SimHash + banded Hamming candidate join.
+
+100 TB notes: signatures are ~1 KB/doc regardless of doc size; band join
+keys are 16 bytes; skewed buckets (boilerplate shingles) are handled by
+AQE skew-join splitting (enabled in session defaults).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# MinHash modulus: 2^31 - 1 (Mersenne prime).  Base hashes and permutation
+# coefficients stay < 2^31 so a*h+b < 2^62 never overflows signed 64-bit.
+MERSENNE31 = 2_147_483_647
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one row (min id) per distinct key — hash-groupBy dedup."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def char_shingles(text_col: str, k: int = 3) -> Column:
+    """Distinct character k-grams of a text column (map-only, JVM-side)."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+            f" i -> substring({text_col}, i, {k}))"
+        )
+    )
+
+
+def _perm_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signature(
+    grams_col: str, num_perm: int = 128, seed: int = 42
+) -> list[Column]:
+    """MinHash signature columns over a distinct-gram array column.
+
+    Base hash h(g) = xxhash64(g) mod p once per gram; permutation i is
+    min((a_i*h + b_i) mod p) — all array transforms, zero shuffle.
+    """
+    base = f"transform({grams_col}, g -> pmod(xxhash64(g), {MERSENNE31}L))"
+    return [
+        F.expr(
+            f"array_min(transform({base},"
+            f" h -> pmod({a}L * h + {b}L, {MERSENNE31}L)))"
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_perm_coeffs(num_perm, seed))
+    ]
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    num_perm: int = 128,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Self-join on LSH bands → distinct candidate pairs (id_a < id_b).
+
+    With r rows/band and b bands, a pair of Jaccard s collides with
+    probability 1-(1-s^r)^b; r=2, b=64 gives ~1-4e-13 recall at s=0.6.
+    """
+    n_bands = num_perm // rows_per_band
+    bands = F.array(
+        *[
+            F.array(
+                *[
+                    F.col(f"mh_{band * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ]
+            )
+            for band in range(n_bands)
+        ]
+    )
+    exploded = sigs.select(
+        F.col(id_col), F.posexplode(bands).alias("band_idx", "band_sig")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame, grams: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact set-Jaccard on candidate pairs only (joins the gram arrays
+    back; the candidate set — not n² — bounds the work)."""
+    ga = grams.select(
+        F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a")
+    )
+    gb = grams.select(
+        F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b")
+    )
+    j = candidates.join(ga, "id_a").join(gb, "id_b")
+    jac = F.size(F.array_intersect("grams_a", "grams_b")) / F.size(
+        F.array_union("grams_a", "grams_b")
+    )
+    return j.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    num_perm: int = 128,
+    rows_per_band: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Full pipeline: shingle → minhash → LSH bands → exact-Jaccard verify.
+
+    Returns (id_a, id_b, jaccard) for pairs with Jaccard >= threshold.
+    Output equals brute-force exact Jaccard up to LSH recall (~1 at the
+    default parameters; see lsh_candidate_pairs).
+    """
+    grams = df.select(
+        F.col(id_col), char_shingles(text_col, k).alias("grams")
+    )
+    sigs = grams.select(
+        F.col(id_col), *minhash_signature("grams", num_perm)
+    )
+    candidates = lsh_candidate_pairs(sigs, id_col, num_perm, rows_per_band)
+    return jaccard_verify(candidates, grams, id_col, threshold)
+
+
+def simhash64(text_col: str) -> Column:
+    """64-bit SimHash over whitespace tokens (JVM-side bit votes).
+
+    bit_j(simhash) = sign of sum over tokens of (2*bit_j(xxhash64(t)) - 1).
+    """
+    tokens = f"split(lower({text_col}), ' +')"
+    bit_cols = []
+    for j in range(64):
+        vote = F.expr(
+            f"aggregate({tokens}, 0L,"
+            f" (acc, t) -> acc + (shiftright(xxhash64(t), {j}) & 1) * 2 - 1)"
+        )
+        bit_cols.append(
+            F.when(
+                vote > 0, F.shiftleft(F.lit(1).cast("bigint"), j)
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out.bitwiseOR(c)
+    return out
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64 bits into 4×16-bit chunks (any
+    pair within Hamming distance 3 shares at least one exact chunk), join
+    per chunk, verify with bit_count(xor)."""
+    h = df.select(F.col(id_col), simhash64(text_col).alias("sh"))
+    chunks = F.array(
+        *[
+            (F.shiftright(F.col("sh"), 16 * i).bitwiseAND(F.lit(0xFFFF)))
+            for i in range(4)
+        ]
+    )
+    e = h.select(
+        F.col(id_col), F.col("sh"), F.posexplode(chunks).alias("ci", "cv")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

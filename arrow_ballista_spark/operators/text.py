@@ -1,0 +1,116 @@
+"""Text-analysis operators for training-data pipelines.
+
+All JVM-side column expressions (split/filter/aggregate over token arrays)
+— no Python in the hot path, so these run at scan speed over 100 TB of
+documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic.  (Deterministic + cheap; a real pipeline would swap in a
+# fastText-style model via mapInPandas — see operators/multimodal.py for
+# the batched-UDF plumbing pattern.)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "is", "in"],
+    "es": ["el", "la", "de", "los", "y", "es", "en"],
+    "fr": ["le", "la", "les", "et", "des", "est", "dans"],
+}
+
+# BPE-ish token pattern: runs of letters, runs of digits, or single
+# punctuation — approximates subword pre-tokenization.
+BPE_TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def tokens(text_col: str) -> Column:
+    """Whitespace tokens."""
+    return F.split(F.col(text_col), " +")
+
+
+def token_count(text_col: str) -> Column:
+    return F.size(tokens(text_col))
+
+
+def bpe_ish_token_count(text_col: str) -> Column:
+    """Regex token count approximating BPE pre-tokenization."""
+    return F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN))
+
+
+def avg_word_length(text_col: str) -> Column:
+    t = tokens(text_col)
+    total = F.aggregate(
+        t, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    return total / F.size(t)
+
+
+def punct_count(text_col: str) -> Column:
+    return F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "[.,!?;:]", "")
+    )
+
+
+def stopword_count(text_col: str, lang: str = "en") -> Column:
+    return F.size(
+        F.filter(tokens(text_col), lambda w: w.isin(*STOPWORDS[lang]))
+    )
+
+
+def quality_score(text_col: str) -> Column:
+    """Composite quality heuristic in [0, 1]: length band + stopword
+    presence + low punctuation density (gopher-style filters)."""
+    n_tok = token_count(text_col)
+    sw_ratio = stopword_count(text_col) / n_tok
+    # nullif guard: ANSI mode errors on int/0 (null ratio -> WHEN false -> 0.0)
+    punct_ratio = punct_count(text_col) / F.nullif(
+        F.length(F.col(text_col)), F.lit(0)
+    )
+    return (
+        F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.4)).otherwise(0.0)
+        + F.when(sw_ratio > 0.01, F.lit(0.3)).otherwise(0.0)
+        + F.when(punct_ratio < 0.1, F.lit(0.3)).otherwise(0.0)
+    )
+
+
+def langid_scores(text_col: str) -> dict[str, Column]:
+    """Stopword-hit counts per language."""
+    return {
+        lang: stopword_count(text_col, lang) for lang in STOPWORDS
+    }
+
+
+def langid_predict(text_col: str) -> Column:
+    """argmax language by stopword hits, deterministic tiebreak by
+    language-code order; 'und' when nothing matches."""
+    scores = langid_scores(text_col)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[scores[lg] for lg in langs])
+    out = F.lit("und")
+    for lg in reversed(langs):  # earlier langs win ties (checked first)
+        out = F.when((scores[lg] == best) & (best > 0), F.lit(lg)).otherwise(
+            out
+        )
+    return out
+
+
+def fingerprint(text_col: str) -> Column:
+    """Classic collection fingerprint: md5 of sorted distinct lowercase
+    tokens — robust to word order and duplication."""
+    norm = F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.lower(F.col(text_col)), " +"))),
+        " ",
+    )
+    return F.md5(norm.cast("binary"))
+
+
+def rolling_hash(text_col: str, window: int = 8) -> Column:
+    """Deterministic document rolling-hash sketch: min xxhash64 over
+    character windows (a content-defined fingerprint usable for
+    shift-robust dedup)."""
+    return F.expr(
+        f"array_min(transform(sequence(1, greatest(length({text_col}) - {window - 1}, 1)),"
+        f" i -> xxhash64(substring({text_col}, i, {window}))))"
+    )

@@ -1,1 +1,391 @@
-"""(populated in later milestones)"""
+"""North-star extension queries: dedup, similarity search, text analysis,
+multimodal plumbing (BASELINE.json; no reference parity — the reference has
+none of these, SURVEY.md §2.B.10/§7 M5).
+
+Every oracle here is value-exact, not just approximately equal:
+
+- Jaccard / ratios are divisions of identical ints → bit-identical doubles;
+- cosine is a sequential double fold in both engines (Spark
+  ``aggregate(zip_with(...))`` vs DuckDB ``list_reduce(list_transform(
+  list_zip(...)))`` — same order, same widening) → bit-identical;
+- hash-dependent ops (xxhash64 minhash/simhash/rolling-hash, Python-seeded
+  LSH hyperplanes) are either verified against an *exact* brute-force
+  oracle (LSH recall ≈ 1 at the chosen parameters) or declared rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arrow_ballista_spark.catalog import load_table
+from arrow_ballista_spark.operators import dedup, multimodal, similarity, text
+from arrow_ballista_spark.queries import R, cround, query
+
+# Shared oracle fragments -------------------------------------------------
+
+# distinct character 3-gram shingles of documents.text (matches
+# operators.dedup.char_shingles(k=3))
+_SQL_CHAR_GRAMS = """
+SELECT doc_id,
+       list_distinct(list_transform(
+           generate_series(1, greatest(length(text) - 2, 1)),
+           i -> substring(text, i, 3))) AS grams
+FROM documents
+"""
+
+# sequential-fold double dot product (matches operators.similarity.dot)
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        f" x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),"
+        f" (acc, v) -> acc + v)"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"({_sql_dot(a, b)} / "
+        f"(sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+    )
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+@query(
+    "ext_dedup_exact",
+    """
+SELECT md5(text) AS text_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+    doc="exact dedup: hash-groupBy keep-min-id (one shuffle, map-side combine)",
+)
+def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text_hash", F.md5(F.col("text").cast("binary"))
+    )
+    return dedup.exact_dedup(docs, ["text_hash"], "doc_id")
+
+
+@query(
+    "ext_dedup_minhash_lsh",
+    f"""
+WITH g AS ({_SQL_CHAR_GRAMS})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.grams, b.grams))
+         / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams))
+        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.9
+""",
+    doc=(
+        "MinHash+LSH near-dup: shingle -> 128-perm minhash -> 64 bands -> "
+        "bucket self-join -> exact-Jaccard verify.  Oracle is brute-force "
+        "exact Jaccard; LSH miss probability at s=0.9 is (1-0.81)^64 ~ 4e-45, "
+        "so outputs are identical.  At 100 TB only the banded join scales; "
+        "the oracle's O(n^2) never runs there."
+    ),
+)
+def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(
+        docs, "text", "doc_id", threshold=0.9, num_perm=128, rows_per_band=2
+    )
+
+
+@query(
+    "ext_dedup_word_bigram_jaccard",
+    """
+WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents),
+g AS (SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                  ELSE list_transform(generate_series(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i + 1]) END)
+               AS grams
+      FROM t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.grams, b.grams))
+         / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams))
+        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+""",
+    doc="exact word-bigram Jaccard near-dup pairs (n-gram Jaccard family)",
+)
+def ext_dedup_word_bigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " +")
+    bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.expr(
+            "transform(sequence(1, greatest(size(split(text, ' +')) - 1, 1)),"
+            " i -> concat(split(text, ' +')[i - 1], ' ', split(text, ' +')[i]))"
+        )
+    )
+    g = docs.select(
+        F.col("doc_id"), F.array_distinct(bigrams).alias("grams")
+    )
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    jac = F.size(F.array_intersect("grams_a", "grams_b")) / F.size(
+        F.array_union("grams_a", "grams_b")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@query(
+    "ext_dedup_simhash",
+    None,  # xxhash64 bit votes have no DuckDB twin -> rows-only check
+    doc="64-bit SimHash + 4x16-bit banded Hamming<=3 near-dup pairs",
+)
+def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+@query(
+    "ext_dedup_embedding_cosine",
+    f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {R(_sql_cosine("a.embedding", "b.embedding"), 6)} AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_sql_cosine("a.embedding", "b.embedding")} >= 0.35
+""",
+    doc="embedding-cosine near-dup pairs (exact form; LSH variant is the scale path)",
+)
+def ext_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_near_dup_pairs(emb, "vec_id", "embedding", 0.35)
+    return pairs.select(
+        "id_a", "id_b", cround(F.col("cos_raw"), 6).alias("cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 10),
+c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+s AS (SELECT query_id, corpus_id, {_sql_cosine("qv", "cv")} AS cos_raw
+      FROM q, c WHERE query_id <> corpus_id),
+r AS (SELECT query_id, corpus_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, corpus_id) AS rnk
+      FROM s)
+SELECT query_id, corpus_id, {R("cos_raw", 6)} AS cosine, CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= 5
+"""
+
+
+@query(
+    "ext_sim_topk_bruteforce",
+    _TOPK_ORACLE,
+    doc=(
+        "exact cosine top-5: broadcast query batch x streamed corpus, "
+        "windowed rank.  One corpus scan per query batch at any scale."
+    ),
+)
+def ext_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    out = similarity.brute_force_topk(
+        queries, corpus, "query_id", "corpus_id", "embedding", k=5
+    )
+    return out.select(
+        "query_id", "corpus_id", cround(F.col("cosine"), 6).alias("cosine"), "rnk"
+    )
+
+
+@query(
+    "ext_sim_topk_lsh",
+    None,  # Python-seeded random hyperplanes -> rows-only check
+    doc=(
+        "approximate top-5 via random-hyperplane LSH buckets + Hamming-1 "
+        "multiprobe + exact re-rank; at scale the corpus is written "
+        "partitioned by bucket so each query touches ~corpus/2^bits rows"
+    ),
+)
+def ext_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    out = similarity.hyperplane_lsh_topk(
+        queries, corpus, "query_id", "corpus_id", "embedding",
+        k=5, n_planes=8, dim=64,
+    )
+    return out.select(
+        "query_id", "corpus_id", cround(F.col("cosine"), 6).alias("cosine"), "rnk"
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+@query(
+    "ext_text_stats",
+    f"""
+WITH t AS (SELECT doc_id, text, string_split_regex(text, ' +') AS toks
+           FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{text.BPE_TOKEN_PATTERN}')) AS INT)
+         AS n_bpe_tokens,
+       {R("CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT)"
+          " / len(toks)", 6)} AS avg_word_len,
+       CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+            AS INT) AS n_punct
+FROM t
+""",
+    doc="token counting (whitespace + BPE-ish regex), word-length, punctuation",
+)
+def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").cast("int").alias("n_tokens"),
+        text.bpe_ish_token_count("text").cast("int").alias("n_bpe_tokens"),
+        cround(text.avg_word_length("text"), 6).alias("avg_word_len"),
+        text.punct_count("text").cast("int").alias("n_punct"),
+    )
+
+
+def _sql_stopword_count(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in text.STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split_regex(text, ' +'),"
+        f" w -> list_contains([{words}], w)))"
+    )
+
+
+@query(
+    "ext_text_quality_langid",
+    f"""
+WITH s AS (SELECT doc_id, text,
+                  len(string_split_regex(text, ' +')) AS n_tok,
+                  {_sql_stopword_count("en")} AS sw_en,
+                  {_sql_stopword_count("es")} AS sw_es,
+                  {_sql_stopword_count("fr")} AS sw_fr,
+                  length(text)
+                    - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                    AS n_punct
+           FROM documents)
+SELECT doc_id,
+       {R("(CASE WHEN n_tok BETWEEN 10 AND 100000 THEN CAST(0.4 AS DOUBLE)"
+          " ELSE 0.0 END"
+          " + CASE WHEN sw_en / n_tok > 0.01 THEN CAST(0.3 AS DOUBLE)"
+          " ELSE 0.0 END"
+          " + CASE WHEN n_punct / NULLIF(length(text), 0) < 0.1"
+          " THEN CAST(0.3 AS DOUBLE) ELSE 0.0 END)", 6)} AS quality,
+       CASE WHEN sw_en = greatest(sw_en, sw_es, sw_fr) AND sw_en > 0 THEN 'en'
+            WHEN sw_es = greatest(sw_en, sw_es, sw_fr) AND sw_es > 0 THEN 'es'
+            WHEN sw_fr = greatest(sw_en, sw_es, sw_fr) AND sw_fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred
+FROM s
+""",
+    doc="gopher-style quality score + stopword-heuristic language ID",
+)
+def ext_text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        cround(text.quality_score("text"), 6).alias("quality"),
+        text.langid_predict("text").alias("lang_pred"),
+    )
+
+
+@query(
+    "ext_text_fingerprint",
+    """
+SELECT md5(array_to_string(list_sort(list_distinct(
+           string_split_regex(lower(text), ' +'))), ' ')) AS fp,
+       COUNT(*) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id
+FROM documents
+GROUP BY 1
+""",
+    doc="collection fingerprint (md5 of sorted distinct lowercase tokens) dedup groups",
+)
+def ext_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(text.fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+@query(
+    "ext_text_rolling_hash",
+    None,  # xxhash64 has no DuckDB twin -> rows-only check
+    doc="shift-robust rolling-hash document sketch (min xxhash64 over char windows)",
+)
+def ext_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.rolling_hash("text").alias("rhash"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (decode stubbed; schema/UDF/batch shape real)
+# --------------------------------------------------------------------------
+
+@query(
+    "ext_multimodal_features",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha_hex,
+       lower(hex(encode(substring(text, 1, 8)))) AS head_hex
+FROM documents
+""",
+    doc=(
+        "Arrow-batched (mapInPandas) feature extraction over an opaque "
+        "binary column; decode itself is stubbed (no codec libs here)"
+    ),
+)
+def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.attach_blob(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_blob_features(docs)
+
+
+@query(
+    "ext_multimodal_frames",
+    """
+WITH f AS (SELECT doc_id, text,
+                  unnest(generate_series(
+                      0, CAST(floor((length(text) - 1) / 256) AS INT))) AS i
+           FROM documents)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(least(256, length(text) - 256 * i) AS INT) AS frame_len,
+       md5(substring(text, 1 + 256 * i, 256)) AS frame_md5
+FROM f
+""",
+    doc=(
+        "video-style frame sampling: fixed-size byte frames via mapInPandas "
+        "1->N explosion (oracle valid because testdata text is pure ASCII)"
+    ),
+)
+def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.attach_blob(load_table(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(docs, frame_size=256)

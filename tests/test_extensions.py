@@ -1,0 +1,90 @@
+"""Extension-operator queries (dedup / similarity / text / multimodal) vs
+DuckDB oracle, plus semantic unit checks the oracle can't express
+(LSH==brute-force recall, stub behavior, frame-shape invariants)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arrow_ballista_spark.catalog import load_table
+from arrow_ballista_spark.operators import dedup, multimodal, similarity
+from arrow_ballista_spark.queries import load_all
+from tests.conftest import SF_DIR, assert_same_results
+
+REG = load_all()
+EXT_NAMES = sorted(n for n in REG if n.startswith("ext_"))
+
+
+@pytest.mark.parametrize("name", EXT_NAMES)
+def test_extension_vs_duckdb(spark, oracle, name):
+    qd = REG[name]
+    df = qd.spark(spark, SF_DIR)
+    if qd.oracle is None:
+        rows = df.collect()
+        assert len(rows) >= 0
+        assert len(df.columns) >= 2  # stable schema
+    else:
+        assert_same_results(df, oracle, qd.oracle)
+
+
+def test_lsh_topk_matches_bruteforce_on_candidates(spark):
+    """Multi-probe LSH re-rank must return exact cosines; every returned
+    (query, corpus) pair's cosine equals the brute-force value."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    bf = similarity.brute_force_topk(q, c, k=10_000).select(
+        "query_id", "corpus_id", F.col("cosine").alias("bf_cos")
+    )
+    lsh = similarity.hyperplane_lsh_topk(q, c, k=5, n_planes=8, dim=64)
+    joined = lsh.join(bf, ["query_id", "corpus_id"], "left")
+    bad = joined.filter(
+        F.col("bf_cos").isNull()
+        | (F.abs(F.col("cosine") - F.col("bf_cos")) > 1e-12)
+    ).count()
+    assert bad == 0
+
+
+def test_simhash_pairs_subset_of_high_jaccard(spark):
+    """SimHash(hamming<=3) candidates on this corpus must all be genuinely
+    similar (word-bigram jaccard >= 0.3) — guards against a degenerate
+    hash that pairs everything."""
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = dedup.simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=3)
+    n_pairs = pairs.count()
+    n_docs = docs.count()
+    assert n_pairs < n_docs  # far below the n^2 blowup
+    exact = dedup.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5)
+    missing = (
+        pairs.join(exact, ["id_a", "id_b"], "left_anti").count()
+    )
+    assert missing == 0, "simhash produced pairs that are not near-dups"
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_frame_sampling_shape(spark):
+    docs = multimodal.attach_blob(load_table(spark, SF_DIR, "documents"))
+    frames = multimodal.sample_frames(docs, frame_size=256)
+    stats = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("frame_len").alias("total_len"),
+        F.max("frame_len").alias("max_len"),
+    )
+    src = docs.select("doc_id", F.octet_length("text").alias("n_bytes"))
+    bad = (
+        stats.join(src, "doc_id")
+        .filter(
+            (F.col("total_len") != F.col("n_bytes"))
+            | (F.col("max_len") > 256)
+            | (F.col("n_frames") != F.ceil(F.col("n_bytes") / F.lit(256.0)))
+        )
+        .count()
+    )
+    assert bad == 0

@@ -11,7 +11,7 @@ REG = load_all()
 NAMES = sorted(
     n
     for n in REG
-    if not n.startswith(("tpch_", "fn_", "dedup_", "sim_", "text_", "mm_"))
+    if not n.startswith(("tpch_", "fn_", "ext_"))
 )
 
 
