@@ -1,0 +1,229 @@
+"""BallistaContext-compatible client surface on a SparkSession.
+
+Reference parity (SURVEY.md §2.C / §1.3):
+
+- ``BallistaContext::remote/standalone`` (``ballista/client/src/context.rs:
+  87-211``) → :func:`BallistaContext` over ``local[*]`` or a cluster master;
+- ``.sql()`` incl. client-side DDL handling — ``CREATE EXTERNAL TABLE``
+  with ``STORED AS CSV|PARQUET|AVRO|NDJSON``, ``WITH HEADER ROW``,
+  ``DELIMITER``, ``PARTITIONED BY``, ``IF NOT EXISTS``, ``LOCATION``
+  (``context.rs:392-459``) → translated onto ``spark.read`` + temp views;
+- ``register_csv/parquet/avro/json`` (``context.rs:264-315``);
+- ``SHOW TABLES`` / ``SHOW COLUMNS`` (``context.rs:317-346``) → Spark SQL
+  natively;
+- session settings k/v (``ballista.proto:536-559``) → ``spark.conf``;
+- job control — ExecuteQuery / GetJobStatus / CancelJob
+  (``ballista.proto:525-534, 585-656``) → :class:`JobHandle` over Spark
+  job groups (async submit, poll, cancel).
+
+Everything executes on Spark; this layer is the product API, not an engine.
+"""
+
+from __future__ import annotations
+
+import re
+import threading
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from arrow_ballista_spark.session import get_session
+from arrow_ballista_spark.sources import readers
+
+_EXTERNAL_TABLE_RE = re.compile(
+    r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+(?P<if_not_exists>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?"
+    r"STORED\s+AS\s+(?P<format>CSV|PARQUET|AVRO|NDJSON|JSON)\s*"
+    r"(?P<header>WITH\s+HEADER\s+ROW\s*)?"
+    r"(?:DELIMITER\s+'(?P<delim>[^']*)'\s*)?"
+    r"(?:PARTITIONED\s+BY\s+\((?P<parts>[^)]*)\)\s*)?"
+    r"LOCATION\s+'(?P<location>[^']+)'\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+@dataclass
+class JobHandle:
+    """Async query job: submit/status/cancel, mirroring the reference's
+    ExecuteQuery → GetJobStatus polling → CancelJob RPC triple."""
+
+    job_id: str
+    _spark: SparkSession
+    _thread: threading.Thread | None = None
+    _result: list | None = None
+    _error: BaseException | None = None
+    _done: threading.Event = field(default_factory=threading.Event)
+
+    def status(self) -> str:
+        if not self._done.is_set():
+            return "RUNNING"
+        return "FAILED" if self._error else "SUCCESSFUL"
+
+    def cancel(self, wait_for_start: float = 30.0) -> None:
+        """Cancel the job group.  cancelJobGroup only reaches *active* jobs,
+        so wait for the first Spark job of this group to register (mirrors
+        the reference's CancelJob, which addresses an already-queued
+        job_id)."""
+        import time
+
+        tracker = self._spark.sparkContext.statusTracker()
+        deadline = time.monotonic() + wait_for_start
+        while time.monotonic() < deadline and not self._done.is_set():
+            if tracker.getJobIdsForGroup(self.job_id):
+                break
+            time.sleep(0.05)
+        self._spark.sparkContext.cancelJobGroup(self.job_id)
+
+    def result(self, timeout: float | None = None) -> list:
+        self._done.wait(timeout)
+        if not self._done.is_set():
+            raise TimeoutError(f"job {self.job_id} still running")
+        if self._error:
+            raise self._error
+        return self._result  # type: ignore[return-value]
+
+
+class BallistaContext:
+    """Thin product-surface wrapper: SQL + DataFrame entry points, client
+    DDL, table registry, session settings, async job control."""
+
+    def __init__(
+        self,
+        master: str | None = None,
+        settings: dict[str, str] | None = None,
+        spark: SparkSession | None = None,
+    ):
+        self.spark = spark or get_session(
+            app_name="ballista-context", master=master
+        )
+        for k, v in (settings or {}).items():
+            self.set(k, v)
+
+    # -- session settings (ballista.proto:536-559 k/v) ---------------------
+
+    def set(self, key: str, value: str) -> None:
+        # reference key namespace: ballista.shuffle.partitions etc.
+        mapped = {
+            "ballista.shuffle.partitions": "spark.sql.shuffle.partitions",
+            "ballista.batch.size": "spark.sql.parquet.columnarReaderBatchSize",
+            "ballista.with_information_schema": None,  # always on in Spark
+        }.get(key, key)
+        if mapped:
+            self.spark.conf.set(mapped, value)
+
+    def get(self, key: str, default: str | None = None) -> str | None:
+        try:
+            return self.spark.conf.get(key)
+        except Exception:
+            return default
+
+    # -- reads / registry (context.rs:214-315) -----------------------------
+
+    def read_parquet(self, path: str, **opts: Any) -> DataFrame:
+        return readers.read_parquet(self.spark, path, **opts)
+
+    def read_csv(self, path: str, **opts: Any) -> DataFrame:
+        return readers.read_csv(self.spark, path, **opts)
+
+    def read_json(self, path: str, **opts: Any) -> DataFrame:
+        return readers.read_json(self.spark, path, **opts)
+
+    def read_avro(self, path: str, **opts: Any) -> DataFrame:
+        return readers.read_avro(self.spark, path, **opts)
+
+    def register_table(self, name: str, df: DataFrame) -> None:
+        df.createOrReplaceTempView(name)
+
+    def register_parquet(self, name: str, path: str, **opts: Any) -> None:
+        self.register_table(name, self.read_parquet(path, **opts))
+
+    def register_csv(self, name: str, path: str, **opts: Any) -> None:
+        self.register_table(name, self.read_csv(path, **opts))
+
+    def register_json(self, name: str, path: str, **opts: Any) -> None:
+        self.register_table(name, self.read_json(path, **opts))
+
+    def register_avro(self, name: str, path: str, **opts: Any) -> None:
+        self.register_table(name, self.read_avro(path, **opts))
+
+    def tables(self) -> list[str]:
+        return [t.name for t in self.spark.catalog.listTables()]
+
+    # -- SQL with client-side DDL (context.rs:356-462) ---------------------
+
+    def sql(self, sql: str) -> DataFrame:
+        m = _EXTERNAL_TABLE_RE.match(sql)
+        if m:
+            return self._create_external_table(m)
+        return self.spark.sql(sql)
+
+    def _create_external_table(self, m: re.Match) -> DataFrame:
+        name = m.group("name")
+        if m.group("if_not_exists") and name in self.tables():
+            return self.spark.sql("SELECT 1 AS ok WHERE false")
+        fmt = m.group("format").upper()
+        opts: dict[str, Any] = {}
+        schema = None
+        if m.group("cols"):
+            schema = _ddl_schema(m.group("cols"))
+        if fmt == "CSV":
+            opts["header"] = bool(m.group("header"))
+            if m.group("delim"):
+                opts["sep"] = m.group("delim")
+            df = readers.read_csv(
+                self.spark, m.group("location"), schema=schema, **opts
+            )
+        elif fmt == "PARQUET":
+            df = readers.read_parquet(self.spark, m.group("location"))
+        elif fmt in ("NDJSON", "JSON"):
+            df = readers.read_json(
+                self.spark, m.group("location"), schema=schema
+            )
+        else:  # AVRO
+            df = readers.read_avro(self.spark, m.group("location"))
+        self.register_table(name, df)
+        return self.spark.sql("SELECT 1 AS ok")
+
+    # -- EXPLAIN / plan surface (ExplainNode, datafusion.proto:224-228) ----
+
+    def explain(self, sql_or_df: str | DataFrame, mode: str = "formatted") -> str:
+        df = self.sql(sql_or_df) if isinstance(sql_or_df, str) else sql_or_df
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+            df._jdf.queryExecution(), mode
+        )
+
+    # -- async job control (ballista.proto:525-656) ------------------------
+
+    def submit(self, sql_or_df: str | DataFrame) -> JobHandle:
+        df = self.sql(sql_or_df) if isinstance(sql_or_df, str) else sql_or_df
+        job_id = f"job-{uuid.uuid4().hex[:12]}"
+        handle = JobHandle(job_id=job_id, _spark=self.spark)
+
+        def run() -> None:
+            try:
+                self.spark.sparkContext.setJobGroup(
+                    job_id, f"ballista {job_id}", interruptOnCancel=True
+                )
+                handle._result = df.collect()
+            except BaseException as e:  # noqa: BLE001 — surfaced via result()
+                handle._error = e
+            finally:
+                handle._done.set()
+
+        from pyspark import InheritableThread
+
+        t = InheritableThread(target=run, session=self.spark, daemon=True)
+        handle._thread = t
+        t.start()
+        return handle
+
+
+def _ddl_schema(cols: str):
+    from pyspark.sql.types import StructType
+
+    # reference DDL types are DataFusion SQL types; common spellings map 1:1
+    ddl = ", ".join(c.strip() for c in cols.split(",") if c.strip())
+    return StructType.fromDDL(ddl)

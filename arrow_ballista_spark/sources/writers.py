@@ -1,0 +1,60 @@
+"""Sinks: parquet / CSV / JSON writers, with hive-style partitioning.
+
+Reference parity (SURVEY.md §2.B.1 sinks): ``df.write_parquet`` /
+``df.write_csv`` (``ballista/client/src/context.rs:497-528``) plus the
+partitioned-external-table layout (``table_partition_cols``,
+``context.rs:400-415``) that :func:`write_partitioned` produces and
+Spark's partition discovery reads back.
+
+Scale notes: writers repartition to bound output file counts —
+uncontrolled small files are the classic 100 TB failure mode.  Sorting
+within partitions (``sortWithinPartitions``) maximizes parquet
+min/max-pruning effectiveness on the sort keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    target_files: int | None = None,
+    sort_by: list[str] | None = None,
+) -> None:
+    if target_files:
+        df = df.repartition(target_files)
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    sep: str = ",",
+    target_files: int | None = None,
+) -> None:
+    if target_files:
+        df = df.repartition(target_files)
+    df.write.mode(mode).option("header", header).option("sep", sep).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned dataset (reference table_partition_cols);
+    readable back with partition discovery + partition pruning."""
+    write_parquet(df, path, mode=mode, partition_by=partition_cols)

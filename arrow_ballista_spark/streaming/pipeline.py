@@ -1,0 +1,173 @@
+"""Structured Streaming pipelines over the events table.
+
+The reference is batch-only — no watermarks, unbounded sources, or state
+store anywhere in its tree (SURVEY.md §2.B.10, ``ExecutionMode::Bounded``,
+``shuffle_writer.rs:138``).  Streaming is therefore a deliberate
+Spark-side extension: the same event-time window aggregations the batch
+suite runs (queries/windows.py) re-expressed as incremental plans, plus a
+custom stateful operator via ``applyInPandasWithState``.
+
+Correctness strategy: every streaming pipeline here has a batch twin; the
+test suite runs the stream with ``trigger(availableNow=True)`` into a
+memory sink and asserts the result equals the batch DataFrame — the
+strongest check available without a live unbounded source.
+
+Scale notes: state is keyed and partitioned by the grouping key (user_id /
+window), so state size is O(active keys), not O(events); watermarks bound
+state retention for late data; file sources at 100 TB use
+``maxFilesPerTrigger`` to cap micro-batch size.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+from arrow_ballista_spark.catalog import load_table
+
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events parquet (schema pinned from the
+    batch read; ns timestamps converted exactly like catalog.load_table)."""
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    # the file source requires a directory path; glob-filter to the events
+    # file inside the testdata dir
+    r = spark.readStream.schema(raw_schema).option(
+        "pathGlobFilter", "events.parquet"
+    )
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = r.parquet(sf_dir)
+    # ns->us conversion mirrors catalog.load_table, but lands on TIMESTAMP
+    # (LTZ): watermarks reject TIMESTAMP_NTZ.  The session runs in UTC, so
+    # wall-clock values equal the batch table's NTZ values exactly.
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    else:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _ = batch  # schema reference only
+    return df
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window per-type aggregate (late data beyond the
+    watermark is dropped and state for closed windows is evicted)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("event_type"),
+            F.col("n_events"),
+            F.col("sum_value"),
+        )
+    )
+
+
+def sliding_avg(
+    events: DataFrame,
+    width: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "avg_value", "n")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows (gap-based) per user — stateful merge of adjacent
+    activity; state closes when the watermark passes the session gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+_STATE_SCHEMA = StructType([StructField("total", LongType())])
+_USER_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("total_events", LongType()),
+    ]
+)
+
+
+def _count_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    total = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        total += len(pdf)
+    state.update((total,))
+    yield pd.DataFrame({"user_id": [key[0]], "total_events": [total]})
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user event totals carried in explicit group state across
+    micro-batches (the reference has no stateful surface at all)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _count_fn,
+        outputStructType=_USER_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, output_mode: str = "complete", **options: Any
+) -> DataFrame:
+    """Execute a streaming plan over all currently-available input (one
+    bounded run), collect via memory sink, return the result as a batch
+    DataFrame."""
+    name = f"sink_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .options(**options)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)

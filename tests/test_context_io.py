@@ -1,0 +1,148 @@
+"""BallistaContext surface, sources/sinks, and plan introspection."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arrow_ballista_spark.catalog import load_table
+from arrow_ballista_spark.context import BallistaContext
+from arrow_ballista_spark.plans import explain
+from arrow_ballista_spark.sources import readers, writers
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    return BallistaContext(spark=spark)
+
+
+def test_register_parquet_and_sql(ctx):
+    ctx.register_parquet("nation_ctx", f"{SF_DIR}/nation.parquet")
+    assert "nation_ctx" in ctx.tables()
+    rows = ctx.sql("SELECT COUNT(*) AS n FROM nation_ctx").collect()
+    assert rows[0].n == 25
+
+
+def test_show_tables_and_columns(ctx):
+    ctx.register_parquet("region_ctx", f"{SF_DIR}/region.parquet")
+    names = {r[1] for r in ctx.sql("SHOW TABLES").collect()}
+    assert "region_ctx" in names
+    cols = {r[0] for r in ctx.sql("SHOW COLUMNS IN region_ctx").collect()}
+    assert cols == set(load_table(ctx.spark, SF_DIR, "region").columns)
+
+
+def test_create_external_table_csv_roundtrip(ctx, tmp_path):
+    src = load_table(ctx.spark, SF_DIR, "region")
+    path = str(tmp_path / "region_csv")
+    writers.write_csv(src, path, header=True, sep="|")
+    ctx.sql(
+        f"CREATE EXTERNAL TABLE region_ext "
+        f"STORED AS CSV WITH HEADER ROW DELIMITER '|' LOCATION '{path}'"
+    )
+    got = ctx.sql(
+        "SELECT r_regionkey, r_name FROM region_ext ORDER BY r_regionkey"
+    ).collect()
+    want = src.select("r_regionkey", "r_name").orderBy("r_regionkey").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # IF NOT EXISTS on an existing name is a no-op, not an error
+    ctx.sql(
+        f"CREATE EXTERNAL TABLE IF NOT EXISTS region_ext "
+        f"STORED AS CSV WITH HEADER ROW DELIMITER '|' LOCATION '{path}'"
+    )
+
+
+def test_create_external_table_with_schema(ctx, tmp_path):
+    df = ctx.spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id INT, name STRING"
+    )
+    path = str(tmp_path / "typed_csv")
+    writers.write_csv(df, path, header=False)
+    ctx.sql(
+        f"CREATE EXTERNAL TABLE typed_ext (id INT, name STRING) "
+        f"STORED AS CSV LOCATION '{path}'"
+    )
+    got = ctx.sql("SELECT * FROM typed_ext ORDER BY id").collect()
+    assert [tuple(r) for r in got] == [(1, "a"), (2, "b")]
+
+
+def test_json_roundtrip(ctx, tmp_path):
+    src = load_table(ctx.spark, SF_DIR, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    path = str(tmp_path / "nation_json")
+    writers.write_json(src, path)
+    back = readers.read_json(ctx.spark, path)
+    assert back.count() == 25
+    assert set(back.columns) == {"n_nationkey", "n_name"}
+
+
+def test_partitioned_write_and_pruning(ctx, tmp_path):
+    src = load_table(ctx.spark, SF_DIR, "nation")
+    path = str(tmp_path / "nation_part")
+    writers.write_partitioned(src, path, ["n_regionkey"])
+    back = readers.read_parquet(ctx.spark, path).filter(
+        F.col("n_regionkey") == 2
+    )
+    plan = explain.explain_str(back)
+    assert "PartitionFilters" in plan and "n_regionkey" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert back.count() == src.filter("n_regionkey = 2").count()
+
+
+def test_avro_gated(ctx, tmp_path):
+    if not readers.avro_available(ctx.spark):
+        with pytest.raises(Exception):
+            readers.read_avro(ctx.spark, str(tmp_path / "nope"))
+    else:  # pragma: no cover
+        pass
+
+
+def test_session_settings(ctx):
+    ctx.set("ballista.shuffle.partitions", "8")
+    assert ctx.get("spark.sql.shuffle.partitions") == "8"
+    ctx.set("ballista.shuffle.partitions", "32")
+
+
+def test_async_job_success(ctx):
+    ctx.register_parquet("orders_ctx", f"{SF_DIR}/orders.parquet")
+    h = ctx.submit("SELECT o_orderstatus, COUNT(*) FROM orders_ctx GROUP BY 1")
+    rows = h.result(timeout=120)
+    assert h.status() == "SUCCESSFUL"
+    assert len(rows) >= 1
+
+
+def test_async_job_cancel(ctx):
+    import time
+
+    @F.udf("long")
+    def slow(x):
+        time.sleep(60)
+        return x
+
+    heavy = ctx.spark.range(64).repartition(32).select(
+        F.sum(slow(F.col("id")))
+    )
+    h = ctx.submit(heavy)
+    h.cancel()
+    with pytest.raises(Exception):
+        h.result(timeout=120)
+    assert h.status() == "FAILED"
+
+
+def test_explain_modes(ctx):
+    df = ctx.sql("SELECT 1 AS one")
+    s = ctx.explain(df)
+    assert "Physical Plan" in s
+
+
+def test_plan_report_pushdown(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = li.filter(F.col("l_quantity") < 5).select("l_orderkey", "l_quantity")
+    rep = explain.plan_report(df)
+    assert any("l_quantity" in f for f in rep["pushed_filters"])
+    # column pruning: scan reads only the two referenced columns
+    assert rep["read_schemas"] and all(
+        "l_comment" not in s for s in rep["read_schemas"]
+    )

@@ -1,0 +1,65 @@
+"""Structured Streaming extension: every streaming pipeline must equal its
+batch twin when run over all available input (availableNow + memory sink)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from arrow_ballista_spark.catalog import load_table
+from arrow_ballista_spark.streaming import pipeline
+from tests.conftest import SF_DIR
+
+
+def _batch_events(spark):
+    return load_table(spark, SF_DIR, "events")
+
+
+def _cmp(stream_out, batch_df, keys):
+    s = (
+        stream_out.toPandas()
+        .sort_values(keys)
+        .reset_index(drop=True)
+        .astype(str)
+    )
+    b = (
+        batch_df.toPandas()
+        .sort_values(keys)
+        .reset_index(drop=True)
+        .astype(str)
+    )
+    pd.testing.assert_frame_equal(s[sorted(s.columns)], b[sorted(b.columns)])
+
+
+def test_tumbling_counts_matches_batch(spark):
+    stream = pipeline.tumbling_counts(pipeline.events_stream(spark, SF_DIR))
+    got = pipeline.run_available_now(stream, "complete")
+    want = pipeline.tumbling_counts(_batch_events(spark))
+    _cmp(got, want, ["win_start", "event_type"])
+
+
+def test_sliding_avg_matches_batch(spark):
+    stream = pipeline.sliding_avg(pipeline.events_stream(spark, SF_DIR))
+    got = pipeline.run_available_now(stream, "complete")
+    want = pipeline.sliding_avg(_batch_events(spark))
+    _cmp(got, want, ["win_start"])
+
+
+def test_session_counts_matches_batch(spark):
+    stream = pipeline.session_counts(pipeline.events_stream(spark, SF_DIR))
+    got = pipeline.run_available_now(stream, "complete")
+    want = pipeline.session_counts(_batch_events(spark))
+    _cmp(got, want, ["sess_start", "user_id"])
+
+
+def test_stateful_user_counts_matches_batch(spark):
+    stream = pipeline.stateful_user_counts(
+        pipeline.events_stream(spark, SF_DIR)
+    )
+    got = pipeline.run_available_now(stream, "update")
+    want = (
+        _batch_events(spark)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("total_events"))
+    )
+    _cmp(got, want, ["user_id"])
