@@ -61,10 +61,13 @@ def num_sortmerge_joins(df: DataFrame) -> int:
     return len(re.findall(r"SortMergeJoin", explain_str(df, "simple")))
 
 
-def codegen_stage_count(df: DataFrame) -> int:
-    """Distinct whole-stage-codegen spans; wider spans = more of the plan
-    runs as generated JVM loops."""
-    ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", explain_str(df)))
+def codegen_stage_count(df: DataFrame, execute: bool = True) -> int:
+    """Whole-stage-codegen span count.  Under AQE the codegen tree only
+    exists after execution, so this runs the plan (cheap at test SF) and
+    counts ``WholeStageCodegen (n)`` markers in the final physical plan."""
+    if execute:
+        df.collect()  # finalize THIS plan's AQE (count() would plan anew)
+    ids = set(re.findall(r"\*\((\d+)\) ", executed_plan_str(df)))
     return len(ids)
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from arrow_ballista_spark.catalog import load_table
 from arrow_ballista_spark.operators import dedup, multimodal, similarity, text
 from arrow_ballista_spark.queries import R, cround, query
+from arrow_ballista_spark.streaming import pipeline as streaming
 
 # Shared oracle fragments -------------------------------------------------
 
@@ -389,3 +390,61 @@ FROM f
 def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = multimodal.attach_blob(load_table(spark, sf_dir, "documents"))
     return multimodal.sample_frames(docs, frame_size=256)
+
+
+# --------------------------------------------------------------------------
+# Structured Streaming (Spark-side extension; reference is batch-only,
+# SURVEY.md §2.B.10).  Each runs the incremental plan over all available
+# input (availableNow -> memory sink) and must equal the batch/SQL twin.
+# --------------------------------------------------------------------------
+
+@query(
+    "ext_stream_tumbling_counts",
+    f"""
+SELECT date_trunc('hour', ts) AS win_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {R("SUM(value)", 2)} AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc=(
+        "watermarked 1h tumbling-window streaming aggregate (file source, "
+        "availableNow); oracle is the equivalent batch SQL — streaming and "
+        "batch must agree on bounded input"
+    ),
+)
+def ext_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = streaming.run_available_now(
+        streaming.tumbling_counts(streaming.events_stream(spark, sf_dir)),
+        "complete",
+    )
+    return out.select(
+        F.col("win_start").cast("timestamp_ntz").alias("win_start"),
+        "event_type",
+        "n_events",
+        cround(F.col("sum_value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "ext_stream_stateful_user_counts",
+    """
+SELECT user_id, COUNT(*) AS total_events
+FROM events
+GROUP BY user_id
+""",
+    doc=(
+        "custom stateful streaming operator (applyInPandasWithState) "
+        "carrying per-user running totals in group state; oracle is the "
+        "batch GROUP BY it must converge to on bounded input"
+    ),
+)
+def ext_stream_stateful_user_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    out = streaming.run_available_now(
+        streaming.stateful_user_counts(streaming.events_stream(spark, sf_dir)),
+        "update",
+    )
+    return out.select("user_id", F.col("total_events"))

@@ -1,0 +1,92 @@
+"""Plan-shape regression suite — the 100 TB readiness gate.
+
+Correctness says the answer is right; these tests say the *plan* is the
+one that survives a 1000-executor scale-up: filters pushed into the
+parquet scan, read schemas pruned to referenced columns, dimension sides
+broadcast, shuffle counts bounded, and the hot path inside whole-stage
+codegen.  A regression here means a future 100x data bump would fall over
+even though sf0.01 still passes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arrow_ballista_spark.catalog import load_table
+from arrow_ballista_spark.plans import explain
+from arrow_ballista_spark.queries import load_all
+from tests.conftest import SF_DIR
+
+REG = load_all()
+
+
+def _report(spark, name):
+    return explain.plan_report(REG[name].spark(spark, SF_DIR))
+
+
+def test_q1_scan_pushdown_and_pruning(spark):
+    rep = _report(spark, "tpch_q1")
+    assert any("l_shipdate" in f for f in rep["pushed_filters"])
+    # only the 7 referenced lineitem columns are read, not all 16
+    assert all("l_comment" not in s for s in rep["read_schemas"])
+    # partial+final agg -> exactly one shuffle (plus the final sort)
+    assert rep["exchanges"] <= 2
+
+
+def test_q6_single_scan_no_join(spark):
+    rep = _report(spark, "tpch_q6")
+    flt = " ".join(rep["pushed_filters"])
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in flt
+    assert rep["broadcast_joins"] == 0 and rep["sortmerge_joins"] == 0
+    assert rep["exchanges"] <= 1  # single partial/final agg
+
+
+def test_q3_broadcasts_dimensions(spark):
+    rep = _report(spark, "tpch_q3")
+    # customer (filtered dim) and one more side must broadcast — a
+    # shuffle join of orders x lineitem on this shape wastes two exchanges
+    assert rep["broadcast_joins"] >= 2
+    assert rep["exchanges"] <= 2
+
+
+def test_q9_join_tree_prunes_and_broadcasts(spark):
+    rep = _report(spark, "tpch_q9")
+    assert rep["broadcast_joins"] >= 3
+    assert all("l_comment" not in s for s in rep["read_schemas"])
+
+
+def test_filter_select_reaches_scan(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = li.filter(F.col("l_quantity") < 5).select("l_orderkey")
+    rep = explain.plan_report(df)
+    assert any("l_quantity" in f for f in rep["pushed_filters"])
+    schemas = rep["read_schemas"]
+    assert schemas and all(
+        "l_extendedprice" not in s and "l_comment" not in s for s in schemas
+    )
+
+
+def test_codegen_covers_agg_hot_path(spark):
+    df = REG["tpch_q1"].spark(spark, SF_DIR)
+    assert explain.codegen_stage_count(df) >= 1
+
+
+def test_minhash_pipeline_is_map_only_until_band_join(spark):
+    """The minhash signature stage must not shuffle: shingling + 128
+    permutations are per-row array transforms."""
+    from arrow_ballista_spark.operators import dedup
+
+    docs = load_table(spark, SF_DIR, "documents")
+    grams = docs.select(
+        F.col("doc_id"), dedup.char_shingles("text", 3).alias("grams")
+    )
+    sigs = grams.select(F.col("doc_id"), *dedup.minhash_signature("grams", 16))
+    assert explain.num_exchanges(sigs) == 0
+
+
+def test_topk_uses_take_ordered(spark):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    top-k + merge), never a global sort."""
+    df = REG["topk"].spark(spark, SF_DIR)
+    plan = explain.explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan
