@@ -448,3 +448,49 @@ def ext_stream_stateful_user_counts(
         "update",
     )
     return out.select("user_id", F.col("total_events"))
+
+
+# --------------------------------------------------------------------------
+# Python UDF surface (ref §2.B.11: ScalarUDF / AggregateUDF registries,
+# executor.rs:67-73) — Arrow-batched pandas UDFs, never row-at-a-time.
+# --------------------------------------------------------------------------
+
+@query(
+    "ext_udf_pandas_scalar",
+    """
+SELECT doc_id,
+       CAST(length(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS INT)
+         AS norm_len
+FROM documents
+""",
+    doc="vectorized scalar pandas UDF (Arrow batches): text normalization; "
+        "oracle recomputes in SQL — UDF results must be engine-equal",
+)
+def ext_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.functions.pyudfs import norm_len
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", norm_len(F.col("text")).alias("norm_len"))
+
+
+@query(
+    "ext_udaf_weighted_avg",
+    """
+SELECT l_returnflag,
+       SUM(l_quantity * l_linenumber) / SUM(l_linenumber) AS weighted_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="grouped-agg pandas UDAF (ref AggregateUDFExprNode, datafusion."
+        "proto:558-563): weighted mean; integer-valued doubles make the "
+        "result order-independent and bit-exact vs the SQL oracle",
+)
+def ext_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.functions.pyudfs import weighted_qty
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        weighted_qty(F.col("l_quantity"), F.col("l_linenumber")).alias(
+            "weighted_qty"
+        )
+    )

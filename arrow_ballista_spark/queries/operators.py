@@ -657,3 +657,62 @@ def pivot_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0, cats)
     )
+
+
+@query(
+    "join_right_semi",
+    """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_quantity > 49)
+""",
+    doc="RIGHT SEMI join (ref JoinType RIGHTSEMI, datafusion.proto:246) — "
+        "expressed as left-semi with sides swapped, the documented Spark "
+        "mapping (SURVEY 2.B.3)",
+)
+def join_right_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
+    sup = load_table(spark, sf_dir, "supplier")
+    return sup.join(
+        li, sup.s_suppkey == li.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "join_right_anti",
+    """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem WHERE l_quantity > 49)
+""",
+    doc="RIGHT ANTI join (ref JoinType RIGHTANTI, datafusion.proto:247) — "
+        "left-anti with sides swapped",
+)
+def join_right_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
+    sup = load_table(spark, sf_dir, "supplier")
+    return sup.join(
+        li, sup.s_suppkey == li.l_suppkey, "left_anti"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "sql_parameterized",
+    """
+SELECT n_name, n_nationkey
+FROM nation
+WHERE n_regionkey = 2 AND n_nationkey >= 5
+ORDER BY n_nationkey
+""",
+    doc="parameterized SQL with named placeholders (ref PlaceholderNode/"
+        "PrepareNode, datafusion.proto:186-191, 361-365 -> "
+        "spark.sql(sql, args=...))",
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("nation",))
+    return spark.sql(
+        "SELECT n_name, n_nationkey FROM nation "
+        "WHERE n_regionkey = :rk AND n_nationkey >= :min_key "
+        "ORDER BY n_nationkey",
+        args={"rk": 2, "min_key": 5},
+    )

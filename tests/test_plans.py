@@ -90,3 +90,17 @@ def test_topk_uses_take_ordered(spark):
     df = REG["topk"].spark(spark, SF_DIR)
     plan = explain.explain_str(df, "simple")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_operator_metrics_collected(spark):
+    """Reference parity: per-operator metrics (output_rows etc.,
+    ballista.proto:245-278) are retrievable from the executed plan."""
+    from arrow_ballista_spark.plans import metrics
+
+    df = REG["tpch_q6"].spark(spark, SF_DIR)
+    rows = metrics.collect_metrics(df)
+    assert any(
+        r["metric"] == "numOutputRows" and r["value"] > 0 for r in rows
+    )
+    summary = metrics.metrics_summary(df, execute=False)
+    assert summary["output_rows"]
