@@ -27,6 +27,15 @@ EXTENSION_TABLES = ("events", "documents", "embeddings")
 ALL_TABLES = TPCH_TABLES + EXTENSION_TABLES
 
 
+# Per-session caches: DataFrame construction costs real driver time
+# (file listing, footer schema reads, Py4J round-trips — ~80ms/table), and
+# the bench/driver loads the same tables for every query.  Keyed by
+# id(session) — sessions live for the process lifetime.
+_CONFIGURED: set[int] = set()
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_REGISTERED: dict[int, tuple[str, tuple]] = {}
+
+
 def _configure_reader(spark: SparkSession) -> None:
     """Runtime SQL confs the engine depends on, set here (not only in the
     session factory) because the driver may hand us its own SparkSession.
@@ -38,9 +47,12 @@ def _configure_reader(spark: SparkSession) -> None:
       naive, matching both the parquet's isAdjustedToUTC=false columns and
       the DuckDB oracle's naive TIMESTAMP semantics (SURVEY.md §7 risk 5).
     """
+    if id(spark) in _CONFIGURED:
+        return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _CONFIGURED.add(id(spark))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -52,6 +64,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     as int64 nanos and converted to TIMESTAMP_NTZ, truncating ns→µs exactly
     like DuckDB does (floor division — dates here are all post-epoch).
     """
+    key = (id(spark), sf_dir, name)
+    if key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     _configure_reader(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
@@ -64,6 +79,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             F.expr(f"CAST(timestamp_micros(CAST({c} DIV 1000 AS BIGINT)) "
                    f"AS TIMESTAMP_NTZ)"),
         )
+    _TABLE_CACHE[key] = df
     return df
 
 
@@ -72,7 +88,13 @@ def register_tables(
 ) -> dict[str, DataFrame]:
     """Register every driver table as a temp view so both the DataFrame and
     ``spark.sql`` entry points see the same catalog (reference
-    ``register_parquet``, ``context.rs:295-305``)."""
+    ``register_parquet``, ``context.rs:295-305``).
+
+    Idempotent per (session, sf_dir, tables): view creation costs a Py4J
+    round-trip per table, and every TPC-H query calls this."""
+    tables = tuple(tables)
+    if _REGISTERED.get(id(spark)) == (sf_dir, tables):
+        return {}
     out: dict[str, DataFrame] = {}
     for t in tables:
         if not os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
@@ -80,4 +102,5 @@ def register_tables(
         df = load_table(spark, sf_dir, t)
         df.createOrReplaceTempView(t)
         out[t] = df
+    _REGISTERED[id(spark)] = (sf_dir, tables)
     return out
