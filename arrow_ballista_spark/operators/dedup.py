@@ -49,6 +49,21 @@ def char_shingles(text_col: str, k: int = 3) -> Column:
     )
 
 
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-grams (the standard MinHash document-dedup shingle:
+    char grams saturate on small vocabularies and stop discriminating —
+    word shingles keep Jaccard bimodal, so LSH banding actually prunes).
+    Documents with < n tokens contribute their token set."""
+    toks = f"split({text_col}, ' +')"
+    return F.array_distinct(
+        F.expr(
+            f"CASE WHEN size({toks}) < {n} THEN {toks} ELSE "
+            f"transform(sequence(1, size({toks}) - {n - 1}),"
+            f" i -> concat_ws(' ', slice({toks}, i, {n}))) END"
+        )
+    )
+
+
 def _perm_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [
@@ -141,20 +156,26 @@ def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    threshold: float = 0.6,
+    threshold: float = 0.5,
     num_perm: int = 128,
-    rows_per_band: int = 2,
-    k: int = 3,
+    rows_per_band: int = 4,
+    n: int = 3,
+    shingle: str = "word",
 ) -> DataFrame:
     """Full pipeline: shingle → minhash → LSH bands → exact-Jaccard verify.
 
     Returns (id_a, id_b, jaccard) for pairs with Jaccard >= threshold.
     Output equals brute-force exact Jaccard up to LSH recall (~1 at the
     default parameters; see lsh_candidate_pairs).
+
+    Defaults are the production document-dedup shape: word 3-gram shingles
+    (char grams saturate on narrow vocabularies and collapse LSH pruning)
+    and r=4/b=32 banding — at s=0.9 the miss probability is (1-0.9^4)^32
+    ~ 1e-15, while near-orthogonal pairs collide at ~1e-4 per band, so the
+    candidate join stays ~linear in corpus size.
     """
-    grams = df.select(
-        F.col(id_col), char_shingles(text_col, k).alias("grams")
-    )
+    mk = word_shingles if shingle == "word" else char_shingles
+    grams = df.select(F.col(id_col), mk(text_col, n).alias("grams"))
     sigs = grams.select(
         F.col(id_col), *minhash_signature("grams", num_perm)
     )
@@ -188,14 +209,24 @@ def simhash64(text_col: str) -> Column:
 def simhash_near_dup_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64 bits into 4×16-bit chunks (any
-    pair within Hamming distance 3 shares at least one exact chunk), join
-    per chunk, verify with bit_count(xor)."""
+    """SimHash near-dup pairs: band the 64 bits into (max_hamming+1)
+    chunks — by pigeonhole, any pair within the Hamming budget shares at
+    least one exact chunk — join per chunk, verify with bit_count(xor).
+
+    Chunk count trades recall budget against bucket selectivity: more
+    chunks admit larger Hamming distances but make each bucket coarser
+    (64/n bits).  Short documents need a larger budget (~7) than the
+    classic long-document setting (3); size it to the corpus.
+    """
+    n_chunks = max_hamming + 1
+    widths = [64 // n_chunks] * n_chunks
+    widths[-1] += 64 - sum(widths)  # remainder bits land in the last chunk
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     h = df.select(F.col(id_col), simhash64(text_col).alias("sh"))
     chunks = F.array(
         *[
-            (F.shiftright(F.col("sh"), 16 * i).bitwiseAND(F.lit(0xFFFF)))
-            for i in range(4)
+            F.shiftright(F.col("sh"), off).bitwiseAND(F.lit((1 << w) - 1))
+            for off, w in zip(offsets, widths)
         ]
     )
     e = h.select(

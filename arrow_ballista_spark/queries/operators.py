@@ -716,3 +716,98 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY n_nationkey",
         args={"rk": 2, "min_key": 5},
     )
+
+
+@query(
+    "setop_intersect_all",
+    """
+SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 5000
+INTERSECT ALL
+SELECT s_nationkey AS nk FROM supplier
+""",
+    doc="INTERSECT ALL (bag semantics; ref rewrites set ops onto semi joins, "
+        "SURVEY 2.B.7)",
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_nationkey").alias("nk"))
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
+    )
+    return cust.intersectAll(sup)
+
+
+@query(
+    "setop_except_all",
+    """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+    doc="EXCEPT ALL (bag difference; ref LEFTANTI rewrite, SURVEY 2.B.7)",
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o_open = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    o_done = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return o_open.exceptAll(o_done)
+
+
+@query(
+    "view_scan",
+    """
+WITH revenue_by_nation AS (
+    SELECT c_nationkey AS nk, SUM(o_totalprice) AS rev
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+)
+SELECT n_name, (floor(abs(rev) * 100 + 0.5) / 100e0 *
+                (CASE WHEN rev < 0 THEN -1 ELSE 1 END)) AS rev
+FROM revenue_by_nation JOIN nation ON nk = n_nationkey
+ORDER BY n_name
+""",
+    doc="view scan (ref ViewTableScanNode, datafusion.proto:117-125; "
+        "TPC-H q15 create-view pattern) — temp view defined then queried",
+)
+def view_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW revenue_by_nation AS
+        SELECT c_nationkey AS nk, SUM(o_totalprice) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+        """
+    )
+    return spark.sql(
+        """
+        SELECT n_name, (floor(abs(rev) * 100 + 0.5) / 100e0 *
+                        (CASE WHEN rev < 0 THEN -1 ELSE 1 END)) AS rev
+        FROM revenue_by_nation JOIN nation ON nk = n_nationkey
+        ORDER BY n_name
+        """
+    )
+
+
+@query(
+    "source_python_datasource",
+    """
+SELECT i AS id, i * 0.5 AS val, CAST(i % 7 AS INT) AS bucket
+FROM (SELECT unnest(generate_series(0, 999)) AS i)
+""",
+    doc="custom table provider (ref CustomTableScanNode, datafusion.proto:"
+        "126-133) — pure-Python DataSource V2 with source-side partitioning",
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.sources import python_datasource
+
+    python_datasource.register(spark)
+    return (
+        spark.read.format("synthetic_range")
+        .option("rows", 1000)
+        .option("partitions", 8)
+        .load()
+    )
