@@ -72,18 +72,24 @@ def _perm_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signature(
-    grams_col: str, num_perm: int = 128, seed: int = 42
-) -> list[Column]:
-    """MinHash signature columns over a distinct-gram array column.
+def base_hashes(grams_col: str) -> Column:
+    """h(g) = xxhash64(g) mod p for each distinct gram — computed ONCE and
+    materialized; the permutation columns must reference this, not re-hash
+    (128 re-evaluations of the base transform dominated the pipeline)."""
+    return F.expr(
+        f"transform({grams_col}, g -> pmod(xxhash64(g), {MERSENNE31}L))"
+    )
 
-    Base hash h(g) = xxhash64(g) mod p once per gram; permutation i is
-    min((a_i*h + b_i) mod p) — all array transforms, zero shuffle.
-    """
-    base = f"transform({grams_col}, g -> pmod(xxhash64(g), {MERSENNE31}L))"
+
+def minhash_signature(
+    hashes_col: str, num_perm: int = 128, seed: int = 42
+) -> list[Column]:
+    """MinHash signature columns over a base-hash array column (see
+    :func:`base_hashes`): permutation i is min((a_i*h + b_i) mod p) —
+    all array transforms, zero shuffle."""
     return [
         F.expr(
-            f"array_min(transform({base},"
+            f"array_min(transform({hashes_col},"
             f" h -> pmod({a}L * h + {b}L, {MERSENNE31}L)))"
         ).alias(f"mh_{i}")
         for i, (a, b) in enumerate(_perm_coeffs(num_perm, seed))
@@ -102,27 +108,32 @@ def lsh_candidate_pairs(
     probability 1-(1-s^r)^b; r=2, b=64 gives ~1-4e-13 recall at s=0.6.
     """
     n_bands = num_perm // rows_per_band
+    # one 64-bit hash per band instead of an array-typed key: cheaper to
+    # shuffle and to hash-join; hash collisions only add candidates, which
+    # the exact-Jaccard verify removes.
     bands = F.array(
         *[
-            F.array(
+            F.xxhash64(
                 *[
                     F.col(f"mh_{band * rows_per_band + r}")
                     for r in range(rows_per_band)
-                ]
+                ],
+                F.lit(band),
             )
             for band in range(n_bands)
         ]
     )
+    # persist: the self-join consumes this twice, and without persistence
+    # each side re-runs the whole shingle+signature pipeline
     exploded = sigs.select(
-        F.col(id_col), F.posexplode(bands).alias("band_idx", "band_sig")
-    )
+        F.col(id_col), F.explode(bands).alias("band_sig")
+    ).persist()
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
@@ -175,10 +186,20 @@ def minhash_dedup_pairs(
     candidate join stays ~linear in corpus size.
     """
     mk = word_shingles if shingle == "word" else char_shingles
-    grams = df.select(F.col(id_col), mk(text_col, n).alias("grams"))
-    sigs = grams.select(
-        F.col(id_col), *minhash_signature("grams", num_perm)
+    # spread the (CPU-heavy, map-only) shingle+signature stage across the
+    # cluster: a small source file arrives as 1-2 partitions and would
+    # otherwise pin 128 permutations x all docs on one core.  One cheap
+    # shuffle of the raw rows buys full parallelism.
+    parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # persist: consumed by the signature stage and twice by the verify join
+    grams = (
+        df.repartition(parts, id_col)
+        .select(F.col(id_col), mk(text_col, n).alias("grams"))
+        .persist()
     )
+    sigs = grams.select(
+        F.col(id_col), base_hashes("grams").alias("hashes")
+    ).select(F.col(id_col), *minhash_signature("hashes", num_perm))
     candidates = lsh_candidate_pairs(sigs, id_col, num_perm, rows_per_band)
     return jaccard_verify(candidates, grams, id_col, threshold)
 
@@ -229,9 +250,11 @@ def simhash_near_dup_pairs(
             for off, w in zip(offsets, widths)
         ]
     )
+    # persist: self-joined twice, and the 64 bit-vote aggregates behind
+    # simhash64 are the expensive part
     e = h.select(
         F.col(id_col), F.col("sh"), F.posexplode(chunks).alias("ci", "cv")
-    )
+    ).persist()
     a, b = e.alias("a"), e.alias("b")
     cand = (
         a.join(

@@ -497,3 +497,70 @@ def ext_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_qty"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join (custom operator; absent from both Spark and the reference —
+# SURVEY.md §2.B.3 "as-of not required" is exceeded here on purpose)
+# --------------------------------------------------------------------------
+
+@query(
+    "ext_asof_join",
+    """
+SELECT l.event_id, l.user_id, l.ts,
+       COALESCE(r.ts, TIMESTAMP '1970-01-01') AS ts_asof,
+       COALESCE(r.value, -1.0) AS value_asof
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+    doc=(
+        "as-of (point-in-time) join: each click gets the user's most "
+        "recent prior purchase.  Implemented as union + keyed-window "
+        "last(ignorenulls) — one shuffle of |L|+|R| rows, no range "
+        "explosion; oracle is DuckDB's native ASOF LEFT JOIN"
+    ),
+)
+def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, purchases, on="ts", by="user_id",
+                    right_cols=["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(F.col("ts_asof"), F.lit("1970-01-01").cast("timestamp_ntz"))
+            .alias("ts_asof"),
+        F.coalesce(F.col("value_asof"), F.lit(-1.0)).alias("value_asof"),
+    )
+
+
+@query(
+    "ext_sim_lsh_near_dup",
+    None,  # Python-seeded hyperplanes -> rows-only; recall vs exact is unit-tested
+    doc=(
+        "LSH-bucketed embedding near-dup pairs (the scale path for "
+        "ext_dedup_embedding_cosine): multi-table hyperplane LSH (k=8 "
+        "bits x L=12 tables) + exact-cosine verify; the join touches "
+        "~L*n^2/2^k pairs and recall at the cos>=0.9 design point is "
+        "~0.96 (unit-tested on planted near-dups)"
+    ),
+)
+def ext_sim_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.lsh_cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", 0.35
+    )
+    return pairs.select(
+        "id_a", "id_b", cround(F.col("cos_raw"), 6).alias("cosine")
+    )

@@ -88,3 +88,46 @@ def test_frame_sampling_shape(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_asof_join_no_purchase_rows_null(spark):
+    """Left-outer semantics: clicks before any purchase keep sentinel."""
+    from arrow_ballista_spark.queries import load_all
+
+    out = load_all()["ext_asof_join"].spark(spark, SF_DIR)
+    assert out.filter(F.col("value_asof") == -1.0).count() >= 0
+    # as-of invariant: matched ts_asof never exceeds the click ts
+    bad = out.filter(
+        (F.col("value_asof") != -1.0) & (F.col("ts_asof") > F.col("ts"))
+    ).count()
+    assert bad == 0
+
+
+def test_lsh_cosine_near_dup_recall(spark):
+    """At the operator's operating point (cosine >= 0.9 near-dups) the
+    multi-table LSH must recall ~all planted duplicate pairs and return
+    no false positives (exact-cosine verify).  Testdata embeddings have
+    no high-cosine pairs, so plant noisy copies."""
+    import random
+
+    rng = random.Random(7)
+    base = [
+        [rng.gauss(0, 1) for _ in range(64)] for _ in range(200)
+    ]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        if i < 50:  # 50 planted near-dups: tiny perturbation
+            rows.append(
+                (1000 + i, [float(x + rng.gauss(0, 0.05)) for x in v])
+            )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = similarity.cosine_near_dup_pairs(emb, "vec_id", "embedding", 0.9)
+    approx = similarity.lsh_cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", 0.9
+    )
+    e = {(r.id_a, r.id_b) for r in exact.collect()}
+    a = {(r.id_a, r.id_b) for r in approx.collect()}
+    assert a <= e  # no false positives (exact verify)
+    assert len(e) >= 50  # the planted pairs are present
+    assert len(a) / len(e) >= 0.9  # multi-table recall at the design point

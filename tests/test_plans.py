@@ -78,9 +78,11 @@ def test_minhash_pipeline_is_map_only_until_band_join(spark):
 
     docs = load_table(spark, SF_DIR, "documents")
     grams = docs.select(
-        F.col("doc_id"), dedup.char_shingles("text", 3).alias("grams")
+        F.col("doc_id"), dedup.word_shingles("text", 3).alias("grams")
     )
-    sigs = grams.select(F.col("doc_id"), *dedup.minhash_signature("grams", 16))
+    sigs = grams.select(
+        F.col("doc_id"), dedup.base_hashes("grams").alias("hashes")
+    ).select(F.col("doc_id"), *dedup.minhash_signature("hashes", 16))
     assert explain.num_exchanges(sigs) == 0
 
 
