@@ -102,6 +102,12 @@ class BallistaContext:
         for k, v in (settings or {}).items():
             self.set(k, v)
 
+    def new_session(self) -> "BallistaContext":
+        """Isolated logical session: own temp-view namespace and conf,
+        shared executors (reference session RPCs, ballista.proto:536-559;
+        SURVEY.md §7 risk 7)."""
+        return BallistaContext(spark=self.spark.newSession())
+
     # -- session settings (ballista.proto:536-559 k/v) ---------------------
 
     def set(self, key: str, value: str) -> None:

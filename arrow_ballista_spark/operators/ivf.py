@@ -1,0 +1,127 @@
+"""IVF (inverted-file) approximate nearest neighbor over embedding columns.
+
+The second ANN layout next to hyperplane LSH (similarity.py): a coarse
+quantizer partitions the corpus into cells; queries probe only the
+``nprobe`` nearest cells and exact-rerank inside them.
+
+Spark-first design:
+- centroids are a tiny driver-side list (n_cells × dim floats) chosen
+  deterministically from the corpus (min-xxhash sample — a seeded k-means
+  refinement can swap in without changing the dataflow);
+- cell assignment is a map-only broadcast argmax (no shuffle);
+- at scale the indexed corpus is written ``partitionBy("cell")`` so a
+  query's probes prune to ~nprobe/n_cells of the data at the file level
+  (partition pruning, no compute on unprobed cells);
+- the probe join is queries×nprobe exploded rows joined on ``cell`` —
+  corpus-sized shuffle avoided by broadcasting the (small) query side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from arrow_ballista_spark.operators.similarity import cosine, dot
+
+
+def _centroid_literal(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def choose_centroids(
+    corpus: DataFrame, id_col: str, vec: str, n_cells: int
+) -> list[list[float]]:
+    """Deterministic coarse centroids: the n_cells corpus vectors with the
+    smallest xxhash64(id) — a seedable uniform sample (collect is n_cells
+    rows, never the corpus)."""
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec))
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    )
+    return [[float(x) for x in r[1]] for r in rows]
+
+
+def assign_cells(
+    corpus: DataFrame, vec: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Map-only nearest-centroid assignment (broadcast argmax over the
+    centroid literals)."""
+    sims = F.array(
+        *[cosine(F.col(vec), _centroid_literal(c)) for c in centroids]
+    )
+    best = F.expr(
+        f"array_position(cells_sims, array_max(cells_sims)) - 1"
+    )
+    return (
+        corpus.withColumn("cells_sims", sims)
+        .withColumn("cell", best.cast("int"))
+        .drop("cells_sims")
+    )
+
+
+def probe_cells(
+    queries: DataFrame, vec: str, centroids: list[list[float]], nprobe: int
+) -> DataFrame:
+    """Attach the nprobe nearest cell ids to each query row (exploded)."""
+    sims = F.array(
+        *[
+            F.struct(
+                cosine(F.col(vec), _centroid_literal(c)).alias("s"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(sims)), 1, nprobe)
+    return queries.withColumn(
+        "cell", F.explode(F.transform(top, lambda x: x["cell"]))
+    ).withColumn("cell", F.col("cell").cast("int"))
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """End-to-end IVF top-k: build centroids from the corpus, assign
+    cells, probe, exact-cosine rerank within probed cells."""
+    centroids = choose_centroids(corpus, corpus_id, vec, n_cells)
+    indexed = assign_cells(
+        corpus.select(F.col(corpus_id), F.col(vec).alias("cv")), "cv",
+        centroids,
+    ).persist()
+    probed = probe_cells(
+        queries.select(F.col(query_id), F.col(vec).alias("qv")), "qv",
+        centroids, nprobe,
+    )
+    scored = (
+        F.broadcast(probed)
+        .join(indexed, "cell")
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .select(
+            query_id,
+            corpus_id,
+            cosine(F.col("qv"), F.col("cv")).alias("cos_raw"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_raw").desc(), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            query_id,
+            corpus_id,
+            F.col("cos_raw").alias("cosine"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -564,3 +564,28 @@ def ext_sim_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", cround(F.col("cos_raw"), 6).alias("cosine")
     )
+
+
+@query(
+    "ext_sim_topk_ivf",
+    None,  # centroid sample is corpus/hash-derived -> rows-only; recall unit-tested
+    doc=(
+        "IVF approximate top-5: deterministic coarse centroids (min-xxhash "
+        "corpus sample), map-only cell assignment, nprobe=4/16 cells, "
+        "exact-cosine rerank.  At scale the corpus is written partitioned "
+        "by cell so probes prune at the file level"
+    ),
+)
+def ext_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.operators import ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    out = ivf.ivf_topk(queries_df, corpus, k=5, n_cells=16, nprobe=4)
+    return out.select(
+        "query_id", "corpus_id", cround(F.col("cosine"), 6).alias("cosine"),
+        "rnk",
+    )

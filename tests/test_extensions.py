@@ -131,3 +131,30 @@ def test_lsh_cosine_near_dup_recall(spark):
     assert a <= e  # no false positives (exact verify)
     assert len(e) >= 50  # the planted pairs are present
     assert len(a) / len(e) >= 0.9  # multi-table recall at the design point
+
+
+def test_ivf_topk_recall_on_planted_near_dups(spark):
+    """IVF with nprobe probing must put a planted near-duplicate of each
+    query at rank 1 (the perturbed copy lands in the same/nearby cell)."""
+    import random
+
+    from arrow_ballista_spark.operators import ivf
+
+    rng = random.Random(11)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(100)]
+    corpus_rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    corpus_rows += [
+        (1000 + i, [float(x + rng.gauss(0, 0.03)) for x in base[i]])
+        for i in range(20)
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "corpus_id long, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(i, v) for i, v in corpus_rows[:20]],
+        "query_id long, embedding array<float>",
+    )
+    out = ivf.ivf_topk(queries, corpus, k=1, n_cells=8, nprobe=3)
+    got = {r.query_id: r.corpus_id for r in out.collect()}
+    hits = sum(1 for q, c in got.items() if c == 1000 + q)
+    assert hits >= 18  # >=90% of planted near-dups found at rank 1

@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis): operator semantics vs pure-Python
+reference implementations on randomized small inputs — the coverage the
+example-based oracle suite can't reach (reference has none of this,
+SURVEY.md §5 item 4; we exceed it deliberately)."""
+
+from __future__ import annotations
+
+from bisect import bisect_right
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from arrow_ballista_spark.operators.asof import asof_join
+from arrow_ballista_spark.operators.dedup import exact_dedup
+
+_SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_ts = st.integers(min_value=0, max_value=1000)
+_key = st.integers(min_value=0, max_value=3)
+
+
+@given(
+    left=st.lists(st.tuples(_key, _ts), min_size=1, max_size=25),
+    right=st.lists(st.tuples(_key, _ts, st.integers(-100, 100)), max_size=25),
+)
+@_SLOW
+def test_asof_join_matches_reference(spark, left, right):
+    """asof_join == 'latest right with r.ts <= l.ts per key' reference."""
+    # unique right (key, ts) so the reference value is well-defined
+    right = list({(k, t): (k, t, v) for k, t, v in right}.values())
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)],
+        "lid long, k long, ts long",
+    )
+    rdf = spark.createDataFrame(right or [(99, -1, 0)], "k long, ts long, v long")
+    if not right:
+        rdf = rdf.filter("k < -1000")  # empty right side
+    out = {
+        r.lid: (r.ts_asof, r.v_asof)
+        for r in asof_join(ldf, rdf, on="ts", by="k", right_cols=["v"]).collect()
+    }
+    by_key: dict = {}
+    for k, t, v in right:
+        by_key.setdefault(k, []).append((t, v))
+    for rows in by_key.values():
+        rows.sort()
+    for i, (k, t) in enumerate(left):
+        rows = by_key.get(k, [])
+        pos = bisect_right([r[0] for r in rows], t)
+        want = rows[pos - 1] if pos else (None, None)
+        assert out[i] == want, f"left row {i} (k={k}, ts={t})"
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_SLOW
+def test_exact_dedup_matches_reference(spark, rows):
+    df = spark.createDataFrame(
+        [(i, k) for i, (k, _) in enumerate(rows)], "rid long, k long"
+    )
+    got = {
+        r.k: (r.keep_id, r.n_copies)
+        for r in exact_dedup(df, ["k"], "rid").collect()
+    }
+    want: dict = {}
+    for i, (k, _) in enumerate(rows):
+        keep, n = want.get(k, (i, 0))
+        want[k] = (min(keep, i), n + 1)
+    assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c"), min_size=0, max_size=30
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@_SLOW
+def test_word_shingles_match_reference(spark, texts):
+    from arrow_ballista_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r.i: list(r.g)
+        for r in df.select("i", word_shingles("text", 3).alias("g")).collect()
+    }
+    import re
+
+    for i, t in enumerate(texts):
+        toks = re.split(" +", t)  # Spark split keeps leading/trailing empties
+        if len(toks) < 3:
+            want = list(dict.fromkeys(toks))
+        else:
+            want = list(
+                dict.fromkeys(
+                    " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+                )
+            )
+        assert got[i] == want, f"text={t!r}"
+
+
+def test_new_session_isolates_views(spark):
+    from arrow_ballista_spark.context import BallistaContext
+
+    ctx1 = BallistaContext(spark=spark)
+    ctx2 = ctx1.new_session()
+    ctx2.register_table(
+        "iso_view", ctx2.spark.createDataFrame([(1,)], "x long")
+    )
+    assert "iso_view" in ctx2.tables()
+    assert "iso_view" not in ctx1.tables()
