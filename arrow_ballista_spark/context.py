@@ -86,6 +86,41 @@ class JobHandle:
         return self._result  # type: ignore[return-value]
 
 
+class BallistaDataFrame:
+    """Reference-client DataFrame surface (``python/src/context.rs:43-120``,
+    ``python/pyballista/tests/test_context.py``): ``select_columns``,
+    ``limit``, Arrow-batch collection, direct parquet/CSV writers — as a
+    transparent wrapper over the Spark DataFrame (every Spark method still
+    works; ``.df`` is the raw handle)."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def __getattr__(self, name: str):
+        return getattr(self.df, name)
+
+    def select_columns(self, *cols: str) -> "BallistaDataFrame":
+        return BallistaDataFrame(self.df.select(*cols))
+
+    def limit(self, n: int) -> "BallistaDataFrame":
+        return BallistaDataFrame(self.df.limit(n))
+
+    def to_arrow_batches(self) -> list:
+        """collect() in the reference python client returns pyarrow
+        RecordBatches; Spark 4 exposes the same via toArrow()."""
+        return self.df.toArrow().to_batches()
+
+    def write_parquet(self, path: str, **kw) -> None:
+        from arrow_ballista_spark.sources import writers
+
+        writers.write_parquet(self.df, path, **kw)
+
+    def write_csv(self, path: str, **kw) -> None:
+        from arrow_ballista_spark.sources import writers
+
+        writers.write_csv(self.df, path, **kw)
+
+
 class BallistaContext:
     """Thin product-surface wrapper: SQL + DataFrame entry points, client
     DDL, table registry, session settings, async job control."""
@@ -99,6 +134,13 @@ class BallistaContext:
         self.spark = spark or get_session(
             app_name="ballista-context", master=master
         )
+        # DataFusion-name SQL functions (strpos, date_bin, arrow_typeof, …)
+        # are part of the product SQL dialect (SURVEY.md §2.B.9)
+        from arrow_ballista_spark.functions.compat import (
+            register_compat_functions,
+        )
+
+        register_compat_functions(self.spark)
         for k, v in (settings or {}).items():
             self.set(k, v)
 

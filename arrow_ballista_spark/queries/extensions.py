@@ -589,3 +589,26 @@ def ext_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "corpus_id", cround(F.col("cosine"), 6).alias("cosine"),
         "rnk",
     )
+
+
+@query(
+    "ext_stream_dedup",
+    """
+SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+FROM events
+GROUP BY event_type
+""",
+    doc=(
+        "streaming deduplication: dropDuplicatesWithinWatermark on "
+        "event_id (state bounded by the watermark horizon) then per-type "
+        "counts; oracle is the batch COUNT(DISTINCT) it must equal on "
+        "bounded input"
+    ),
+)
+def ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = streaming.events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    deduped = ev.dropDuplicatesWithinWatermark(["event_id"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique")
+    )
+    return streaming.run_available_now(agg, "complete")

@@ -146,3 +146,18 @@ def test_plan_report_pushdown(spark):
     assert rep["read_schemas"] and all(
         "l_comment" not in s for s in rep["read_schemas"]
     )
+
+
+def test_ballista_dataframe_wrapper(ctx, tmp_path):
+    from arrow_ballista_spark.context import BallistaDataFrame
+
+    ctx.register_parquet("nation_bdf", f"{SF_DIR}/nation.parquet")
+    bdf = BallistaDataFrame(ctx.sql("SELECT * FROM nation_bdf"))
+    two = bdf.select_columns("n_nationkey", "n_name").limit(5)
+    assert two.count() == 5  # Spark methods delegate
+    batches = two.to_arrow_batches()
+    assert sum(b.num_rows for b in batches) == 5
+    assert batches[0].schema.names == ["n_nationkey", "n_name"]
+    out = str(tmp_path / "nation_out")
+    two.write_parquet(out)
+    assert ctx.read_parquet(out).count() == 5
