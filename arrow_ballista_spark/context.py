@@ -245,10 +245,19 @@ class BallistaContext:
 
     # -- async job control (ballista.proto:525-656) ------------------------
 
+    def jobs(self) -> list[dict]:
+        """Submitted-job registry (reference REST ``/api/jobs``)."""
+        return [
+            {"job_id": h.job_id, "status": h.status()}
+            for h in getattr(self, "_jobs", [])
+        ]
+
     def submit(self, sql_or_df: str | DataFrame) -> JobHandle:
         df = self.sql(sql_or_df) if isinstance(sql_or_df, str) else sql_or_df
         job_id = f"job-{uuid.uuid4().hex[:12]}"
         handle = JobHandle(job_id=job_id, _spark=self.spark)
+        self._jobs = getattr(self, "_jobs", [])
+        self._jobs.append(handle)
 
         def run() -> None:
             try:

@@ -161,3 +161,13 @@ def test_ballista_dataframe_wrapper(ctx, tmp_path):
     out = str(tmp_path / "nation_out")
     two.write_parquet(out)
     assert ctx.read_parquet(out).count() == 5
+
+
+def test_jobs_registry(ctx):
+    before = len(ctx.jobs())
+    h = ctx.submit("SELECT 1 AS one")
+    h.result(timeout=60)
+    js = ctx.jobs()
+    assert len(js) == before + 1
+    assert js[-1]["job_id"] == h.job_id
+    assert js[-1]["status"] == "SUCCESSFUL"

@@ -106,3 +106,14 @@ def test_operator_metrics_collected(spark):
     )
     summary = metrics.metrics_summary(df, execute=False)
     assert summary["output_rows"]
+
+
+def test_plan_dot_export(spark):
+    """DOT export (ref execution_graph_dot.rs / /api/job/{id}/dot)."""
+    from arrow_ballista_spark.plans.dot import plan_dot
+
+    df = REG["tpch_q6"].spark(spark, SF_DIR)
+    dot = plan_dot(df, execute=True)
+    assert dot.startswith("digraph")
+    assert "FileScan" in dot or "Scan parquet" in dot
+    assert "->" in dot
