@@ -1,0 +1,43 @@
+"""Skew-mitigation join: explicit key salting.
+
+AQE's skew-join splitting (on in the session defaults) handles most skew
+at runtime; explicit salting is the static fallback for the pathological
+case AQE can't fix — a single join key so hot that one reduce partition
+exceeds executor memory.  Semantics are identical to the plain join:
+
+- left rows get a deterministic pseudo-random salt in [0, s);
+- the (small or skew-free) right side is replicated s ways;
+- the join key becomes (key, salt), spreading the hot key over s reduce
+  partitions.
+
+Cost model: right side shuffles s× its size — use only when the hot-key
+partition is the binding constraint (s=8-32 at 100 TB typical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join on ``on`` with the hot-key shuffle spread over
+    ``salt_buckets`` partitions.  Result equals ``left.join(right, on,
+    how)`` row-for-row (salt columns are internal)."""
+    l_salted = left.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)
+        ).cast("int"),
+    )
+    r_salted = right.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    return l_salted.join(r_salted, [on, "_salt"], how).drop("_salt")

@@ -612,3 +612,87 @@ def ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_unique")
     )
     return streaming.run_available_now(agg, "complete")
+
+
+@query(
+    "ext_skew_salted_join",
+    """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_orderstatus
+""",
+    doc=(
+        "salting for skewed join keys (static fallback when AQE skew-join "
+        "can't split a single hot key): left salted into 8 buckets, right "
+        "replicated 8x, join on (key, salt).  Result provably equals the "
+        "plain join — the oracle IS the plain join"
+    ),
+)
+def ext_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    joined = salted_join(orders, cust, on="o_custkey", salt_buckets=8)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_custkey").alias("sum_cust"),
+    )
+
+
+@query(
+    "ext_pipeline_clean_corpus",
+    """
+WITH scored AS (
+    SELECT doc_id, lang, text,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(lower(text), ' +'))), ' ')) AS fp,
+           (CASE WHEN len(string_split_regex(text, ' +'))
+                      BETWEEN 10 AND 100000
+                 THEN CAST(0.4 AS DOUBLE) ELSE 0.0 END
+            + CASE WHEN len(list_filter(string_split_regex(text, ' +'),
+                       w -> list_contains(['the','a','of','and','to','is','in'], w)))
+                       / len(string_split_regex(text, ' +')) > 0.01
+                   THEN CAST(0.3 AS DOUBLE) ELSE 0.0 END
+            + CASE WHEN (length(text) - length(regexp_replace(text,
+                        '[.,!?;:]', '', 'g'))) / NULLIF(length(text), 0) < 0.1
+                   THEN CAST(0.3 AS DOUBLE) ELSE 0.0 END) AS quality
+    FROM documents),
+kept AS (
+    SELECT * FROM scored
+    WHERE quality >= 0.7
+      AND doc_id = (SELECT MIN(s2.doc_id) FROM scored s2 WHERE s2.fp = scored.fp))
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM kept GROUP BY lang
+""",
+    doc=(
+        "end-to-end training-data cleaning pipeline: quality filter "
+        "(gopher-style) -> fingerprint dedup (keep min doc_id) -> per-"
+        "language corpus stats.  The composition every 100 TB ingest run "
+        "executes; all JVM-side"
+    ),
+)
+def ext_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        text.fingerprint("text").alias("fp"),
+        text.quality_score("text").alias("quality"),
+    )
+    w = Window.partitionBy("fp")
+    kept = (
+        scored.withColumn("keep_id", F.min("doc_id").over(w))
+        .filter((F.col("quality") >= 0.7) & (F.col("doc_id") == F.col("keep_id")))
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )

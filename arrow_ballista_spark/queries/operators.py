@@ -811,3 +811,73 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("partitions", 8)
         .load()
     )
+
+
+# --------------------------------------------------------------------------
+# h2o db-benchmark patterns (reference ships these harnesses:
+# benchmarks/db-benchmark/{groupby,join}-datafusion.py)
+# --------------------------------------------------------------------------
+
+@query(
+    "h2o_groupby_lowcard",
+    """
+SELECT event_type, CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+""",
+    doc="h2o groupby q1 shape: sum by low-cardinality key (ref "
+        "benchmarks/db-benchmark/groupby-datafusion.py)",
+)
+def h2o_groupby_lowcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum("user_id").alias("sum_uid"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "h2o_groupby_highcard",
+    """
+SELECT user_id,
+       (floor(abs(AVG(value)) * 10000 + 0.5) / 10000e0 *
+        (CASE WHEN (AVG(value)) < 0 THEN -1 ELSE 1 END)) AS avg_value,
+       CAST(MAX(event_id) AS BIGINT) AS max_event
+FROM events GROUP BY user_id
+""",
+    doc="h2o groupby q3 shape: mean + max by high-cardinality key",
+)
+def h2o_groupby_highcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.queries import cround
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        cround(F.avg("value"), 4).alias("avg_value"),
+        F.max("event_id").alias("max_event"),
+    )
+
+
+@query(
+    "h2o_join_bigsmall",
+    """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       (floor(abs(SUM(o_totalprice)) * 100 + 0.5) / 100e0 *
+        (CASE WHEN (SUM(o_totalprice)) < 0 THEN -1 ELSE 1 END)) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    doc="h2o join shape: big x small equi-join + agg (ref "
+        "benchmarks/db-benchmark/join-datafusion.py)",
+)
+def h2o_join_bigsmall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.queries import cround
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            cround(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

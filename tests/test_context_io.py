@@ -171,3 +171,25 @@ def test_jobs_registry(ctx):
     assert len(js) == before + 1
     assert js[-1]["job_id"] == h.job_id
     assert js[-1]["status"] == "SUCCESSFUL"
+
+
+def test_cli_one_shot():
+    """python -m arrow_ballista_spark -e ... (ballista-cli analogue)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "arrow_ballista_spark",
+            "-e",
+            "SELECT 21 * 2 AS answer",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=180,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0
+    assert "42" in r.stdout
