@@ -881,3 +881,24 @@ def h2o_join_bigsmall(spark: SparkSession, sf_dir: str) -> DataFrame:
             cround(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "fn_explode_unnest",
+    """
+SELECT doc_id, tok
+FROM (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok
+      FROM documents WHERE doc_id < 20)
+WHERE length(tok) >= 6
+""",
+    doc="array explode / UNNEST (DataFusion runtime unnest; Spark "
+        "explode + lateral view semantics)",
+)
+def fn_explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " +")).alias("tok")
+        )
+        .filter(F.length("tok") >= 6)
+    )

@@ -193,3 +193,11 @@ def test_cli_one_shot():
     )
     assert r.returncode == 0
     assert "42" in r.stdout
+
+
+def test_describe_table(ctx):
+    ctx.register_parquet("nation_desc", f"{SF_DIR}/nation.parquet")
+    rows = ctx.sql("DESCRIBE nation_desc").collect()
+    cols = {r.col_name: r.data_type for r in rows}
+    assert cols.get("n_nationkey") in ("int", "bigint")
+    assert cols.get("n_name") == "string"
