@@ -190,7 +190,10 @@ def minhash_dedup_pairs(
     # cluster: a small source file arrives as 1-2 partitions and would
     # otherwise pin 128 permutations x all docs on one core.  One cheap
     # shuffle of the raw rows buys full parallelism.
-    parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" on managed platforms
+        parts = df.sparkSession.sparkContext.defaultParallelism
     # persist: consumed by the signature stage and twice by the verify join
     grams = (
         df.repartition(parts, id_col)
@@ -204,17 +207,24 @@ def minhash_dedup_pairs(
     return jaccard_verify(candidates, grams, id_col, threshold)
 
 
-def simhash64(text_col: str) -> Column:
-    """64-bit SimHash over whitespace tokens (JVM-side bit votes).
+def token_hashes(text_col: str) -> Column:
+    """xxhash64 per lowercase whitespace token — materialize ONCE; the 64
+    bit votes below must reference this array, not re-split + re-hash the
+    document per bit (the same re-evaluation pathology base_hashes
+    avoids for minhash)."""
+    return F.expr(f"transform(split(lower({text_col}), ' +'), t -> xxhash64(t))")
 
-    bit_j(simhash) = sign of sum over tokens of (2*bit_j(xxhash64(t)) - 1).
+
+def simhash64_from_hashes(hashes_col: str) -> Column:
+    """64-bit SimHash from a token-hash array column (JVM-side bit votes).
+
+    bit_j(simhash) = sign of sum over tokens of (2*bit_j(h) - 1).
     """
-    tokens = f"split(lower({text_col}), ' +')"
     bit_cols = []
     for j in range(64):
         vote = F.expr(
-            f"aggregate({tokens}, 0L,"
-            f" (acc, t) -> acc + (shiftright(xxhash64(t), {j}) & 1) * 2 - 1)"
+            f"aggregate({hashes_col}, 0L,"
+            f" (acc, h) -> acc + (shiftright(h, {j}) & 1) * 2 - 1)"
         )
         bit_cols.append(
             F.when(
@@ -243,10 +253,17 @@ def simhash_near_dup_pairs(
     widths = [64 // n_chunks] * n_chunks
     widths[-1] += 64 - sum(widths)  # remainder bits land in the last chunk
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
-    h = df.select(F.col(id_col), simhash64(text_col).alias("sh"))
+    h = df.select(
+        F.col(id_col), token_hashes(text_col).alias("th")
+    ).select(F.col(id_col), simhash64_from_hashes("th").alias("sh"))
+
+    def _mask(w: int) -> Column:
+        # (1<<64)-1 overflows LongType; all-64-bits == -1 in two's complement
+        return F.lit(-1 if w >= 64 else (1 << w) - 1).cast("bigint")
+
     chunks = F.array(
         *[
-            F.shiftright(F.col("sh"), off).bitwiseAND(F.lit((1 << w) - 1))
+            F.shiftright(F.col("sh"), off).bitwiseAND(_mask(w))
             for off, w in zip(offsets, widths)
         ]
     )

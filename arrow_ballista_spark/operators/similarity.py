@@ -35,7 +35,12 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    """Cosine similarity; NULL (filtered by any threshold/rank downstream)
+    for zero-norm vectors — the nullif guard matters under Spark 4's
+    default ANSI mode, where a bare /0 throws and kills the job."""
+    return dot(a, b) / F.nullif(
+        F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)), F.lit(0.0)
+    )
 
 
 def brute_force_topk(
@@ -45,20 +50,26 @@ def brute_force_topk(
     corpus_id: str = "corpus_id",
     vec: str = "embedding",
     k: int = 5,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries × streamed corpus.
 
     Rank key is (rounded cosine DESC, corpus id ASC) so ordering is
-    deterministic and engine-independent.
+    deterministic and engine-independent.  ``exclude_self`` drops rows
+    where the ids are equal — correct for self-search over one table
+    (the usual dedup/recommendation case); pass False when query and
+    corpus ids are unrelated namespaces.  ``query_id`` and ``corpus_id``
+    must be distinct names (the join output carries both).
     """
     q = queries.select(
         F.col(query_id), F.col(vec).alias("qv")
     )
     c = corpus.select(F.col(corpus_id), F.col(vec).alias("cv"))
+    scored = F.broadcast(q).crossJoin(c)
+    if exclude_self:
+        scored = scored.filter(F.col(query_id) != F.col(corpus_id))
     scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col(query_id) != F.col(corpus_id))
+        scored
         .select(
             query_id,
             corpus_id,
@@ -85,6 +96,18 @@ def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def _infer_dim(df: DataFrame, vec: str, dim: int | None) -> int:
+    """Embedding dimensionality from the data when not given.  A wrong
+    static dim is a *silent* catastrophe: zip_with null-pads, every dot
+    folds to NULL, and all vectors land in bucket 0 (no pruning)."""
+    if dim is not None:
+        return dim
+    row = df.select(F.size(F.col(vec))).first()
+    if row is None or row[0] is None or row[0] <= 0:
+        raise ValueError(f"cannot infer embedding dim from column {vec!r}")
+    return int(row[0])
+
+
 def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id from random hyperplanes (map-only)."""
     bucket = F.lit(0).cast("bigint")
@@ -106,12 +129,14 @@ def hyperplane_lsh_topk(
     vec: str = "embedding",
     k: int = 5,
     n_planes: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: bucket join (multi-probe Hamming-1) then exact
-    cosine re-rank within candidates."""
-    planes = _hyperplanes(n_planes, dim, seed)
+    cosine re-rank within candidates.  dim is inferred from the corpus
+    when not given (a mismatched static dim silently disables pruning)."""
+    planes = _hyperplanes(n_planes, _infer_dim(corpus, vec, dim), seed)
     c = corpus.select(F.col(corpus_id), F.col(vec).alias("cv")).withColumn(
         "bucket", lsh_bucket(F.col("cv"), planes)
     )
@@ -129,17 +154,14 @@ def hyperplane_lsh_topk(
     qp = q.select(
         query_id, "qv", F.explode(probes).alias("bucket")
     )
-    scored = (
-        F.broadcast(qp)
-        .join(c, "bucket")
-        .filter(F.col(query_id) != F.col(corpus_id))
-        .select(
-            query_id,
-            corpus_id,
-            cosine(F.col("qv"), F.col("cv")).alias("cos_raw"),
-        )
-        .distinct()
-    )
+    scored = F.broadcast(qp).join(c, "bucket")
+    if exclude_self:
+        scored = scored.filter(F.col(query_id) != F.col(corpus_id))
+    scored = scored.select(
+        query_id,
+        corpus_id,
+        cosine(F.col("qv"), F.col("cv")).alias("cos_raw"),
+    ).distinct()
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos_raw").desc(), F.col(corpus_id)
     )
@@ -162,7 +184,7 @@ def lsh_cosine_near_dup_pairs(
     threshold: float,
     n_planes: int = 8,
     n_tables: int = 12,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Scale path for all-pairs cosine near-dup: multi-table hyperplane
@@ -176,6 +198,7 @@ def lsh_cosine_near_dup_pairs(
     k from corpus size, L from the recall target.  One shuffle keyed on
     (table, bucket); exact verify keeps precision at 1."""
     h = df.select(F.col(id_col), F.col(vec).alias("v"))
+    dim = _infer_dim(df, vec, dim)
     tables = []
     for t in range(n_tables):
         planes = _hyperplanes(n_planes, dim, seed + 1000 * t)
@@ -187,28 +210,30 @@ def lsh_cosine_near_dup_pairs(
     # persist: both sides of the bucket self-join read this, and the
     # L x k hyperplane dot products are the expensive part
     e = (
-        h.select(
-            F.col(id_col), F.col("v"), F.explode(F.array(*tables)).alias("k")
-        )
-        .select(
-            id_col, "v", F.col("k.tbl").alias("tbl"), F.col("k.b").alias("b")
-        )
+        h.select(F.col(id_col), F.explode(F.array(*tables)).alias("k"))
+        .select(id_col, F.col("k.tbl").alias("tbl"), F.col("k.b").alias("b"))
         .persist()
     )
-    a = e.select(
-        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "tbl", "b"
-    )
-    b = e.select(
-        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "tbl", "b"
-    )
-    return (
+    a = e.select(F.col(id_col).alias("id_a"), "tbl", "b")
+    b = e.select(F.col(id_col).alias("id_b"), "tbl", "b")
+    # dedupe candidate ids BEFORE the O(dim) cosine verify: a near-dup
+    # pair collides in most of the L tables by design, and verifying it
+    # once instead of ~L times is the dominant cost
+    cand = (
         a.join(b, ["tbl", "b"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = h.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = h.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_raw")
         )
         .filter(F.col("cos_raw") >= threshold)
-        .distinct()
     )
 
 

@@ -29,7 +29,17 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join on ``on`` with the hot-key shuffle spread over
     ``salt_buckets`` partitions.  Result equals ``left.join(right, on,
-    how)`` row-for-row (salt columns are internal)."""
+    how)`` row-for-row (salt columns are internal).
+
+    Only left-preserving join types are valid: the right side is
+    replicated ``salt_buckets`` ways, so right/full outer would emit one
+    row per unmatched *replica* instead of per unmatched row."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left-preserving joins, not {how!r}"
+            " (the replicated right side breaks right/full outer semantics)"
+        )
     l_salted = left.withColumn(
         "_salt",
         F.pmod(

@@ -54,8 +54,13 @@ def punct_count(text_col: str) -> Column:
 
 
 def stopword_count(text_col: str, lang: str = "en") -> Column:
+    """Case-insensitive stopword hits (consistent with fingerprint() and
+    the simhash tokenizer, which also lowercase)."""
     return F.size(
-        F.filter(tokens(text_col), lambda w: w.isin(*STOPWORDS[lang]))
+        F.filter(
+            F.split(F.lower(F.col(text_col)), " +"),
+            lambda w: w.isin(*STOPWORDS[lang]),
+        )
     )
 
 

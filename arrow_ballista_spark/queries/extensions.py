@@ -274,7 +274,7 @@ def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_stopword_count(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in text.STOPWORDS[lang])
     return (
-        f"len(list_filter(string_split_regex(text, ' +'),"
+        f"len(list_filter(string_split_regex(lower(text), ' +'),"
         f" w -> list_contains([{words}], w)))"
     )
 
@@ -653,7 +653,7 @@ WITH scored AS (
            (CASE WHEN len(string_split_regex(text, ' +'))
                       BETWEEN 10 AND 100000
                  THEN CAST(0.4 AS DOUBLE) ELSE 0.0 END
-            + CASE WHEN len(list_filter(string_split_regex(text, ' +'),
+            + CASE WHEN len(list_filter(string_split_regex(lower(text), ' +'),
                        w -> list_contains(['the','a','of','and','to','is','in'], w)))
                        / len(string_split_regex(text, ' +')) > 0.01
                    THEN CAST(0.3 AS DOUBLE) ELSE 0.0 END
