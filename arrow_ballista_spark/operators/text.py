@@ -80,17 +80,28 @@ def quality_score(text_col: str) -> Column:
     )
 
 
-def langid_scores(text_col: str) -> dict[str, Column]:
-    """Stopword-hit counts per language."""
+def lower_tokens(text_col: str) -> Column:
+    """Lowercase whitespace tokens — materialize this ONCE (a projection
+    column) before fan-out consumers like langid: every per-language
+    score referencing it would otherwise re-lower + re-split the text."""
+    return F.split(F.lower(F.col(text_col)), " +")
+
+
+def langid_scores(tokens_col: Column | str) -> dict[str, Column]:
+    """Stopword-hit counts per language over a lowered-token array
+    column (see :func:`lower_tokens`)."""
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     return {
-        lang: stopword_count(text_col, lang) for lang in STOPWORDS
+        lang: F.size(F.filter(t, lambda w: w.isin(*STOPWORDS[lang])))
+        for lang in STOPWORDS
     }
 
 
-def langid_predict(text_col: str) -> Column:
-    """argmax language by stopword hits, deterministic tiebreak by
-    language-code order; 'und' when nothing matches."""
-    scores = langid_scores(text_col)
+def langid_predict(tokens_col: Column | str) -> Column:
+    """argmax language by stopword hits over a lowered-token array,
+    deterministic tiebreak by language-code order; 'und' when nothing
+    matches."""
+    scores = langid_scores(tokens_col)
     langs = sorted(STOPWORDS)
     best = F.greatest(*[scores[lg] for lg in langs])
     out = F.lit("und")

@@ -308,10 +308,15 @@ FROM s
 )
 def ext_text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    # lowered token array materialized once; langid's per-language scores
+    # (each referenced by greatest + its WHEN arm) reuse it
+    staged = docs.select(
+        "doc_id", "text", text.lower_tokens("text").alias("lt")
+    )
+    return staged.select(
         "doc_id",
         cround(text.quality_score("text"), 6).alias("quality"),
-        text.langid_predict("text").alias("lang_pred"),
+        text.langid_predict("lt").alias("lang_pred"),
     )
 
 
