@@ -1,29 +1,57 @@
-"""Arrow-batched Python UDFs / UDAFs (reference §2.B.11 UDF surface).
+"""Arrow-batched Python UDFs / UDAFs / UDTFs (reference §2.B.11 surface).
 
-NOTE: no ``from __future__ import annotations`` here — pandas_udf resolves
-the pd.Series type hints at decoration time, and PEP 563 stringification
-breaks that.
+Two import-time constraints shape this module:
+
+- no ``from __future__ import annotations`` — pandas_udf resolves the
+  pd.Series type hints at decoration time and PEP 563 stringification
+  breaks that;
+- no module-level ``@pandas_udf`` decoration — executors import this
+  module when unpickling any UDF/UDTF defined here, and decoration needs
+  an active session (returnType parsing), which workers don't have.
+  UDFs are therefore built by factories, decorated at call time.
 """
 
 import pandas as pd
-from pyspark.sql.functions import pandas_udf
 
 
-@pandas_udf("int")
-def norm_len(s: pd.Series) -> pd.Series:
-    """Vectorized text normalization length: lower, trim, collapse runs of
-    spaces — one Arrow batch per invocation, no per-row Python."""
-    return (
-        s.str.lower()
-        .str.strip()
-        .str.replace(r" +", " ", regex=True)
-        .str.len()
-        .astype("int32")
-    )
+def norm_len_udf():
+    """Vectorized text normalization length: lower, trim, collapse runs
+    of spaces — one Arrow batch per invocation, no per-row Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def norm_len(s: pd.Series) -> pd.Series:
+        return (
+            s.str.lower()
+            .str.strip()
+            .str.replace(r" +", " ", regex=True)
+            .str.len()
+            .astype("int32")
+        )
+
+    return norm_len
 
 
-@pandas_udf("double")
-def weighted_qty(q: pd.Series, w: pd.Series) -> float:
+def weighted_qty_udaf():
     """GROUPED_AGG pandas UDAF: weighted mean (ref AggregateUDFExprNode,
     datafusion.proto:558-563)."""
-    return float((q * w).sum() / w.sum())
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_qty(q: pd.Series, w: pd.Series) -> float:
+        return float((q * w).sum() / w.sum())
+
+    return weighted_qty
+
+
+class WordPositions:
+    """Python UDTF: one text row -> (word, pos) rows (whitespace-run
+    tokenization, matching the engine's ' +' split semantics)."""
+
+    def eval(self, text: str):
+        import re
+
+        if text is None:
+            return
+        for i, w in enumerate(re.split(" +", text)):
+            yield (w, i)

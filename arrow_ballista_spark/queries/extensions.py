@@ -475,10 +475,12 @@ FROM documents
         "oracle recomputes in SQL — UDF results must be engine-equal",
 )
 def ext_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from arrow_ballista_spark.functions.pyudfs import norm_len
+    from arrow_ballista_spark.functions.pyudfs import norm_len_udf
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", norm_len(F.col("text")).alias("norm_len"))
+    return docs.select(
+        "doc_id", norm_len_udf()(F.col("text")).alias("norm_len")
+    )
 
 
 @query(
@@ -494,11 +496,11 @@ GROUP BY l_returnflag
         "result order-independent and bit-exact vs the SQL oracle",
 )
 def ext_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from arrow_ballista_spark.functions.pyudfs import weighted_qty
+    from arrow_ballista_spark.functions.pyudfs import weighted_qty_udaf
 
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        weighted_qty(F.col("l_quantity"), F.col("l_linenumber")).alias(
+        weighted_qty_udaf()(F.col("l_quantity"), F.col("l_linenumber")).alias(
             "weighted_qty"
         )
     )
@@ -700,4 +702,80 @@ def ext_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+@query(
+    "ext_stream_stream_join",
+    """
+SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
+""",
+    doc=(
+        "stream-stream interval join (clicks x purchases within 1h per "
+        "user), both sides watermarked so join state is evicted past the "
+        "horizon; oracle is the equivalent batch interval join"
+    ),
+)
+def ext_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import expr
+
+    clicks = (
+        streaming.events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(F.col("user_id"), F.col("ts").alias("click_ts"))
+    )
+    purchases = (
+        streaming.events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts")
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        expr(
+            "user_id = p_user_id AND "
+            "purchase_ts BETWEEN click_ts - INTERVAL 1 HOUR AND click_ts"
+        ),
+    )
+    out = streaming.run_available_now(joined, "append")
+    return out.select(
+        "user_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )
+
+
+@query(
+    "ext_udtf_word_positions",
+    """
+SELECT doc_id, toks[i] AS word, CAST(i - 1 AS INT) AS pos
+FROM (SELECT doc_id, string_split_regex(text, ' +') AS toks,
+             unnest(generate_series(1, len(string_split_regex(text, ' +'))))
+               AS i
+      FROM documents WHERE doc_id < 10)
+WHERE length(toks[i]) >= 8
+""",
+    doc=(
+        "Python UDTF (table function, one row -> many): tokenize with "
+        "positions via pyspark.sql.functions.udtf + lateral join "
+        "(exceeds the reference: UDTF absent there, SURVEY 2.B.11)"
+    ),
+)
+def ext_udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.functions.pyudfs import WordPositions
+    from pyspark.sql.functions import udtf
+
+    wp = udtf(WordPositions, returnType="word string, pos int")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    return (
+        docs.lateralJoin(wp(F.col("text").outer()))
+        .select("doc_id", "word", "pos")
+        .filter(F.length("word") >= 8)
     )

@@ -286,3 +286,41 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"), F.max(k).cast("int").alias("max_k")
     )
+
+
+@query(
+    "window_groups_frame_rewrite",
+    """
+WITH r AS (SELECT event_id, event_type, user_id,
+                 dense_rank() OVER (PARTITION BY event_type ORDER BY ts) AS dr
+          FROM events WHERE event_id < 500)
+SELECT event_id,
+       CAST(SUM(user_id) OVER (
+           PARTITION BY event_type ORDER BY dr
+           RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS grp_sum
+FROM r
+""",
+    doc=(
+        "GROUPS window frame (ref WindowFrameUnits GROUPS, datafusion."
+        "proto:654) — Spark has no GROUPS frames (SURVEY §7 risk 4); "
+        "rewritten as RANGE over dense_rank (peer groups share a rank, so "
+        "RANGE n PRECEDING on the rank == GROUPS n PRECEDING).  The "
+        "oracle evaluates the same definition independently in DuckDB "
+        "(which also lacks native GROUPS as of 1.0)"
+    ),
+)
+def window_groups_frame_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    peers = Window.partitionBy("event_type").orderBy("ts")
+    ranked = ev.withColumn("dr", F.dense_rank().over(peers))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("dr")
+        .rangeBetween(-1, 0)
+    )
+    return ranked.select(
+        "event_id", F.sum("user_id").over(w).alias("grp_sum")
+    )
