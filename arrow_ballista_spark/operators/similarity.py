@@ -128,33 +128,63 @@ def hyperplane_lsh_topk(
     corpus_id: str = "corpus_id",
     vec: str = "embedding",
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     dim: int | None = None,
     seed: int = 42,
     exclude_self: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: bucket join (multi-probe Hamming-1) then exact
-    cosine re-rank within candidates.  dim is inferred from the corpus
-    when not given (a mismatched static dim silently disables pruning)."""
-    planes = _hyperplanes(n_planes, _infer_dim(corpus, vec, dim), seed)
-    c = corpus.select(F.col(corpus_id), F.col(vec).alias("cv")).withColumn(
-        "bucket", lsh_bucket(F.col("cv"), planes)
-    )
-    q = queries.select(F.col(query_id), F.col(vec).alias("qv")).withColumn(
-        "bucket0", lsh_bucket(F.col("qv"), planes)
-    )
-    # multi-probe: own bucket + all Hamming-1 buckets
-    probes = F.array(
-        F.col("bucket0"),
+    """Approximate top-k: multi-table bucket join (L independent tables of
+    n_planes sign bits, plus Hamming-1 multiprobe on the query side) then
+    exact cosine re-rank within candidates.
+
+    Candidate recall for a neighbor with per-plane agreement p = 1 - θ/π
+    is 1 - (1 - P1)^L with P1 = p^n + n·p^(n-1)(1-p) (own + probed
+    buckets): defaults give ~0.97 at cos 0.7 and ~0.74 at cos 0.5 —
+    tune L up for weaker-similarity corpora.  dim is inferred from the
+    corpus when not given (a mismatched static dim silently disables
+    pruning)."""
+    dim = _infer_dim(corpus, vec, dim)
+    all_planes = [
+        _hyperplanes(n_planes, dim, seed + 1000 * t) for t in range(n_tables)
+    ]
+    c_keys = F.array(
         *[
-            F.col("bucket0").bitwiseXOR(F.lit(1 << i).cast("bigint"))
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(F.col("cv"), planes).alias("bucket"),
+            )
+            for t, planes in enumerate(all_planes)
+        ]
+    )
+    c = (
+        corpus.select(F.col(corpus_id), F.col(vec).alias("cv"))
+        .select(corpus_id, "cv", F.explode(c_keys).alias("k"))
+        .select(
+            corpus_id, "cv", F.col("k.tbl").alias("tbl"),
+            F.col("k.bucket").alias("bucket"),
+        )
+    )
+    # query side: own bucket + Hamming-1 probes per table
+    q_keys = []
+    for t, planes in enumerate(all_planes):
+        b0 = lsh_bucket(F.col("qv"), planes)
+        for probe in [b0] + [
+            b0.bitwiseXOR(F.lit(1 << i).cast("bigint"))
             for i in range(n_planes)
-        ],
+        ]:
+            q_keys.append(
+                F.struct(F.lit(t).alias("tbl"), probe.alias("bucket"))
+            )
+    qp = (
+        queries.select(F.col(query_id), F.col(vec).alias("qv"))
+        .select(query_id, "qv", F.explode(F.array(*q_keys)).alias("k"))
+        .select(
+            query_id, "qv", F.col("k.tbl").alias("tbl"),
+            F.col("k.bucket").alias("bucket"),
+        )
     )
-    qp = q.select(
-        query_id, "qv", F.explode(probes).alias("bucket")
-    )
-    scored = F.broadcast(qp).join(c, "bucket")
+    scored = F.broadcast(qp).join(c, ["tbl", "bucket"])
     if exclude_self:
         scored = scored.filter(F.col(query_id) != F.col(corpus_id))
     scored = scored.select(

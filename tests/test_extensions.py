@@ -158,3 +158,29 @@ def test_ivf_topk_recall_on_planted_near_dups(spark):
     got = {r.query_id: r.corpus_id for r in out.collect()}
     hits = sum(1 for q, c in got.items() if c == 1000 + q)
     assert hits >= 18  # >=90% of planted near-dups found at rank 1
+
+
+def test_lsh_topk_recall_on_planted_near_dups(spark):
+    """Multi-table LSH top-k must put the planted near-duplicate at rank 1
+    for ~all queries (candidate recall at high cosine ~1 by design)."""
+    import random
+
+    rng = random.Random(23)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(150)]
+    corpus_rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    corpus = spark.createDataFrame(
+        corpus_rows, "corpus_id long, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [
+            (i, [float(x + rng.gauss(0, 0.03)) for x in base[i]])
+            for i in range(25)
+        ],
+        "query_id long, embedding array<float>",
+    )
+    out = similarity.hyperplane_lsh_topk(
+        queries, corpus, k=1, exclude_self=False
+    )
+    got = {r.query_id: r.corpus_id for r in out.collect()}
+    hits = sum(1 for q, c in got.items() if c == q)
+    assert hits >= 23  # >=92% rank-1 recall
