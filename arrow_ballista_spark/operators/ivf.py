@@ -21,7 +21,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from arrow_ballista_spark.operators.similarity import cosine, dot
+import math
+
+from arrow_ballista_spark.operators.similarity import (
+    cosine_with_norms,
+    dot,
+    norm,
+)
 
 
 def _centroid_literal(vec: list[float]) -> Column:
@@ -48,8 +54,15 @@ def assign_cells(
 ) -> DataFrame:
     """Map-only nearest-centroid assignment (broadcast argmax over the
     centroid literals)."""
+    # centroid norms are Python constants; the row norm folds once —
+    # one interpreted dot fold per centroid instead of three
+    rn = F.nullif(norm(F.col(vec)), F.lit(0.0))
     sims = F.array(
-        *[cosine(F.col(vec), _centroid_literal(c)) for c in centroids]
+        *[
+            dot(F.col(vec), _centroid_literal(c))
+            / (rn * F.lit(math.sqrt(sum(x * x for x in c))))
+            for c in centroids
+        ]
     )
     best = F.expr(
         f"array_position(cells_sims, array_max(cells_sims)) - 1"
@@ -65,10 +78,14 @@ def probe_cells(
     queries: DataFrame, vec: str, centroids: list[list[float]], nprobe: int
 ) -> DataFrame:
     """Attach the nprobe nearest cell ids to each query row (exploded)."""
+    rn = F.nullif(norm(F.col(vec)), F.lit(0.0))
     sims = F.array(
         *[
             F.struct(
-                cosine(F.col(vec), _centroid_literal(c)).alias("s"),
+                (
+                    dot(F.col(vec), _centroid_literal(c))
+                    / (rn * F.lit(math.sqrt(sum(x * x for x in c))))
+                ).alias("s"),
                 F.lit(i).alias("cell"),
             )
             for i, c in enumerate(centroids)
@@ -94,12 +111,23 @@ def ivf_topk(
     cells, probe, exact-cosine rerank within probed cells."""
     centroids = choose_centroids(corpus, corpus_id, vec, n_cells)
     indexed = assign_cells(
-        corpus.select(F.col(corpus_id), F.col(vec).alias("cv")), "cv",
+        corpus.select(
+            F.col(corpus_id),
+            F.col(vec).alias("cv"),
+            norm(F.col(vec)).alias("cn"),
+        ),
+        "cv",
         centroids,
     ).persist()
     probed = probe_cells(
-        queries.select(F.col(query_id), F.col(vec).alias("qv")), "qv",
-        centroids, nprobe,
+        queries.select(
+            F.col(query_id),
+            F.col(vec).alias("qv"),
+            norm(F.col(vec)).alias("qn"),
+        ),
+        "qv",
+        centroids,
+        nprobe,
     )
     scored = (
         F.broadcast(probed)
@@ -108,7 +136,9 @@ def ivf_topk(
         .select(
             query_id,
             corpus_id,
-            cosine(F.col("qv"), F.col("cv")).alias("cos_raw"),
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cos_raw"),
         )
         .distinct()
     )

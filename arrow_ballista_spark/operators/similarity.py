@@ -6,11 +6,11 @@ Two paths, mirroring a production ANN layout:
   broadcast (it is small by construction); the corpus side streams, so the
   cost is one scan of the corpus per batch of queries — the correct
   baseline at any scale when the query batch fits in memory.
-- :func:`hyperplane_lsh_topk` — random-hyperplane LSH: 16 sign bits bucket
-  the corpus; candidates come only from the query's bucket (multi-probe:
-  plus Hamming-1 neighbors), then exact cosine re-ranks.  At 100 TB the
-  bucketed corpus is written partitioned by bucket so a query touches
-  ~corpus/2^16 rows.
+- :func:`hyperplane_lsh_topk` — multi-table random-hyperplane LSH
+  (L tables of k sign bits + Hamming-1 multiprobe) with exact-cosine
+  re-rank; :func:`lsh_cosine_near_dup_pairs` is the all-pairs variant.
+  At 100 TB the bucketed corpus is written partitioned by (table, bucket)
+  so a query touches ~L/2^k of the corpus.
 
 All dot products are ``zip_with``/``aggregate`` array expressions —
 JVM-side, sequential fold, bit-identical to the DuckDB oracle's
@@ -43,6 +43,18 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine from precomputed row norms.  Higher-order array folds run
+    interpreted (outside codegen), so evaluating the norm fold once per
+    ROW instead of once per PAIR cuts the pairwise cost 3x — values are
+    bit-identical (same fold over the same data)."""
+    return dot(a, b) / F.nullif(na * nb, F.lit(0.0))
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -62,9 +74,15 @@ def brute_force_topk(
     must be distinct names (the join output carries both).
     """
     q = queries.select(
-        F.col(query_id), F.col(vec).alias("qv")
+        F.col(query_id),
+        F.col(vec).alias("qv"),
+        norm(F.col(vec)).alias("qn"),
     )
-    c = corpus.select(F.col(corpus_id), F.col(vec).alias("cv"))
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(vec).alias("cv"),
+        norm(F.col(vec)).alias("cn"),
+    )
     scored = F.broadcast(q).crossJoin(c)
     if exclude_self:
         scored = scored.filter(F.col(query_id) != F.col(corpus_id))
@@ -73,7 +91,9 @@ def brute_force_topk(
         .select(
             query_id,
             corpus_id,
-            cosine(F.col("qv"), F.col("cv")).alias("cos_raw"),
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cos_raw"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(
@@ -158,10 +178,14 @@ def hyperplane_lsh_topk(
         ]
     )
     c = (
-        corpus.select(F.col(corpus_id), F.col(vec).alias("cv"))
-        .select(corpus_id, "cv", F.explode(c_keys).alias("k"))
+        corpus.select(
+            F.col(corpus_id),
+            F.col(vec).alias("cv"),
+            norm(F.col(vec)).alias("cn"),
+        )
+        .select(corpus_id, "cv", "cn", F.explode(c_keys).alias("k"))
         .select(
-            corpus_id, "cv", F.col("k.tbl").alias("tbl"),
+            corpus_id, "cv", "cn", F.col("k.tbl").alias("tbl"),
             F.col("k.bucket").alias("bucket"),
         )
     )
@@ -177,10 +201,14 @@ def hyperplane_lsh_topk(
                 F.struct(F.lit(t).alias("tbl"), probe.alias("bucket"))
             )
     qp = (
-        queries.select(F.col(query_id), F.col(vec).alias("qv"))
-        .select(query_id, "qv", F.explode(F.array(*q_keys)).alias("k"))
+        queries.select(
+            F.col(query_id),
+            F.col(vec).alias("qv"),
+            norm(F.col(vec)).alias("qn"),
+        )
+        .select(query_id, "qv", "qn", F.explode(F.array(*q_keys)).alias("k"))
         .select(
-            query_id, "qv", F.col("k.tbl").alias("tbl"),
+            query_id, "qv", "qn", F.col("k.tbl").alias("tbl"),
             F.col("k.bucket").alias("bucket"),
         )
     )
@@ -190,7 +218,9 @@ def hyperplane_lsh_topk(
     scored = scored.select(
         query_id,
         corpus_id,
-        cosine(F.col("qv"), F.col("cv")).alias("cos_raw"),
+        cosine_with_norms(
+            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+        ).alias("cos_raw"),
     ).distinct()
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos_raw").desc(), F.col(corpus_id)
@@ -255,13 +285,25 @@ def lsh_cosine_near_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = h.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    vb = h.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    va = h.select(
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+        norm(F.col("v")).alias("na"),
+    )
+    vb = h.select(
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+        norm(F.col("v")).alias("nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
-            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_raw")
+            "id_a",
+            "id_b",
+            cosine_with_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos_raw"),
         )
         .filter(F.col("cos_raw") >= threshold)
     )
@@ -273,13 +315,25 @@ def cosine_near_dup_pairs(
     """All pairs with cosine >= threshold (exact; self cross-join — the
     LSH-bucketed variant above is the scale path, this is the oracle-able
     exact form)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec).alias("vb"))
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec).alias("va"),
+        norm(F.col(vec)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec).alias("vb"),
+        norm(F.col(vec)).alias("nb"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_raw")
+            "id_a",
+            "id_b",
+            cosine_with_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos_raw"),
         )
         .filter(F.col("cos_raw") >= threshold)
     )
