@@ -35,7 +35,7 @@ from arrow_ballista_spark.sources import readers
 _EXTERNAL_TABLE_RE = re.compile(
     r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+(?P<if_not_exists>IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*"
-    r"(?:\((?P<cols>[^)]*)\)\s*)?"
+    r"(?:\((?P<cols>.*?)\)\s*)?"  # lazy: tolerates DECIMAL(10,2) etc.
     r"STORED\s+AS\s+(?P<format>CSV|PARQUET|AVRO|NDJSON|JSON)\s*"
     r"(?P<header>WITH\s+HEADER\s+ROW\s*)?"
     r"(?:DELIMITER\s+'(?P<delim>[^']*)'\s*)?"
@@ -62,20 +62,26 @@ class JobHandle:
             return "RUNNING"
         return "FAILED" if self._error else "SUCCESSFUL"
 
-    def cancel(self, wait_for_start: float = 30.0) -> None:
+    def cancel(self, wait_for_start: float = 30.0) -> bool:
         """Cancel the job group.  cancelJobGroup only reaches *active* jobs,
         so wait for the first Spark job of this group to register (mirrors
         the reference's CancelJob, which addresses an already-queued
-        job_id)."""
+        job_id).  Returns False if no Spark job appeared within
+        ``wait_for_start`` and the query is still running — the
+        cancellation could NOT be delivered (e.g. the driver is still
+        planning/listing files) and the caller must retry or abandon."""
         import time
 
         tracker = self._spark.sparkContext.statusTracker()
         deadline = time.monotonic() + wait_for_start
+        delivered = False
         while time.monotonic() < deadline and not self._done.is_set():
             if tracker.getJobIdsForGroup(self.job_id):
+                delivered = True
                 break
             time.sleep(0.05)
         self._spark.sparkContext.cancelJobGroup(self.job_id)
+        return delivered or self._done.is_set()
 
     def result(self, timeout: float | None = None) -> list:
         self._done.wait(timeout)
@@ -210,13 +216,24 @@ class BallistaContext:
 
     def _create_external_table(self, m: re.Match) -> DataFrame:
         name = m.group("name")
-        if m.group("if_not_exists") and name in self.tables():
+        # Spark view names are case-insensitive; IF NOT EXISTS must be too
+        if m.group("if_not_exists") and name.lower() in {
+            t.lower() for t in self.tables()
+        }:
             return self.spark.sql("SELECT 1 AS ok WHERE false")
         fmt = m.group("format").upper()
         opts: dict[str, Any] = {}
         schema = None
         if m.group("cols"):
             schema = _ddl_schema(m.group("cols"))
+        if schema is not None and m.group("parts"):
+            # reference: table_partition_cols are declared outside the
+            # column list (context.rs:400-415); hive partition values are
+            # strings unless cast — append them so the schema is complete
+            from pyspark.sql.types import StringType, StructField
+
+            for c in m.group("parts").split(","):
+                schema = schema.add(StructField(c.strip(), StringType()))
         if fmt == "CSV":
             opts["header"] = bool(m.group("header"))
             if m.group("delim"):
@@ -238,10 +255,10 @@ class BallistaContext:
     # -- EXPLAIN / plan surface (ExplainNode, datafusion.proto:224-228) ----
 
     def explain(self, sql_or_df: str | DataFrame, mode: str = "formatted") -> str:
+        from arrow_ballista_spark.plans.explain import explain_str
+
         df = self.sql(sql_or_df) if isinstance(sql_or_df, str) else sql_or_df
-        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
-            df._jdf.queryExecution(), mode
-        )
+        return explain_str(df, mode)
 
     # -- async job control (ballista.proto:525-656) ------------------------
 
@@ -281,6 +298,7 @@ class BallistaContext:
 def _ddl_schema(cols: str):
     from pyspark.sql.types import StructType
 
-    # reference DDL types are DataFusion SQL types; common spellings map 1:1
-    ddl = ", ".join(c.strip() for c in cols.split(",") if c.strip())
-    return StructType.fromDDL(ddl)
+    # reference DDL types are DataFusion SQL types; common spellings map
+    # 1:1, incl. parameterized ones (DECIMAL(10,2)) — fromDDL parses the
+    # raw list directly
+    return StructType.fromDDL(cols.strip())

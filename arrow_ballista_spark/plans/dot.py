@@ -11,14 +11,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def _children(node):
+def _children(node, allow_final: bool):
     out = []
     children = node.children()
     for i in range(children.size()):
         out.append(children.apply(i))
-    # AQE / query-stage nodes expose their subtree via plan accessors,
-    # not children()
-    for attr in ("plan", "finalPhysicalPlan"):
+    # AQE / query-stage nodes expose their subtree via plan accessors, not
+    # children().  finalPhysicalPlan FORCES execution of every query stage
+    # — only touch it when the caller asked to execute; otherwise render
+    # the initial (pre-AQE) plan.
+    accessors = ("plan", "finalPhysicalPlan" if allow_final else "initialPlan")
+    for attr in accessors:
         try:
             out.append(getattr(node, attr)())
         except Exception:
@@ -26,15 +29,15 @@ def _children(node):
     return out
 
 
-def _walk(node, counter=None, parent=None):
+def _walk(node, allow_final: bool, counter=None, parent=None):
     """Yield (id, label, parent_id) over the physical-plan tree."""
     if counter is None:
         counter = [0]
     my_id = counter[0]
     yield my_id, node.nodeName(), parent
-    for child in _children(node):
+    for child in _children(node, allow_final):
         counter[0] += 1
-        yield from _walk(child, counter, my_id)
+        yield from _walk(child, allow_final, counter, my_id)
 
 
 def plan_dot(df: DataFrame, execute: bool = False) -> str:
@@ -48,7 +51,7 @@ def plan_dot(df: DataFrame, execute: bool = False) -> str:
         '  rankdir="BT";',
         "  node [shape=box, fontname=monospace];",
     ]
-    for nid, label, parent in _walk(plan):
+    for nid, label, parent in _walk(plan, allow_final=execute):
         safe = label.replace('"', "'")
         lines.append(f'  n{nid} [label="{safe}"];')
         if parent is not None:

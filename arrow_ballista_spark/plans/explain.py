@@ -30,12 +30,34 @@ def executed_plan_str(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested in ()/[] — filters like In(x, [1,2])
+    contain commas of their own."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """Predicates that reached the parquet scan (PushedFilters: [...])."""
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", explain_str(df)):
+    # greedy-to-last-] within the line: filters like In(x, [1,2]) nest
+    # brackets of their own
+    for m in re.finditer(r"PushedFilters: \[(.*)\]", explain_str(df)):
         if m.group(1).strip():
-            out.extend(p.strip() for p in m.group(1).split(","))
+            out.extend(_split_top_level(m.group(1)))
     return out
 
 

@@ -13,16 +13,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def _walk(node):
+def _walk(node, allow_final: bool):
     yield node
     children = node.children()
     for i in range(children.size()):
-        yield from _walk(children.apply(i))
-    # AQE / shuffle stage nodes hide their subtree behind plan()
-    for attr in ("plan", "finalPhysicalPlan"):
+        yield from _walk(children.apply(i), allow_final)
+    # AQE / shuffle stage nodes hide their subtree behind plan();
+    # finalPhysicalPlan FORCES execution — only follow it when the caller
+    # asked to execute (metrics on an unexecuted plan are all zero anyway)
+    accessors = ("plan", "finalPhysicalPlan" if allow_final else "initialPlan")
+    for attr in accessors:
         try:
             sub = getattr(node, attr)()
-            yield from _walk(sub)
+            yield from _walk(sub, allow_final)
         except Exception:
             pass
 
@@ -34,7 +37,7 @@ def collect_metrics(df: DataFrame, execute: bool = True) -> list[dict]:
     plan = df._jdf.queryExecution().executedPlan()
     out: list[dict] = []
     seen = set()
-    for node in _walk(plan):
+    for node in _walk(plan, allow_final=execute):
         nid = node.id()
         if nid in seen:
             continue

@@ -455,7 +455,11 @@ def ext_stream_stateful_user_counts(
         streaming.stateful_user_counts(streaming.events_stream(spark, sf_dir)),
         "update",
     )
-    return out.select("user_id", F.col("total_events"))
+    # update-mode memory sink accumulates per-batch rows; the running
+    # total is monotone, so max == the final value per user
+    return out.groupBy("user_id").agg(
+        F.max("total_events").alias("total_events")
+    )
 
 
 # --------------------------------------------------------------------------

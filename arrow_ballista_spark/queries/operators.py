@@ -305,7 +305,10 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("c_custkey")
     )
-    return cust.exceptAll(with_orders).distinct()
+    # subtract() IS EXCEPT-distinct; exceptAll().distinct() differs when a
+    # left row outnumbers its right occurrences (bag difference leaves
+    # survivors that distinct() then keeps)
+    return cust.subtract(with_orders)
 
 
 # --------------------------------------------------------------------------

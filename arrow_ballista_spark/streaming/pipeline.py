@@ -35,7 +35,6 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from arrow_ballista_spark.catalog import load_table
 
 
 def events_stream(
@@ -43,7 +42,11 @@ def events_stream(
 ) -> DataFrame:
     """File-source stream over the events parquet (schema pinned from the
     batch read; ns timestamps converted exactly like catalog.load_table)."""
-    batch = load_table(spark, sf_dir, "events")
+    # load-bearing: sets nanosAsLong/UTC confs so the streaming parquet
+    # read below accepts TIMESTAMP(NANOS) (same configs as the batch path)
+    from arrow_ballista_spark.catalog import _configure_reader
+
+    _configure_reader(spark)
     raw_schema = spark.read.parquet(
         os.path.join(sf_dir, "events.parquet")
     ).schema
@@ -64,7 +67,6 @@ def events_stream(
         )
     else:
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    _ = batch  # schema reference only
     return df
 
 
@@ -158,7 +160,14 @@ def run_available_now(
 ) -> DataFrame:
     """Execute a streaming plan over all currently-available input (one
     bounded run), collect via memory sink, return the result as a batch
-    DataFrame."""
+    DataFrame.
+
+    CAUTION with ``output_mode="update"``: the memory sink ACCUMULATES
+    every micro-batch's updated rows, so a multi-batch run (e.g.
+    ``maxFilesPerTrigger``) returns stale intermediate rows next to final
+    ones.  Callers must reduce to the latest row per key (for monotone
+    counters, a max aggregate) — see ``stateful_user_counts``' call site.
+    """
     name = f"sink_{uuid.uuid4().hex[:10]}"
     q = (
         stream_df.writeStream.format("memory")

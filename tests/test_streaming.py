@@ -56,7 +56,11 @@ def test_stateful_user_counts_matches_batch(spark):
     stream = pipeline.stateful_user_counts(
         pipeline.events_stream(spark, SF_DIR)
     )
-    got = pipeline.run_available_now(stream, "update")
+    raw = pipeline.run_available_now(stream, "update")
+    # latest-per-key reduction (update-mode sink accumulates micro-batches)
+    got = raw.groupBy("user_id").agg(
+        F.max("total_events").alias("total_events")
+    )
     want = (
         _batch_events(spark)
         .groupBy("user_id")
