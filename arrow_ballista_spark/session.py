@@ -56,6 +56,9 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # reference collects per-partition statistics (ballista.collect_
+        # statistics, config.rs:39) -> Spark CBO over ANALYZE'd tables
+        .config("spark.sql.cbo.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "90g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")

@@ -201,3 +201,24 @@ def test_describe_table(ctx):
     cols = {r.col_name: r.data_type for r in rows}
     assert cols.get("n_nationkey") in ("int", "bigint")
     assert cols.get("n_name") == "string"
+
+
+def test_analyze_table_stats(ctx, tmp_path):
+    """ANALYZE TABLE + cost-mode stats (ref AnalyzeNode, datafusion.
+    proto:219-223): statistics computed on a saved table surface in the
+    optimized plan's cost annotations."""
+    import shutil
+
+    src = load_table(ctx.spark, SF_DIR, "nation")
+    ctx.spark.sql("DROP TABLE IF EXISTS nation_saved")
+    wh = ctx.spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/nation_saved", ignore_errors=True)
+    src.write.mode("overwrite").saveAsTable("nation_saved")
+    ctx.sql("ANALYZE TABLE nation_saved COMPUTE STATISTICS FOR ALL COLUMNS")
+    ctx.spark.conf.set("spark.sql.cbo.enabled", "true")
+    cost = explain.explain_str(
+        ctx.sql("SELECT n_name FROM nation_saved WHERE n_nationkey < 5"),
+        "cost",
+    )
+    assert "Statistics" in cost and "rowCount" in cost
+    ctx.spark.sql("DROP TABLE nation_saved")
