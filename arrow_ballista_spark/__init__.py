@@ -26,6 +26,10 @@ def __getattr__(name):
         from arrow_ballista_spark import context
 
         return getattr(context, name)
+    if name == "release_caches":
+        from arrow_ballista_spark.operators.caching import release_caches
+
+        return release_caches
     raise AttributeError(name)
 
 
@@ -34,5 +38,6 @@ __all__ = [
     "BallistaDataFrame",
     "JobHandle",
     "get_session",
+    "release_caches",
 ]
 __version__ = "0.1.0"

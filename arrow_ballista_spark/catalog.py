@@ -9,6 +9,7 @@ same surface is temp views over ``spark.read.*``.
 from __future__ import annotations
 
 import os
+from weakref import WeakKeyDictionary
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
@@ -29,11 +30,15 @@ ALL_TABLES = TPCH_TABLES + EXTENSION_TABLES
 
 # Per-session caches: DataFrame construction costs real driver time
 # (file listing, footer schema reads, Py4J round-trips — ~80ms/table), and
-# the bench/driver loads the same tables for every query.  Keyed by
-# id(session) — sessions live for the process lifetime.
-_CONFIGURED: set[int] = set()
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
-_REGISTERED: dict[int, tuple[str, tuple]] = {}
+# the bench/driver loads the same tables for every query.  Keyed WEAKLY by
+# the session object itself — an id()-keyed cache can false-hit when a
+# garbage-collected session's address is reused by a new one, silently
+# skipping conf setup for the newcomer.  (Cached DataFrames hold a strong
+# ref back to their session, so entries live as long as any cached frame —
+# the correctness point is that a *new* session can never alias an old key.)
+_CONFIGURED: WeakKeyDictionary = WeakKeyDictionary()  # session -> True
+_TABLE_CACHE: WeakKeyDictionary = WeakKeyDictionary()  # session -> {(sf_dir, name): df}
+_REGISTERED: WeakKeyDictionary = WeakKeyDictionary()  # session -> (sf_dir, tables)
 
 
 def _configure_reader(spark: SparkSession) -> None:
@@ -47,12 +52,12 @@ def _configure_reader(spark: SparkSession) -> None:
       naive, matching both the parquet's isAdjustedToUTC=false columns and
       the DuckDB oracle's naive TIMESTAMP semantics (SURVEY.md §7 risk 5).
     """
-    if id(spark) in _CONFIGURED:
+    if _CONFIGURED.get(spark):
         return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    _CONFIGURED.add(id(spark))
+    _CONFIGURED[spark] = True
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -64,9 +69,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     as int64 nanos and converted to TIMESTAMP_NTZ, truncating ns→µs exactly
     like DuckDB does (floor division — dates here are all post-epoch).
     """
-    key = (id(spark), sf_dir, name)
-    if key in _TABLE_CACHE:
-        return _TABLE_CACHE[key]
+    cache = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key in cache:
+        return cache[key]
     _configure_reader(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
@@ -79,7 +85,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             F.expr(f"CAST(timestamp_micros(CAST({c} DIV 1000 AS BIGINT)) "
                    f"AS TIMESTAMP_NTZ)"),
         )
-    _TABLE_CACHE[key] = df
+    cache[key] = df
     return df
 
 
@@ -93,7 +99,7 @@ def register_tables(
     Idempotent per (session, sf_dir, tables): view creation costs a Py4J
     round-trip per table, and every TPC-H query calls this."""
     tables = tuple(tables)
-    if _REGISTERED.get(id(spark)) == (sf_dir, tables):
+    if _REGISTERED.get(spark) == (sf_dir, tables):
         return {}
     out: dict[str, DataFrame] = {}
     for t in tables:
@@ -102,5 +108,5 @@ def register_tables(
         df = load_table(spark, sf_dir, t)
         df.createOrReplaceTempView(t)
         out[t] = df
-    _REGISTERED[id(spark)] = (sf_dir, tables)
+    _REGISTERED[spark] = (sf_dir, tables)
     return out

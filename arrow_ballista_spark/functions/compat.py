@@ -33,18 +33,19 @@ def _col(c):
 
 # --- custom builders where Spark's name/semantics differ -------------------
 
+def _lit(v) -> Column:
+    """Wrap a Python value as a literal Column (pass Columns through)."""
+    return v if isinstance(v, Column) else F.lit(v)
+
+
 def strpos(s, sub) -> Column:
-    """1-based position of substring, 0 if absent (DF Strpos)."""
-    return F.expr(f"instr({_sql(s)}, {_sql(sub)})")
+    """1-based position of substring, 0 if absent (DF Strpos).
 
-
-def _sql(c) -> str:
-    """Render a Column/str/literal operand into a SQL fragment."""
-    if isinstance(c, Column):
-        return c._jc.toString()
-    if isinstance(c, str):
-        return c
-    return repr(c)
+    Built with the Column API (not SQL-fragment splicing): rendering a
+    Column via the private ``_jc.toString()`` breaks under Spark Connect,
+    and quoting literals via ``repr`` produces invalid SQL for strings
+    containing quotes."""
+    return F.instr(_col(s), sub if isinstance(sub, Column) else sub)
 
 
 def trunc_numeric(c) -> Column:
@@ -107,7 +108,7 @@ SCALAR_FUNCTIONS: dict[str, object] = {
     # string (proto 469-512)
     "ascii": F.ascii,
     "bit_length": F.bit_length,
-    "btrim": lambda s, t=" ": F.expr(f"btrim({_sql(s)}, {t!r})"),
+    "btrim": lambda s, t=" ": F.btrim(_col(s), _lit(t)),
     "character_length": F.char_length,
     "char_length": F.char_length,
     "chr": lambda c: F.chr(_col(c)),
@@ -115,7 +116,7 @@ SCALAR_FUNCTIONS: dict[str, object] = {
     "concat_with_separator": F.concat_ws,
     "concat_ws": F.concat_ws,
     "initcap": F.initcap,
-    "left": lambda s, n: F.expr(f"left({_sql(s)}, {n})"),
+    "left": lambda s, n: F.left(_col(s), _lit(n)),
     "lower": F.lower,
     "lpad": F.lpad,
     "ltrim": F.ltrim,
@@ -123,16 +124,16 @@ SCALAR_FUNCTIONS: dict[str, object] = {
     "repeat": lambda s, n: F.repeat(_col(s), n),
     "replace": lambda s, a, b: F.replace(_col(s), F.lit(a), F.lit(b)),
     "reverse": F.reverse,
-    "right": lambda s, n: F.expr(f"right({_sql(s)}, {n})"),
+    "right": lambda s, n: F.right(_col(s), _lit(n)),
     "rpad": F.rpad,
     "rtrim": F.rtrim,
     "split_part": lambda s, d, n: F.split_part(_col(s), F.lit(d), F.lit(n)),
     "starts_with": lambda s, p: F.startswith(_col(s), F.lit(p)),
     "strpos": strpos,
     "substr": lambda s, pos, ln=None: (
-        F.substring(_col(s), pos, ln) if ln is not None else F.expr(
-            f"substring({_sql(s)}, {pos})"
-        )
+        F.substring(_col(s), pos, ln)
+        if ln is not None
+        else F.substr(_col(s), _lit(pos))
     ),
     "to_hex": lambda c: F.hex(_col(c)),
     "translate": lambda s, frm, to: F.translate(_col(s), frm, to),
@@ -226,10 +227,10 @@ SQL_SHIMS: dict[str, str] = {
         "CREATE OR REPLACE TEMPORARY FUNCTION to_hex(x BIGINT) "
         "RETURNS STRING RETURN lower(hex(x))"
     ),
-    "arrow_typeof": (
-        "CREATE OR REPLACE TEMPORARY FUNCTION arrow_typeof(x STRING) "
-        "RETURNS STRING RETURN typeof(x)"
-    ),
+    # NOTE: no arrow_typeof SQL shim — SQL UDF parameters are statically
+    # typed, so a STRING-parameter shim would coerce every argument and
+    # always report "string" (unlike DataFusion's generic arrow_typeof).
+    # The DataFrame-API mapping above (F.typeof) is the real equivalent.
     "trunc_num": (
         "CREATE OR REPLACE TEMPORARY FUNCTION trunc_num(x DOUBLE) "
         "RETURNS DOUBLE RETURN CAST(CAST(x AS BIGINT) AS DOUBLE)"

@@ -27,6 +27,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from arrow_ballista_spark.operators.caching import tracked_persist
+
 # MinHash modulus: 2^31 - 1 (Mersenne prime).  Base hashes and permutation
 # coefficients stay < 2^31 so a*h+b < 2^62 never overflows signed 64-bit.
 MERSENNE31 = 2_147_483_647
@@ -123,11 +125,12 @@ def lsh_candidate_pairs(
             for band in range(n_bands)
         ]
     )
-    # persist: the self-join consumes this twice, and without persistence
-    # each side re-runs the whole shingle+signature pipeline
-    exploded = sigs.select(
-        F.col(id_col), F.explode(bands).alias("band_sig")
-    ).persist()
+    # tracked persist: the self-join consumes this twice, and without
+    # persistence each side re-runs the whole shingle+signature pipeline
+    # (release via operators.caching.release_caches() after the action)
+    exploded = tracked_persist(
+        sigs.select(F.col(id_col), F.explode(bands).alias("band_sig"))
+    )
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -194,11 +197,11 @@ def minhash_dedup_pairs(
         parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):  # e.g. "auto" on managed platforms
         parts = df.sparkSession.sparkContext.defaultParallelism
-    # persist: consumed by the signature stage and twice by the verify join
-    grams = (
+    # tracked persist: consumed by the signature stage and twice by the
+    # verify join
+    grams = tracked_persist(
         df.repartition(parts, id_col)
         .select(F.col(id_col), mk(text_col, n).alias("grams"))
-        .persist()
     )
     sigs = grams.select(
         F.col(id_col), base_hashes("grams").alias("hashes")
@@ -267,11 +270,13 @@ def simhash_near_dup_pairs(
             for off, w in zip(offsets, widths)
         ]
     )
-    # persist: self-joined twice, and the 64 bit-vote aggregates behind
-    # simhash64 are the expensive part
-    e = h.select(
-        F.col(id_col), F.col("sh"), F.posexplode(chunks).alias("ci", "cv")
-    ).persist()
+    # tracked persist: self-joined twice, and the bit-vote aggregates
+    # behind the simhash are the expensive part
+    e = tracked_persist(
+        h.select(
+            F.col(id_col), F.col("sh"), F.posexplode(chunks).alias("ci", "cv")
+        )
+    )
     a, b = e.alias("a"), e.alias("b")
     cand = (
         a.join(

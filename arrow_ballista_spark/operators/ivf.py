@@ -18,11 +18,12 @@ Spark-first design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-import math
-
+from arrow_ballista_spark.operators.caching import tracked_persist
 from arrow_ballista_spark.operators.similarity import (
     cosine_with_norms,
     dot,
@@ -38,11 +39,17 @@ def choose_centroids(
     corpus: DataFrame, id_col: str, vec: str, n_cells: int
 ) -> list[list[float]]:
     """Deterministic coarse centroids: the n_cells corpus vectors with the
-    smallest xxhash64(id) — a seedable uniform sample (collect is n_cells
-    rows, never the corpus)."""
+    smallest md5(id) — a seedable uniform sample (collect is n_cells rows,
+    never the corpus).  md5 over the id's decimal string is engine-portable
+    (bit-identical in DuckDB), so the whole IVF pipeline is oracle-able;
+    zero-norm vectors are excluded up front (a zero centroid would make
+    every cosine against it NULL/÷0)."""
     rows = (
         corpus.select(F.col(id_col), F.col(vec))
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .filter(norm(F.col(vec)) > 0)
+        .orderBy(
+            F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col)
+        )
         .limit(n_cells)
         .collect()
     )
@@ -56,11 +63,13 @@ def assign_cells(
     centroid literals)."""
     # centroid norms are Python constants; the row norm folds once —
     # one interpreted dot fold per centroid instead of three
-    rn = F.nullif(norm(F.col(vec)), F.lit(0.0))
+    rn = norm(F.col(vec))
     sims = F.array(
         *[
             dot(F.col(vec), _centroid_literal(c))
-            / (rn * F.lit(math.sqrt(sum(x * x for x in c))))
+            / F.nullif(
+                rn * F.lit(math.sqrt(sum(x * x for x in c))), F.lit(0.0)
+            )
             for c in centroids
         ]
     )
@@ -78,13 +87,16 @@ def probe_cells(
     queries: DataFrame, vec: str, centroids: list[list[float]], nprobe: int
 ) -> DataFrame:
     """Attach the nprobe nearest cell ids to each query row (exploded)."""
-    rn = F.nullif(norm(F.col(vec)), F.lit(0.0))
+    rn = norm(F.col(vec))
     sims = F.array(
         *[
             F.struct(
                 (
                     dot(F.col(vec), _centroid_literal(c))
-                    / (rn * F.lit(math.sqrt(sum(x * x for x in c))))
+                    / F.nullif(
+                        rn * F.lit(math.sqrt(sum(x * x for x in c))),
+                        F.lit(0.0),
+                    )
                 ).alias("s"),
                 F.lit(i).alias("cell"),
             )
@@ -110,15 +122,19 @@ def ivf_topk(
     """End-to-end IVF top-k: build centroids from the corpus, assign
     cells, probe, exact-cosine rerank within probed cells."""
     centroids = choose_centroids(corpus, corpus_id, vec, n_cells)
-    indexed = assign_cells(
-        corpus.select(
-            F.col(corpus_id),
-            F.col(vec).alias("cv"),
-            norm(F.col(vec)).alias("cn"),
-        ),
-        "cv",
-        centroids,
-    ).persist()
+    # tracked persist: consumed by the probe join; released via
+    # operators.caching.release_caches() after the consuming action
+    indexed = tracked_persist(
+        assign_cells(
+            corpus.select(
+                F.col(corpus_id),
+                F.col(vec).alias("cv"),
+                norm(F.col(vec)).alias("cn"),
+            ),
+            "cv",
+            centroids,
+        )
+    )
     probed = probe_cells(
         queries.select(
             F.col(query_id),

@@ -24,6 +24,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from arrow_ballista_spark.operators.caching import tracked_persist
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold double dot product of two float array columns."""
@@ -267,12 +269,12 @@ def lsh_cosine_near_dup_pairs(
                 F.lit(t).alias("tbl"), lsh_bucket(F.col("v"), planes).alias("b")
             )
         )
-    # persist: both sides of the bucket self-join read this, and the
-    # L x k hyperplane dot products are the expensive part
-    e = (
+    # tracked persist: both sides of the bucket self-join read this, and
+    # the L x k hyperplane dot products are the expensive part (release
+    # via operators.caching.release_caches() after the consuming action)
+    e = tracked_persist(
         h.select(F.col(id_col), F.explode(F.array(*tables)).alias("k"))
         .select(id_col, F.col("k.tbl").alias("tbl"), F.col("k.b").alias("b"))
-        .persist()
     )
     a = e.select(F.col(id_col).alias("id_a"), "tbl", "b")
     b = e.select(F.col(id_col).alias("id_b"), "tbl", "b")

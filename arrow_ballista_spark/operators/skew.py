@@ -16,8 +16,16 @@ partition is the binding constraint (s=8-32 at 100 TB typical).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _salt_col(salt_buckets: int) -> Column:
+    """Row-position salt in [0, salt_buckets) — spreads even fully-identical
+    duplicate rows (see salted_join)."""
+    return F.pmod(
+        F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)
+    ).cast("int")
 
 
 def salted_join(
@@ -40,12 +48,14 @@ def salted_join(
             f"salted_join supports inner/left-preserving joins, not {how!r}"
             " (the replicated right side breaks right/full outer semantics)"
         )
-    l_salted = left.withColumn(
-        "_salt",
-        F.pmod(
-            F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)
-        ).cast("int"),
-    )
+    # Salt from the row's POSITION, not its content: fully-identical
+    # duplicate rows are the canonical pathological hot key, and a
+    # content-derived salt (xxhash64 of the columns) sends them all to one
+    # bucket — defeating the spread salting exists for.
+    # monotonically_increasing_id embeds (partition id, row-in-partition),
+    # so duplicates land on different salts; the salt only routes rows
+    # (it is dropped before returning), so result determinism is kept.
+    l_salted = left.withColumn("_salt", _salt_col(salt_buckets))
     r_salted = right.withColumn(
         "_salt",
         F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),

@@ -15,6 +15,8 @@ into Spark's scan parallelism at 100 TB.
 
 from __future__ import annotations
 
+from weakref import WeakSet
+
 from pyspark.sql import SparkSession
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
@@ -58,11 +60,13 @@ class SyntheticRangeDataSource(DataSource):
         return SyntheticRangeReader(self.options)
 
 
-_REGISTERED_SESSIONS: set[int] = set()
+# Weak refs: an id()-keyed set can false-hit when a collected session's
+# address is recycled, silently skipping registration for the new session.
+_REGISTERED_SESSIONS: WeakSet = WeakSet()
 
 
 def register(spark: SparkSession) -> None:
-    if id(spark) in _REGISTERED_SESSIONS:
+    if spark in _REGISTERED_SESSIONS:
         return
     spark.dataSource.register(SyntheticRangeDataSource)
-    _REGISTERED_SESSIONS.add(id(spark))
+    _REGISTERED_SESSIONS.add(spark)
