@@ -210,21 +210,32 @@ def minhash_dedup_pairs(
     return jaccard_verify(candidates, grams, id_col, threshold)
 
 
+# SimHash width: 60 bits = 15 hex chars of md5 — chosen (over the full 64)
+# so the per-token hash has a bit-exact DuckDB twin (md5 is identical on
+# ASCII in both engines; 15 hex chars fit a signed 64-bit int in both),
+# making the whole simhash pipeline oracle-able instead of rows-only.
+SIMHASH_BITS = 60
+
+
 def token_hashes(text_col: str) -> Column:
-    """xxhash64 per lowercase whitespace token — materialize ONCE; the 64
-    bit votes below must reference this array, not re-split + re-hash the
-    document per bit (the same re-evaluation pathology base_hashes
-    avoids for minhash)."""
-    return F.expr(f"transform(split(lower({text_col}), ' +'), t -> xxhash64(t))")
+    """60-bit md5-derived hash per lowercase whitespace token —
+    materialize ONCE; the bit votes below must reference this array, not
+    re-split + re-hash the document per bit (the same re-evaluation
+    pathology base_hashes avoids for minhash)."""
+    return F.expr(
+        f"transform(split(lower({text_col}), ' +'),"
+        f" t -> cast(conv(substring(md5(cast(t AS BINARY)), 1, 15), 16, 10)"
+        f" AS BIGINT))"
+    )
 
 
-def simhash64_from_hashes(hashes_col: str) -> Column:
-    """64-bit SimHash from a token-hash array column (JVM-side bit votes).
+def simhash_from_hashes(hashes_col: str, n_bits: int = SIMHASH_BITS) -> Column:
+    """SimHash from a token-hash array column (JVM-side bit votes).
 
     bit_j(simhash) = sign of sum over tokens of (2*bit_j(h) - 1).
     """
     bit_cols = []
-    for j in range(64):
+    for j in range(n_bits):
         vote = F.expr(
             f"aggregate({hashes_col}, 0L,"
             f" (acc, h) -> acc + (shiftright(h, {j}) & 1) * 2 - 1)"
@@ -243,22 +254,23 @@ def simhash64_from_hashes(hashes_col: str) -> Column:
 def simhash_near_dup_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64 bits into (max_hamming+1)
+    """SimHash near-dup pairs: band the 60 bits into (max_hamming+1)
     chunks — by pigeonhole, any pair within the Hamming budget shares at
     least one exact chunk — join per chunk, verify with bit_count(xor).
 
     Chunk count trades recall budget against bucket selectivity: more
     chunks admit larger Hamming distances but make each bucket coarser
-    (64/n bits).  Short documents need a larger budget (~7) than the
+    (60/n bits).  Short documents need a larger budget (~7) than the
     classic long-document setting (3); size it to the corpus.
     """
+    n_bits = SIMHASH_BITS
     n_chunks = max_hamming + 1
-    widths = [64 // n_chunks] * n_chunks
-    widths[-1] += 64 - sum(widths)  # remainder bits land in the last chunk
+    widths = [n_bits // n_chunks] * n_chunks
+    widths[-1] += n_bits - sum(widths)  # remainder bits land in the last chunk
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
     h = df.select(
         F.col(id_col), token_hashes(text_col).alias("th")
-    ).select(F.col(id_col), simhash64_from_hashes("th").alias("sh"))
+    ).select(F.col(id_col), simhash_from_hashes("th").alias("sh"))
 
     def _mask(w: int) -> Column:
         # (1<<64)-1 overflows LongType; all-64-bits == -1 in two's complement

@@ -122,11 +122,43 @@ def fingerprint(text_col: str) -> Column:
     return F.md5(norm.cast("binary"))
 
 
+# Rabin-Karp parameters: base 257 (> any byte), modulus 2^31-1 (Mersenne
+# prime).  All intermediates stay under 2^47, far inside signed 64-bit, and
+# the arithmetic is integer-exact — so the hash has a bit-identical DuckDB
+# twin (the oracle recomputes each window directly; incremental rolling
+# update == direct recompute modulo p).
+ROLL_BASE = 257
+ROLL_MOD = 2_147_483_647
+
+
 def rolling_hash(text_col: str, window: int = 8) -> Column:
-    """Deterministic document rolling-hash sketch: min xxhash64 over
-    character windows (a content-defined fingerprint usable for
-    shift-robust dedup)."""
+    """Deterministic document rolling-hash sketch: min polynomial
+    (Rabin-Karp) hash over character windows — a content-defined
+    fingerprint usable for shift-robust dedup.
+
+    O(n) per document: one sequential fold carries (current window hash,
+    running min); each step subtracts the outgoing char's ``c·B^(w-1)``
+    term, multiplies by B, adds the incoming char.  Texts shorter than the
+    window hash their full contents."""
+    t, w, p, b = text_col, window, ROLL_MOD, ROLL_BASE
+    pw = pow(b, w - 1, p)  # B^(w-1) mod p, Python-precomputed
+    h0 = (
+        f"aggregate(sequence(1, least(greatest(length({t}), 1), {w})), 0L,"
+        f" (acc, i) -> pmod(acc * {b}L + ascii(substring({t}, i, 1)), {p}L))"
+    )
+    step = (
+        f"pmod((acc.h - ascii(substring({t}, i - {w}, 1)) * {pw}L) * {b}L"
+        f" + ascii(substring({t}, i, 1)), {p}L)"
+    )
+    roll = (
+        f"aggregate(sequence({w + 1}, length({t})),"
+        f" named_struct('h', {h0}, 'm', {h0}),"
+        f" (acc, i) -> named_struct('h', {step}, 'm', least(acc.m, {step})),"
+        f" acc -> acc.m)"
+    )
+    # the CASE guard matters: sequence(start, stop) with start > stop
+    # generates a DESCENDING sequence in Spark, so the roll branch is only
+    # valid when length > window
     return F.expr(
-        f"array_min(transform(sequence(1, greatest(length({text_col}) - {window - 1}, 1)),"
-        f" i -> xxhash64(substring({text_col}, i, {window}))))"
+        f"CASE WHEN length({t}) <= {w} THEN {h0} ELSE {roll} END"
     )

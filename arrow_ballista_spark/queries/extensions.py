@@ -52,6 +52,57 @@ def _sql_cosine(a: str, b: str) -> str:
     )
 
 
+# --- portable-hash oracle fragments ---------------------------------------
+# The LSH / simhash / rolling-hash pipelines are deterministic given their
+# Python-seeded hyperplanes and md5-derived token hashes, so their DuckDB
+# oracles are *generated*: the same plane literals / hash arithmetic are
+# emitted into SQL, and every intermediate (bucket ids, bit votes, modular
+# hashes) is integer- or sign-exact across engines.
+
+def _sql_hex15(expr: str) -> str:
+    """BIGINT value of the first 15 hex chars of md5(expr) — the DuckDB
+    twin of Spark's ``conv(substring(md5(..), 1, 15), 16, 10)``."""
+    return (
+        f"list_reduce(list_concat([0::BIGINT], list_transform(range(1, 16),"
+        f" i -> instr('0123456789abcdef', substring(md5({expr}), i, 1)) - 1)),"
+        f" (a, b) -> a * 16 + b)"
+    )
+
+
+def _sql_plane(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+
+
+def _sql_lsh_bucket(vec: str, planes: list[list[float]]) -> str:
+    """Sign-bit LSH bucket id — sum of distinct powers of two == Spark's
+    bitwiseOR of shifted bits; the dot's SIGN is bit-exact because both
+    engines run the identical sequential double fold."""
+    terms = [
+        f"(CASE WHEN {_sql_dot(vec, _sql_plane(p))} > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_tables_sql(
+    src: str, id_alias: str, vec: str, n_planes: int, n_tables: int,
+    dim: int, seed: int, bucket_alias: str = "bucket",
+) -> str:
+    """UNION ALL of per-table bucket assignments (same plane literals as
+    operators.similarity._hyperplanes)."""
+    from arrow_ballista_spark.operators.similarity import _hyperplanes
+
+    parts = []
+    for t in range(n_tables):
+        planes = _hyperplanes(n_planes, dim, seed + 1000 * t)
+        parts.append(
+            f"SELECT {id_alias}, {vec}, {t} AS tbl,"
+            f" {_sql_lsh_bucket(vec, planes)} AS {bucket_alias} FROM {src}"
+        )
+    return " UNION ALL ".join(parts)
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
@@ -147,12 +198,36 @@ def ext_dedup_word_bigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "ext_dedup_simhash",
-    None,  # xxhash64 bit votes have no DuckDB twin -> rows-only check
-    doc="64-bit SimHash + 4x16-bit banded Hamming<=3 near-dup pairs",
+    f"""
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS w
+             FROM documents),
+hv AS (SELECT doc_id, {_sql_hex15("w")} AS h FROM tok),
+votes AS (SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS vote
+          FROM hv CROSS JOIN (SELECT unnest(range(0, 60)) AS j) bits
+          GROUP BY doc_id, j),
+sh AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END)
+                   AS BIGINT) AS sh
+       FROM votes GROUP BY doc_id),
+ch AS (SELECT doc_id, sh, ci, (sh >> (15 * CAST(ci AS INT))) & 32767 AS cv
+       FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS ci) chunks),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.sh AS sh_a, b.sh AS sh_b
+         FROM ch a JOIN ch b
+           ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+""",
+    doc=(
+        "60-bit SimHash (md5-derived token hashes — engine-portable, so "
+        "the banded pipeline is value-oracled) + 4x15-bit banded "
+        "Hamming<=3 near-dup pairs"
+    ),
 )
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=3)
+    pairs = dedup.simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=3)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 @query(
@@ -215,13 +290,44 @@ def ext_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _topk_lsh_oracle() -> str:
+    """Generated oracle: the same seeded hyperplanes the Spark operator
+    builds as literals (similarity._hyperplanes, seed 42) are emitted into
+    SQL, so bucket ids — and therefore the candidate set — are identical;
+    the exact-cosine re-rank then hash-matches like the brute-force twin."""
+    n_planes, n_tables, dim, seed, k = 8, 8, 64, 42, 5
+    probes = ", ".join(
+        ["b0"] + [f"xor(b0, {1 << i})" for i in range(n_planes)]
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 10),
+c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+cb AS ({_lsh_tables_sql("c", "corpus_id", "cv", n_planes, n_tables, dim, seed)}),
+qb AS ({_lsh_tables_sql("q", "query_id", "qv", n_planes, n_tables, dim, seed,
+                        bucket_alias="b0")}),
+qp AS (SELECT query_id, qv, tbl, unnest([{probes}]) AS bucket FROM qb),
+s AS (SELECT DISTINCT query_id, corpus_id, {_sql_cosine("qv", "cv")} AS cos_raw
+      FROM qp JOIN cb ON qp.tbl = cb.tbl AND qp.bucket = cb.bucket
+      WHERE query_id <> corpus_id),
+r AS (SELECT query_id, corpus_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, corpus_id) AS rnk
+      FROM s)
+SELECT query_id, corpus_id, {R("cos_raw", 6)} AS cosine, CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= {k}
+"""
+
+
 @query(
     "ext_sim_topk_lsh",
-    None,  # Python-seeded random hyperplanes -> rows-only check
+    _topk_lsh_oracle(),
     doc=(
         "approximate top-5 via random-hyperplane LSH buckets + Hamming-1 "
         "multiprobe + exact re-rank; at scale the corpus is written "
-        "partitioned by bucket so each query touches ~corpus/2^bits rows"
+        "partitioned by bucket so each query touches ~corpus/2^bits rows. "
+        "Value-oracled: the seeded plane literals are emitted into the "
+        "DuckDB SQL, so buckets/candidates/ranks match exactly"
     ),
 )
 def ext_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,10 +450,34 @@ def ext_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_roll_fold(positions: str) -> str:
+    """Direct Rabin-Karp fold over the chars at ``positions`` — equals the
+    Spark side's O(n) incremental update modulo 2^31-1 (integer-exact in
+    both engines)."""
+    return (
+        f"list_reduce(list_concat([0::BIGINT], list_transform({positions},"
+        f" j -> ascii(substring(text, CAST(j AS INT), 1)))),"
+        f" (a, c) -> (a * {text.ROLL_BASE} + c) % {text.ROLL_MOD})"
+    )
+
+
 @query(
     "ext_text_rolling_hash",
-    None,  # xxhash64 has no DuckDB twin -> rows-only check
-    doc="shift-robust rolling-hash document sketch (min xxhash64 over char windows)",
+    f"""
+SELECT doc_id,
+       CASE WHEN length(text) <= 8
+            THEN {_sql_roll_fold("range(1, greatest(length(text), 1) + 1)")}
+            ELSE list_aggregate(list_transform(
+                     range(1, length(text) - 6),
+                     i -> {_sql_roll_fold("range(i, i + 8)")}), 'min')
+       END AS rhash
+FROM documents
+""",
+    doc=(
+        "shift-robust rolling-hash document sketch: min Rabin-Karp hash "
+        "(base 257 mod 2^31-1) over 8-char windows; O(n) incremental fold "
+        "Spark-side, value-oracled against direct per-window recompute"
+    ),
 )
 def ext_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -556,15 +686,37 @@ def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_near_dup_oracle() -> str:
+    """Generated oracle for the all-pairs LSH variant — same seeded plane
+    literals as operators.similarity.lsh_cosine_near_dup_pairs defaults."""
+    n_planes, n_tables, dim, seed, thr = 8, 12, 64, 42, 0.35
+    return f"""
+WITH src AS (SELECT vec_id, embedding FROM embeddings),
+e AS ({_lsh_tables_sql("src", "vec_id", "embedding", n_planes, n_tables,
+                       dim, seed, bucket_alias="b")}),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM e a JOIN e b
+           ON a.tbl = b.tbl AND a.b = b.b AND a.vec_id < b.vec_id),
+v AS (SELECT id_a, id_b,
+             {_sql_cosine("ea.embedding", "eb.embedding")} AS cos_raw
+      FROM cand
+      JOIN embeddings ea ON ea.vec_id = cand.id_a
+      JOIN embeddings eb ON eb.vec_id = cand.id_b)
+SELECT id_a, id_b, {R("cos_raw", 6)} AS cosine
+FROM v WHERE cos_raw >= {thr}
+"""
+
+
 @query(
     "ext_sim_lsh_near_dup",
-    None,  # Python-seeded hyperplanes -> rows-only; recall vs exact is unit-tested
+    _lsh_near_dup_oracle(),
     doc=(
         "LSH-bucketed embedding near-dup pairs (the scale path for "
         "ext_dedup_embedding_cosine): multi-table hyperplane LSH (k=8 "
         "bits x L=12 tables) + exact-cosine verify; the join touches "
         "~L*n^2/2^k pairs and recall at the cos>=0.9 design point is "
-        "~0.96 (unit-tested on planted near-dups)"
+        "~0.96 (unit-tested on planted near-dups).  Value-oracled via "
+        "emitted plane literals"
     ),
 )
 def ext_sim_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -577,14 +729,63 @@ def ext_sim_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_oracle() -> str:
+    """Generated oracle: the whole IVF pipeline re-expressed in SQL.  The
+    centroid sample is md5(id)-ordered (engine-portable, bit-identical),
+    every similarity is the same sequential double fold, and the Spark
+    side's tie-breaks are replicated exactly: cell assignment takes the
+    FIRST max (sim DESC, cell ASC), probe selection reverses a struct sort
+    (sim DESC, cell DESC)."""
+    n_cells, nprobe, k = 16, 4, 5
+    md5_order = "md5(CAST(vec_id AS VARCHAR)), vec_id"
+    return f"""
+WITH nz AS (SELECT vec_id, embedding FROM embeddings
+            WHERE sqrt({_sql_dot("embedding", "embedding")}) > 0),
+cent AS (SELECT embedding AS ce,
+                row_number() OVER (ORDER BY {md5_order}) - 1 AS cell
+         FROM nz QUALIFY row_number() OVER (ORDER BY {md5_order}) <= {n_cells}),
+cw AS (SELECT cell, ce, sqrt({_sql_dot("ce", "ce")}) AS cen FROM cent),
+c AS (SELECT vec_id AS corpus_id, embedding AS cv,
+             sqrt({_sql_dot("embedding", "embedding")}) AS cn FROM embeddings),
+asg AS (SELECT corpus_id, cv, cn, cell,
+               row_number() OVER (PARTITION BY corpus_id
+                                  ORDER BY sim DESC, cell ASC) AS r
+        FROM (SELECT corpus_id, cv, cn, cell,
+                     {_sql_dot("cv", "ce")} / nullif(cn * cen, 0.0) AS sim
+              FROM c CROSS JOIN cw)),
+idx AS (SELECT corpus_id, cv, cn, cell FROM asg WHERE r = 1),
+qa AS (SELECT vec_id AS query_id, embedding AS qv,
+              sqrt({_sql_dot("embedding", "embedding")}) AS qn
+       FROM embeddings WHERE vec_id < 10),
+qs AS (SELECT query_id, qv, qn, cell,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, cell DESC) AS r
+       FROM (SELECT query_id, qv, qn, cell,
+                    {_sql_dot("qv", "ce")} / nullif(qn * cen, 0.0) AS sim
+             FROM qa CROSS JOIN cw)),
+pr AS (SELECT query_id, qv, qn, cell FROM qs WHERE r <= {nprobe}),
+sc AS (SELECT DISTINCT query_id, corpus_id,
+              {_sql_dot("qv", "cv")} / nullif(qn * cn, 0.0) AS cos_raw
+       FROM pr JOIN idx USING (cell)
+       WHERE query_id <> corpus_id),
+rk AS (SELECT query_id, corpus_id, cos_raw,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_raw DESC, corpus_id) AS rnk
+       FROM sc)
+SELECT query_id, corpus_id, {R("cos_raw", 6)} AS cosine, CAST(rnk AS INT) AS rnk
+FROM rk WHERE rnk <= {k}
+"""
+
+
 @query(
     "ext_sim_topk_ivf",
-    None,  # centroid sample is corpus/hash-derived -> rows-only; recall unit-tested
+    _ivf_oracle(),
     doc=(
-        "IVF approximate top-5: deterministic coarse centroids (min-xxhash "
-        "corpus sample), map-only cell assignment, nprobe=4/16 cells, "
-        "exact-cosine rerank.  At scale the corpus is written partitioned "
-        "by cell so probes prune at the file level"
+        "IVF approximate top-5: deterministic coarse centroids (min-md5 "
+        "corpus sample — engine-portable), map-only cell assignment, "
+        "nprobe=4/16 cells, exact-cosine rerank.  At scale the corpus is "
+        "written partitioned by cell so probes prune at the file level. "
+        "Value-oracled end-to-end in SQL"
     ),
 )
 def ext_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

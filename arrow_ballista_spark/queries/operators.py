@@ -485,15 +485,30 @@ def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_distinct",
-    None,  # approx algorithms differ across engines -> rows-only check
-    doc="APPROX_DISTINCT (ref datafusion.proto:535) — HLL sketch; "
-        "cross-engine values differ by design, driver does rows-only",
+    # HLL sketch VALUES are engine-specific by design, so the oracle
+    # checks the sketch's defining PROPERTY instead: each engine runs its
+    # own approx_count_distinct next to the exact count and asserts the
+    # relative error is inside the advertised bound (5% >> both engines'
+    # default accuracy).  The boolean + exact count hash-compare.
+    """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       (abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+        <= 0.05 * COUNT(DISTINCT l_partkey)) AS approx_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="APPROX_DISTINCT (ref datafusion.proto:535) — HLL sketch; sketch "
+        "values are engine-specific, so the oracle hash-compares the exact "
+        "count plus an each-engine-within-5%-error property bit",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    exact = F.count_distinct("l_partkey")
+    approx = F.approx_count_distinct("l_partkey")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.count_distinct("l_partkey").alias("exact_parts"),
+        exact.cast("bigint").alias("exact_parts"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("approx_within_5pct"),
     )
 
 
