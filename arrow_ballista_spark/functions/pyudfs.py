@@ -44,6 +44,20 @@ def weighted_qty_udaf():
     return weighted_qty
 
 
+def window_mod_sum_udf():
+    """GROUPED_AGG pandas UDF usable OVER a bounded window frame (the
+    reference registers window UDFs on every executor,
+    ``ballista/executor/src/executor.rs:67-73``).  Integer sum keeps the
+    value bit-exact across engines regardless of frame evaluation order."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def mod_sum(v: pd.Series) -> int:
+        return int(v.sum())
+
+    return mod_sum
+
+
 class WordPositions:
     """Python UDTF: one text row -> (word, pos) rows (whitespace-run
     tokenization, matching the engine's ' +' split semantics)."""

@@ -686,6 +686,49 @@ def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_asof_join_bucketed",
+    """
+SELECT l.event_id, l.user_id, l.ts,
+       COALESCE(r.ts, TIMESTAMP '1970-01-01') AS ts_asof,
+       COALESCE(r.value, -1.0) AS value_asof
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+    doc=(
+        "skew-safe as-of join: same semantics (and oracle) as "
+        "ext_asof_join, but the window partitions on (key, time-bucket) "
+        "with a carry-in fix-up pass over bucket summaries, so one hot "
+        "key splits across n_buckets tasks instead of a single straggler"
+    ),
+)
+def ext_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.operators.asof import asof_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join_bucketed(
+        clicks, purchases, on="ts", by="user_id", right_cols=["value"],
+        n_buckets=16,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(F.col("ts_asof"), F.lit("1970-01-01").cast("timestamp_ntz"))
+            .alias("ts_asof"),
+        F.coalesce(F.col("value_asof"), F.lit(-1.0)).alias("value_asof"),
+    )
+
+
 def _lsh_near_dup_oracle() -> str:
     """Generated oracle for the all-pairs LSH variant — same seeded plane
     literals as operators.similarity.lsh_cosine_near_dup_pairs defaults."""

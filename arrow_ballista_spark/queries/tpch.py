@@ -509,3 +509,74 @@ ORDER BY cntrycode
 """,
     doc="ref q22.sql shape (nationkey-derived country code, no c_phone)",
 )
+
+# --- decimal parity family ---------------------------------------------------
+# The reference's TPC-H schemas are DECIMAL(15,2)-native
+# (benchmarks/src/bin/tpch.rs:861-960) while the driver's parquet is
+# double-typed, so the suite above never exercises Spark's decimal
+# precision-promotion rules (SURVEY.md §7 risk 1).  These queries cast the
+# money columns to DECIMAL(15,2) and run the arithmetic in decimal —
+# additions stay scale 2, products widen to scale 4/6, sums widen precision
+# — all EXACT in both engines, so the shared SQL hash-matches bit-for-bit.
+# Final outputs cast decimal -> double (correctly-rounded nearest in both
+# engines: same exact decimal in, same double out).  Division promotion is
+# engine-divergent (Spark yields DECIMAL(38,s), DuckDB DOUBLE), so division
+# semantics are pinned by tests/test_decimal.py instead of a value oracle.
+
+_shared_sql(
+    "tpch_q1_decimal",
+    """
+WITH d AS (SELECT l_returnflag, l_linestatus,
+                  CAST(l_quantity      AS DECIMAL(15,2)) AS qty,
+                  CAST(l_extendedprice AS DECIMAL(15,2)) AS price,
+                  CAST(l_discount      AS DECIMAL(15,2)) AS disc,
+                  CAST(l_tax           AS DECIMAL(15,2)) AS tax
+           FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02')
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(qty)   AS DOUBLE)                            AS sum_qty,
+       CAST(SUM(price) AS DOUBLE)                            AS sum_base_price,
+       CAST(SUM(price * (1 - disc)) AS DOUBLE)               AS sum_disc_price,
+       CAST(SUM(price * (1 - disc) * (1 + tax)) AS DOUBLE)   AS sum_charge,
+       CAST(COUNT(*) AS BIGINT)                              AS count_order
+FROM d
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    doc="ref q1.sql with the reference's DECIMAL(15,2) money types "
+        "(tpch.rs:861-960): decimal sum/product promotion, exact values",
+)
+
+_shared_sql(
+    "decimal_promotion",
+    """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice AS DECIMAL(15,2))
+            * CAST(l_quantity AS DECIMAL(15,2)) AS DOUBLE)      AS mul_scale4,
+       CAST(CAST(l_extendedprice AS DECIMAL(15,2))
+            + CAST(l_tax AS DECIMAL(15,2)) AS DOUBLE)           AS add_scale2,
+       CAST(CAST(l_extendedprice AS DECIMAL(15,2))
+            - CAST(l_discount AS DECIMAL(15,2)) AS DOUBLE)      AS sub_scale2,
+       CAST(CAST(CAST(l_extendedprice AS DECIMAL(15,2))
+                 AS DECIMAL(38,6)) AS DOUBLE)                   AS widen_cast
+FROM lineitem
+WHERE l_orderkey < 400
+""",
+    doc="per-row decimal mul/add/sub promotion + lossless widening cast "
+        "(exact scale-2/4 arithmetic, hash-compared bit-for-bit)",
+)
+
+_shared_sql(
+    "decimal_agg",
+    """
+SELECT o_orderstatus,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_total,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS min_total,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS max_total,
+       CAST(COUNT(*) AS BIGINT)                                 AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="decimal aggregate family: SUM widens precision (never overflows "
+        "silently), MIN/MAX keep scale — exact in both engines",
+)

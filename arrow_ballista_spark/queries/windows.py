@@ -324,3 +324,41 @@ def window_groups_frame_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "event_id", F.sum("user_id").over(w).alias("grp_sum")
     )
+
+
+@query(
+    "ext_udf_window",
+    """
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(o_orderkey % 97) OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_sum
+FROM orders
+WHERE o_custkey < 300
+""",
+    doc=(
+        "pandas UDF applied OVER a bounded window frame — the reference "
+        "registers window UDFs on every executor "
+        "(ballista/executor/src/executor.rs:67-73; WindowExprNode fun_def, "
+        "datafusion.proto:576-581).  Arrow-batched GROUPED_AGG UDF per "
+        "frame; integer sum keeps values bit-exact vs the SQL-window "
+        "oracle"
+    ),
+)
+def ext_udf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.functions.pyudfs import window_mod_sum_udf
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    mod_sum = window_mod_sum_udf()
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        mod_sum((F.col("o_orderkey") % 97).cast("bigint")).over(w)
+        .alias("win_sum"),
+    )

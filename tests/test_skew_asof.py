@@ -1,0 +1,105 @@
+"""Skew-mitigation operators: salted join salt spread, as-of join
+torn-row atomicity (NULL right values), bucketed as-of hot-key splitting."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from arrow_ballista_spark.operators import skew
+from arrow_ballista_spark.operators.asof import asof_join, asof_join_bucketed
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_salted_join_spreads_identical_duplicate_rows(spark):
+    # the canonical pathological hot key: fully-identical duplicate rows.
+    # A content-derived salt maps them all to ONE bucket; the row-position
+    # salt must spread them over >= 2 buckets.
+    left = spark.createDataFrame([("hot", 1)] * 1000, "k string, v int")
+    salts = (
+        left.withColumn("_salt", skew._salt_col(8))
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert salts >= 2, "identical duplicate rows all landed on one salt"
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.createDataFrame(
+        [("hot", i % 3) for i in range(300)] + [("cold", 7)],
+        "k string, v int",
+    )
+    right = spark.createDataFrame(
+        [("hot", 100), ("cold", 200), ("missing", 300)], "k string, w int"
+    )
+    got = skew.salted_join(left, right, "k", salt_buckets=8).orderBy("v")
+    want = left.join(right, "k").orderBy("v")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_asof_join_carries_null_right_values_atomically(spark):
+    # regression: the per-column last(ignorenulls) formulation tore rows —
+    # a NULL value in the NEWEST right row fell back to an OLDER row's
+    # value while ts_asof came from the newest.  The struct carry must
+    # return the matched row's NULL.
+    left = spark.createDataFrame(
+        [("u1", _ts(12), "e1")], "uid string, ts timestamp, eid string"
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(10), 5.0), ("u1", _ts(11), None)],
+        "uid string, ts timestamp, value double",
+    )
+    row = asof_join(left, right, on="ts", by="uid").first()
+    assert row["ts_asof"] == _ts(11), "must match the newest right row"
+    assert row["value_asof"] is None, (
+        "torn row: value came from an older right row than ts_asof"
+    )
+
+
+def _skewed_frames(spark):
+    # 90% of rows on one key — the straggler case for a plain keyed window
+    left_rows = [("hot", _ts(h % 24, m), f"e{h}_{m}") for h in range(18) for m in range(50)]
+    left_rows += [("cold", _ts(h), f"c{h}") for h in range(10)]
+    right_rows = [("hot", _ts(h % 24, (m * 7) % 60), float(h * 100 + m)) for h in range(12) for m in range(20)]
+    right_rows += [("cold", _ts(h, 30), float(h)) for h in range(5)]
+    left = spark.createDataFrame(left_rows, "uid string, ts timestamp, eid string")
+    right = spark.createDataFrame(right_rows, "uid string, ts timestamp, value double")
+    return left, right
+
+
+def test_asof_bucketed_equals_plain_on_skewed_input(spark):
+    left, right = _skewed_frames(spark)
+    plain = asof_join(left, right, on="ts", by="uid")
+    bucketed = asof_join_bucketed(
+        left, right, on="ts", by="uid", n_buckets=8
+    )
+    key = lambda r: (r["uid"], r["eid"])  # noqa: E731
+    p = {key(r): (r["ts_asof"], r["value_asof"]) for r in plain.collect()}
+    b = {key(r): (r["ts_asof"], r["value_asof"]) for r in bucketed.collect()}
+    assert p == b
+
+
+def test_asof_bucketed_splits_hot_key_across_partitions(spark):
+    # the window partition key is (by, _bkt): the hot key must occupy
+    # more than one bucket, i.e. more than one window task.
+    left, right = _skewed_frames(spark)
+    lo, hi = left.select(
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("us")
+    ).agg(F.min("us"), F.max("us")).first()
+    width = max((hi - lo) // 8, 1)
+    n_bkts = (
+        left.filter(F.col("uid") == "hot")
+        .select(
+            (F.unix_micros(F.col("ts").cast("timestamp_ltz")) / F.lit(width))
+            .cast("bigint")
+            .alias("b")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_bkts > 1, "hot key landed in a single time bucket"

@@ -8,7 +8,9 @@ from arrow_ballista_spark.queries import load_all
 from tests.conftest import SF_DIR, assert_same_results
 
 REG = load_all()
-TPCH = sorted(n for n in REG if n.startswith("tpch_"))
+TPCH = sorted(
+    n for n in REG if n.startswith("tpch_") or n.startswith("decimal_")
+)
 
 
 @pytest.mark.parametrize("name", TPCH)
