@@ -25,8 +25,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return reg["tpch_q1"].spark(spark, "/root/testdata/sf0.001")
 
 
+def _released(fn: Callable[[SparkSession, str], DataFrame]):
+    """Free the previous query's operator-internal persist()s before
+    building the next plan, so caches don't accumulate over a 100+-query
+    harness run in one session (the handles are lazy — the operator itself
+    can never unpersist; see operators/caching.py)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from arrow_ballista_spark.operators.caching import release_caches
+
+        release_caches()
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: qd.spark for name, qd in load_all().items()}
+    return {name: _released(qd.spark) for name, qd in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -56,6 +56,9 @@ class JobHandle:
     _result: list | None = None
     _error: BaseException | None = None
     _done: threading.Event = field(default_factory=threading.Event)
+    # the submitted plan, kept for the monitoring surface (REST /dot,
+    # /metrics need the physical plan after the job completes)
+    _df: DataFrame | None = None
 
     def status(self) -> str:
         if not self._done.is_set():
@@ -272,7 +275,7 @@ class BallistaContext:
     def submit(self, sql_or_df: str | DataFrame) -> JobHandle:
         df = self.sql(sql_or_df) if isinstance(sql_or_df, str) else sql_or_df
         job_id = f"job-{uuid.uuid4().hex[:12]}"
-        handle = JobHandle(job_id=job_id, _spark=self.spark)
+        handle = JobHandle(job_id=job_id, _spark=self.spark, _df=df)
         self._jobs = getattr(self, "_jobs", [])
         self._jobs.append(handle)
 

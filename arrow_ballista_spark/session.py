@@ -30,6 +30,7 @@ def get_session(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    ui: bool | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine SparkSession.
 
@@ -60,7 +61,17 @@ def get_session(
         # statistics, config.rs:39) -> Spark CBO over ANALYZE'd tables
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "90g"))
-        .config("spark.ui.enabled", "false")
+        # Spark UI = the deep-inspection monitoring surface (reference serves
+        # a scheduler UI on :80, ballista/scheduler/ui).  Off by default in
+        # headless/test runs; enable via ui=True or SPARK_GRAFT_UI=1.  The
+        # machine-readable REST facade (monitoring.py) works either way.
+        .config(
+            "spark.ui.enabled",
+            "true"
+            if (ui if ui is not None
+                else os.environ.get("SPARK_GRAFT_UI", "0") == "1")
+            else "false",
+        )
         .config("spark.sql.shuffle.spill.compress", "true")
     )
     for k, v in (extra_conf or {}).items():

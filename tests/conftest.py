@@ -25,6 +25,16 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _release_operator_caches():
+    """Free operator-internal persist()s between test modules (see
+    operators/caching.py — the lazy handles can't be freed in-operator)."""
+    yield
+    from arrow_ballista_spark.operators.caching import release_caches
+
+    release_caches()
+
+
 def make_oracle(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in ALL_TABLES:
