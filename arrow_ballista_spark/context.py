@@ -263,6 +263,23 @@ class BallistaContext:
         df = self.sql(sql_or_df) if isinstance(sql_or_df, str) else sql_or_df
         return explain_str(df, mode)
 
+    # -- SQL serving endpoint (flight_sql.rs:485-870 analogue) -------------
+
+    def serve_sql(self, port: int = 10000):
+        """Start the in-process JDBC endpoint over this context's catalog
+        (reference: embedded FlightSQL service).  Returns the handle;
+        also kept on the context for :meth:`stop_serving`."""
+        from arrow_ballista_spark.serving import start_sql_server
+
+        self._sql_server = start_sql_server(self.spark, port)
+        return self._sql_server
+
+    def stop_serving(self) -> None:
+        srv = getattr(self, "_sql_server", None)
+        if srv is not None:
+            srv.stop()
+            self._sql_server = None
+
     # -- async job control (ballista.proto:525-656) ------------------------
 
     def jobs(self) -> list[dict]:

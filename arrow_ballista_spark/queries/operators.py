@@ -920,3 +920,34 @@ def fn_explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.length("tok") >= 6)
     )
+
+
+@query(
+    "meta_information_schema",
+    """
+SELECT table_name, column_name, CAST(ordinal_position AS INT) AS ordinal_position
+FROM information_schema.columns
+WHERE table_name IN ('region', 'nation', 'customer', 'supplier', 'part',
+                     'orders', 'lineitem', 'events', 'documents', 'embeddings')
+ORDER BY table_name, ordinal_position
+""",
+    doc="information_schema.columns over the registered catalog "
+        "(ref ballista.with_information_schema, config.rs:43-44; "
+        "data_type spellings are engine-specific so the oracled columns "
+        "are name + ordinal — the Spark view also carries data_type / "
+        "is_nullable)",
+)
+def meta_information_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.catalog import ALL_TABLES
+    from arrow_ballista_spark.metadata import register_information_schema
+
+    register_tables(spark, sf_dir)
+    register_information_schema(spark, tables=list(ALL_TABLES))
+    return spark.sql(
+        """
+        SELECT table_name, column_name,
+               CAST(ordinal_position AS INT) AS ordinal_position
+        FROM information_schema.columns
+        ORDER BY table_name, ordinal_position
+        """
+    )

@@ -1,0 +1,74 @@
+"""SQL serving endpoint — the FlightSQL/JDBC analogue.
+
+Reference parity: the Ballista scheduler embeds an Arrow Flight SQL
+endpoint so BI tools and the Arrow Flight SQL JDBC driver can submit
+queries over gRPC (``ballista/scheduler/src/flight_sql.rs:485-870``,
+``docs/source/user-guide/flightsql.md``).  Spark's production equivalents
+of that serving surface are:
+
+- **HiveThriftServer2** — the JDBC/ODBC endpoint (what a BI tool's JDBC
+  driver speaks).  :func:`start_sql_server` boots it *in-process* over an
+  existing SparkSession, same as the reference embedding FlightSQL in the
+  scheduler process.  With ``spark.sql.hive.thriftServer.singleSession=
+  true`` (set by :func:`~arrow_ballista_spark.session.get_session`) the
+  endpoint shares the session's temp-view catalog, so every table
+  registered through :class:`BallistaContext` is queryable over JDBC.
+- **Spark Connect** — the gRPC + Arrow-batch protocol (architecturally the
+  closest match to Flight SQL's gRPC + Arrow result streams); clients use
+  ``SparkSession.builder.remote("sc://host:port")``.
+
+Both are gated the same way as the Avro reader: the pip-installed PySpark
+ships the needed jars, but environments that strip them get a clear
+RuntimeError instead of a Py4J stack trace.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+class SQLServerHandle:
+    """Running JDBC endpoint; ``stop()`` shuts it down."""
+
+    def __init__(self, jserver, port: int):
+        self._jserver = jserver
+        self.port = port
+
+    @property
+    def jdbc_url(self) -> str:
+        return f"jdbc:hive2://localhost:{self.port}"
+
+    def stop(self) -> None:
+        self._jserver.stop()
+
+
+def start_sql_server(spark: SparkSession, port: int = 10000) -> SQLServerHandle:
+    """Start the JDBC/ODBC (HiveServer2 protocol) endpoint in-process.
+
+    Mirrors the reference's embedded FlightSQL service
+    (``flight_sql.rs:485-870``): same process as the engine, serving the
+    session's catalog to external SQL clients.  Verify with the bundled
+    beeline: ``beeline -u jdbc:hive2://localhost:<port> -e 'SELECT 1'``.
+    """
+    spark.conf.set("hive.server2.thrift.port", str(port))
+    jvm = spark.sparkContext._jvm
+    try:
+        hts = jvm.org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+        jserver = hts.startWithContext(spark._jsparkSession.sqlContext())
+    except Exception as e:  # pragma: no cover — jar-stripped environments
+        raise RuntimeError(
+            "HiveThriftServer2 unavailable: this Spark build lacks the "
+            "spark-hive-thriftserver jars. Install a full PySpark "
+            "distribution to serve JDBC (reference analogue: FlightSQL "
+            "endpoint, ballista/scheduler/src/flight_sql.rs)."
+        ) from e
+    return SQLServerHandle(jserver, port)
+
+
+def connect_url(host: str = "localhost", port: int = 15002) -> str:
+    """Spark Connect endpoint URL for gRPC+Arrow clients (the Flight-SQL-
+    shaped protocol).  Starting a Connect server is a launch-time choice
+    (``spark-connect-shell`` / ``spark.api.mode=connect``); an
+    already-running driver can't retrofit the plugin, so this helper only
+    builds the client URL."""
+    return f"sc://{host}:{port}"

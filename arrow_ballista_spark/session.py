@@ -73,6 +73,9 @@ def get_session(
             else "false",
         )
         .config("spark.sql.shuffle.spill.compress", "true")
+        # the JDBC endpoint (serving.start_sql_server) shares this session's
+        # temp-view catalog — static conf, must be set before the JVM starts
+        .config("spark.sql.hive.thriftServer.singleSession", "true")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -222,3 +222,27 @@ def test_analyze_table_stats(ctx, tmp_path):
     )
     assert "Statistics" in cost and "rowCount" in cost
     ctx.spark.sql("DROP TABLE nation_saved")
+
+
+def test_information_schema_views(spark):
+    """information_schema.tables/columns parity with the reference's
+    with_information_schema catalog (config.rs:43-44)."""
+    from arrow_ballista_spark.catalog import register_tables
+    from arrow_ballista_spark.metadata import register_information_schema
+
+    register_tables(spark, SF_DIR)
+    register_information_schema(spark)
+    tabs = {
+        r.table_name
+        for r in spark.sql(
+            "SELECT table_name FROM information_schema.tables"
+        ).collect()
+    }
+    assert {"region", "nation", "lineitem", "documents"} <= tabs
+    cols = spark.sql(
+        "SELECT column_name, data_type, is_nullable "
+        "FROM information_schema.columns WHERE table_name = 'nation' "
+        "ORDER BY ordinal_position"
+    ).collect()
+    assert [c.column_name for c in cols][:2] == ["n_nationkey", "n_name"]
+    assert cols[0].data_type in ("int", "bigint")
