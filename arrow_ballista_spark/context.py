@@ -163,10 +163,18 @@ class BallistaContext:
 
     def set(self, key: str, value: str) -> None:
         # reference key namespace: ballista.shuffle.partitions etc.
+        if key == "ballista.with_information_schema":
+            # reference config.rs:43-44 — build the catalog views now
+            if str(value).lower() in ("true", "1", "yes"):
+                from arrow_ballista_spark.metadata import (
+                    register_information_schema,
+                )
+
+                register_information_schema(self.spark)
+            return
         mapped = {
             "ballista.shuffle.partitions": "spark.sql.shuffle.partitions",
             "ballista.batch.size": "spark.sql.parquet.columnarReaderBatchSize",
-            "ballista.with_information_schema": None,  # always on in Spark
         }.get(key, key)
         if mapped:
             self.spark.conf.set(mapped, value)

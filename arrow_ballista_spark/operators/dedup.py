@@ -309,3 +309,63 @@ def simhash_near_dup_pairs(
     return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: returns
+    ``(id, cluster_id)`` where ``cluster_id`` is the smallest id reachable
+    from ``id`` — the canonical-representative labeling a dedup pipeline
+    needs to go from *pairs* to *keep one doc per duplicate cluster*.
+
+    Min-label propagation: every node starts labeled with its own id; each
+    round takes the min of its label and its neighbors' labels, until no
+    label changes.  Rounds = graph diameter, which for near-dup clusters
+    is small (dup groups are near-cliques, so 2-3 rounds typical).  Each
+    round is one shuffle join keyed by node id — the same round structure
+    GraphX/GraphFrames Pregel uses for CC at scale.  ``localCheckpoint``
+    truncates the per-round lineage so the plan doesn't grow with the
+    iteration count (at cluster scale, use a reliable checkpoint dir
+    instead).  The convergence probe is a scalar aggregate per round
+    (sum of labels, strictly decreasing until fixpoint) — a planning-time
+    action, not a data collect.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    edges = tracked_persist(edges.distinct())
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nb_label"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("id", F.col("label").alias("cluster_id"))

@@ -1027,3 +1027,44 @@ def ext_udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "word", "pos")
         .filter(F.length("word") >= 8)
     )
+
+
+@query(
+    "ext_dedup_clusters",
+    f"""
+WITH RECURSIVE g AS ({_SQL_WORD_GRAMS}),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))
+          / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(MIN(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+""",
+    doc=(
+        "near-dup pairs -> duplicate CLUSTERS via distributed connected "
+        "components (min-label propagation, one shuffle join per round, "
+        "rounds = graph diameter — the GraphX/Pregel CC round structure). "
+        "cluster_id = min doc_id in the component, i.e. the canonical doc "
+        "a keep-one-per-cluster dedup retains.  Oracle: recursive-CTE "
+        "transitive closure over the same exact-Jaccard pair set."
+    ),
+)
+def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "text", "doc_id", threshold=0.5, num_perm=128, rows_per_band=4
+    ).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs)
+    return comp.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )

@@ -58,3 +58,33 @@ def write_partitioned(
     """Hive-style partitioned dataset (reference table_partition_cols);
     readable back with partition discovery + partition pruning."""
     write_parquet(df, path, mode=mode, partition_by=partition_cols)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffled storage layout so joins and
+    aggregations on the bucket keys run with ZERO exchange.
+
+    This is the 100 TB co-location strategy: pay the shuffle ONCE at write
+    time, then every join between tables bucketed the same way (same keys,
+    same bucket count) is map-side — Catalyst proves the partitioning
+    requirement is already satisfied and plans no Exchange.  The reference
+    keeps shuffle files around between stages for the same reason
+    (``ShuffleWriterExec`` partition files); bucketing is the durable,
+    cross-query version of that idea.
+
+    ``sort_cols`` additionally sorts within each bucket (sort-merge join
+    without the sort step).  Bucketed tables are saved through the session
+    catalog (``saveAsTable``) — bucket metadata lives in the catalog, not
+    the parquet footers.
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)

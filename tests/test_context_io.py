@@ -246,3 +246,56 @@ def test_information_schema_views(spark):
     ).collect()
     assert [c.column_name for c in cols][:2] == ["n_nationkey", "n_name"]
     assert cols[0].data_type in ("int", "bigint")
+
+
+def test_with_information_schema_setting(spark):
+    """ballista.with_information_schema=true builds the catalog views
+    through the product settings surface (config.rs:43-44)."""
+    from arrow_ballista_spark.context import BallistaContext
+
+    ctx = BallistaContext(spark=spark)
+    ctx.register_parquet("infoset_nation", f"{SF_DIR}/nation.parquet")
+    ctx.set("ballista.with_information_schema", "true")
+    names = {
+        r.table_name
+        for r in ctx.sql(
+            "SELECT table_name FROM information_schema.tables"
+        ).collect()
+    }
+    assert "infoset_nation" in names
+
+
+def test_bucketed_join_runs_without_shuffle(spark):
+    """write_bucketed co-location: two tables bucketed on the same key and
+    count join with ZERO exchanges — the shuffle was paid once at write
+    time (the durable version of the reference's retained shuffle files)."""
+    from arrow_ballista_spark.catalog import load_table
+    from arrow_ballista_spark.plans.explain import num_exchanges
+    from arrow_ballista_spark.sources.writers import write_bucketed
+
+    cust = load_table(spark, SF_DIR, "customer")
+    orders = load_table(spark, SF_DIR, "orders")
+    write_bucketed(cust, "bkt_customer", ["c_custkey"], num_buckets=8,
+                   sort_cols=["c_custkey"])
+    write_bucketed(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        "bkt_orders", ["c_custkey"], num_buckets=8,
+        sort_cols=["c_custkey"],
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_customer").join(
+            spark.table("bkt_orders"), "c_custkey"
+        )
+        assert num_exchanges(joined) == 0, "bucketed join must not shuffle"
+        assert joined.count() > 0
+        # same key non-bucketed baseline DOES shuffle
+        plain = cust.join(
+            orders, cust.c_custkey == orders.o_custkey
+        )
+        assert num_exchanges(plain) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_customer")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")

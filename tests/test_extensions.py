@@ -184,3 +184,22 @@ def test_lsh_topk_recall_on_planted_near_dups(spark):
     got = {r.query_id: r.corpus_id for r in out.collect()}
     hits = sum(1 for q, c in got.items() if c == q)
     assert hits >= 23  # >=92% rank-1 recall
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Label propagation must close a diameter-4 chain (multiple rounds)
+    and keep disjoint components separate."""
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5 (diameter 4), triangle 10-11-12, pair 20-21
+        [(2, 1), (2, 3), (4, 3), (4, 5), (10, 11), (11, 12), (10, 12),
+         (21, 20)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {
+        (r.id, r.cluster_id)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    want = {(i, 1) for i in (1, 2, 3, 4, 5)} | {
+        (i, 10) for i in (10, 11, 12)
+    } | {(20, 20), (21, 20)}
+    assert got == want
