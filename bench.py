@@ -26,9 +26,11 @@ BENCH_QUERIES = [f"tpch_q{i}" for i in range(1, 23)] + [
     # headline extension operators (training-data pipeline)
     "ext_dedup_minhash_lsh",
     "ext_dedup_exact",
+    "ext_dedup_clusters",
     "ext_sim_topk_bruteforce",
     "ext_text_quality_langid",
     "ext_asof_join",
+    "ext_asof_join_bucketed",
 ]
 
 

@@ -124,3 +124,43 @@ def test_new_session_isolates_views(spark):
     )
     assert "iso_view" in ctx2.tables()
     assert "iso_view" not in ctx1.tables()
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_SLOW
+def test_connected_components_matches_union_find(spark, edges):
+    """connected_components == pure-Python union-find on random graphs
+    (incl. diameters > the typical near-dup clique)."""
+    from arrow_ballista_spark.operators.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.id: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert got == want
