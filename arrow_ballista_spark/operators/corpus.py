@@ -1,0 +1,253 @@
+"""Corpus-construction operators a training-data pipeline needs between
+"raw documents" and "training shards": deterministic sampling, exact
+stratified sampling, token-budget shard packing, benchmark decontamination,
+and keep-one-per-cluster canonical dedup.
+
+All operators are pure JVM column expressions (no Python UDFs) and are
+designed for the 100 TB regime:
+
+- sampling is hash-deterministic (md5 of the id) → map-only, resumable,
+  and reproducible across reruns/retries — never ``rand()``;
+- stratified top-k uses a two-level window (salted then final) so one hot
+  stratum cannot serialize into a single task;
+- shard packing computes a GLOBAL prefix sum with the classic two-pass
+  distributed scan (per-bucket partial sums broadcast back as offsets)
+  instead of a single-task ``Window.orderBy`` over the whole corpus;
+- decontamination broadcasts the benchmark n-gram set (eval benchmarks are
+  tiny vs the corpus) so the corpus side stays map-only.
+
+No reference parity: arrow-ballista has none of these (SURVEY.md §2 —
+extensions beyond the reference surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: Column, digits: int = 4) -> Column:
+    """Deterministic uniform sampling key: the first ``digits`` hex chars of
+    md5 of the value's string form.  Identical in DuckDB
+    (``substr(md5(CAST(x AS VARCHAR)), 1, digits)``), so sampling decisions
+    are oracle-exact.  Map-only; survives retries and re-runs unchanged
+    (unlike ``rand()``/``TABLESAMPLE`` which resample per attempt)."""
+    return F.substring(F.md5(col.cast("string").cast("binary")), 1, digits)
+
+
+def hash_sample(df: DataFrame, id_col: str, keep_below: str) -> DataFrame:
+    """Bernoulli sample keeping rows whose :func:`hash_bucket` sorts below
+    the hex threshold (e.g. ``"4000"`` with 4 digits ≈ 25%).  Fraction
+    resolution is 16^-digits.  No shuffle — the filter rides the scan."""
+    return df.where(hash_bucket(F.col(id_col)) < F.lit(keep_below))
+
+
+def stratified_sample_topk(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    k: int,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """EXACT per-stratum k-row sample: the k rows with the smallest
+    (md5(id), id) rank inside each stratum — a deterministic uniform draw.
+
+    Skew-safe two-level top-k: a ``Window.partitionBy(stratum)`` alone puts
+    an entire stratum in ONE task (a 30%-one-language corpus straggles and
+    AQE cannot split a window).  Level 1 ranks within (stratum, salt) —
+    ``salt_buckets`` parallel tasks per stratum — and keeps k per salted
+    group; level 2 ranks the ≤ k·salt_buckets survivors per stratum.  Both
+    levels pick by the same total order, so the result equals the naive
+    single-window top-k (any global top-k row is also top-k within its own
+    salt bucket), at ~1/salt_buckets the per-task width.
+    """
+    rank_key = [hash_bucket(F.col(id_col), 8).alias("_hk"), F.col(id_col)]
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)))
+    w1 = Window.partitionBy(strata_col, "_salt").orderBy(*rank_key)
+    lvl1 = (
+        salted.withColumn("_rn1", F.row_number().over(w1))
+        .where(F.col("_rn1") <= k)
+        .drop("_rn1", "_salt")
+    )
+    w2 = Window.partitionBy(strata_col).orderBy(*rank_key)
+    return (
+        lvl1.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Assign each row a ``shard_id`` so that consecutive rows (ordered by
+    ``id_col``) accumulate ~``budget`` total ``weight_col`` per shard:
+    ``shard_id = floor(exclusive_prefix_sum(weight) / budget)`` — the
+    deterministic sequential packing a tokenized-training-shard writer uses.
+
+    A naive ``Window.orderBy(id)`` prefix sum is a SINGLE task over the
+    whole corpus.  This is the standard two-pass distributed scan instead:
+
+    1. range-bucket rows by id into ``n_buckets`` (explicit ``floor((id -
+       min_id) / span)`` — deterministic, unlike sampled
+       ``repartitionByRange`` boundaries);
+    2. per-bucket total weights → driver (``n_buckets`` rows, not data);
+       exclusive running totals become per-bucket offsets, broadcast back
+       as a literal CASE map;
+    3. within-bucket ``Window.partitionBy(bucket).orderBy(id)`` prefix sum
+       + the bucket's offset = the exact global prefix sum, at
+       ``n_buckets``-way parallelism.
+
+    At 100 TB, step 2 moves ``n_buckets`` longs through the driver; every
+    heavy stage is a partitioned window.  Returns the input plus
+    ``cum_before`` (exclusive global prefix sum) and ``shard_id``.
+    """
+    lo, hi = df.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).first()  # 1-row agg: bucket bounds, not data
+    span = max((int(hi) - int(lo)) // n_buckets + 1, 1)
+    bucketed = df.withColumn(
+        "_bkt", ((F.col(id_col) - F.lit(int(lo))) / F.lit(span)).cast("long")
+    )
+    per_bucket = {
+        int(r["_bkt"]): int(r["w"])
+        for r in bucketed.groupBy("_bkt").agg(F.sum(weight_col).alias("w")).collect()
+    }
+    offsets: dict[int, int] = {}
+    running = 0
+    for b in sorted(per_bucket):
+        offsets[b] = running
+        running += per_bucket[b]
+    offset_col = F.lit(0).cast("long")
+    for b, off in offsets.items():
+        offset_col = F.when(F.col("_bkt") == b, F.lit(off)).otherwise(offset_col)
+    w = Window.partitionBy("_bkt").orderBy(id_col)
+    cum_incl = F.sum(weight_col).over(w)
+    cum_before = (cum_incl - F.col(weight_col) + offset_col).alias("cum_before")
+    return (
+        bucketed.select("*", cum_before)
+        .withColumn("shard_id", F.floor(F.col("cum_before") / F.lit(budget)))
+        .drop("_bkt")
+    )
+
+
+def word_ngrams(text_col: Column, n: int) -> Column:
+    """Distinct word n-grams of ``text_col`` (split on runs of spaces);
+    documents shorter than n words contribute their whole token list.
+    Mirrors DuckDB ``list_transform(generate_series(...), i -> ...)`` so
+    n-gram sets are oracle-identical."""
+    toks = F.split(text_col, " +")
+    grams = F.when(F.size(toks) < n, toks).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    return F.array_distinct(grams)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, count its
+    distinct word n-grams that also occur anywhere in the ``benchmark``
+    document set (the standard eval-contamination test).
+
+    The benchmark n-gram vocabulary is collected DISTINCT and broadcast —
+    eval sets are MBs against a 100 TB corpus — so the corpus side is a
+    map-side (broadcast-hash) semi join: explode grams → broadcast join →
+    re-aggregate by doc.  One shuffle (the final groupBy), no corpus
+    self-join.  Returns ``(id_col, n_grams, n_contaminated)`` for corpus
+    docs with ≥1 hit.
+    """
+    grams = F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    corpus_grams = docs.select(F.col(id_col), grams)
+    bench_grams = benchmark.select(grams).distinct()
+    per_doc = docs.select(
+        F.col(id_col), F.size(word_ngrams(F.col(text_col), n)).alias("n_grams")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return per_doc.join(hits, id_col).select(id_col, "n_grams", "n_contaminated")
+
+
+def canonical_dedup(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    prefer_col: str = "n_chars",
+) -> DataFrame:
+    """Keep-one-per-cluster dedup: given ``components`` ``(id, cluster_id)``
+    from :func:`dedup.connected_components`, retain per cluster the doc with
+    the largest ``prefer_col`` (ties → smallest id); docs in no cluster are
+    their own canonical.  Returns the kept docs plus ``cluster_size``.
+
+    Components are a tiny projection of the corpus (only near-dup members),
+    so the membership join broadcasts; the per-cluster pick is a window
+    over clusters — bounded by the largest duplicate clique, not the corpus.
+    """
+    comp = components.select(
+        F.col("id").alias(id_col), F.col("cluster_id")
+    )
+    labeled = docs.join(F.broadcast(comp), id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(prefer_col).desc(), F.col(id_col)
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count("*").over(wc))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def bucketed_interval_join(
+    left: DataFrame,
+    left_val: str,
+    right: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    width: float,
+) -> DataFrame:
+    """Range (interval) join — ``left.val ∈ [right.lo, right.hi)`` — as an
+    EQUI join Catalyst can hash-partition, instead of the
+    BroadcastNestedLoopJoin a raw theta join plans.
+
+    Decompose the value domain into ``width``-sized buckets: each left row
+    lands in one bucket (map-only); each right interval explodes into the
+    buckets it covers (``(hi-lo)/width + 1`` rows — pick ``width`` near the
+    median interval length so the blow-up is ~2×).  Join on the bucket
+    equi-key with the exact range predicate as a residual.  Both sides
+    shuffle by bucket → SortMergeJoin/ShuffledHashJoin, parallel in the
+    number of buckets, no O(|L|·|R|) nested loop.  For a tiny right side
+    plain ``F.broadcast`` + theta join is already optimal; this is the
+    big×big path.
+    """
+    lbkt = F.floor(F.col(left_val) / F.lit(width))
+    rbkt = F.explode(
+        F.sequence(
+            F.floor(F.col(lo_col) / F.lit(width)).cast("long"),
+            F.floor(F.col(hi_col) / F.lit(width)).cast("long"),
+        )
+    )
+    l = left.withColumn("_bkt", lbkt.cast("long"))
+    r = right.withColumn("_bkt", rbkt)
+    return (
+        l.join(r, "_bkt")
+        .where((F.col(left_val) >= F.col(lo_col)) & (F.col(left_val) < F.col(hi_col)))
+        .drop("_bkt")
+    )

@@ -88,6 +88,7 @@ def load_all() -> dict[str, QueryDef]:
         operators,
         functions_suite,
         extensions,
+        corpus_pipeline,
     )
 
     return REGISTRY

@@ -1,0 +1,328 @@
+"""Corpus-construction pipeline queries: deterministic sampling, shard
+packing, decontamination, canonical dedup, range join, PII redaction,
+normalization, n-gram corpus stats.
+
+These extend the reference surface (arrow-ballista has no corpus ops —
+SURVEY.md §2 extensions): the stages between "raw documents" and "training
+shards".  Every oracle is value-exact: sampling keys are md5-of-string
+(bit-identical across engines on ASCII), weights/counts are integers, and
+the one double computation (interval bounds) is min/max arithmetic with no
+summation-order dependence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arrow_ballista_spark.catalog import load_table
+from arrow_ballista_spark.operators import corpus, dedup
+from arrow_ballista_spark.queries import query
+from arrow_ballista_spark.queries.extensions import _SQL_WORD_GRAMS
+
+# DuckDB twin of operators.corpus.hash_bucket
+def _sql_hash_bucket(expr: str, digits: int = 4) -> str:
+    return f"substr(md5(CAST({expr} AS VARCHAR)), 1, {digits})"
+
+
+@query(
+    "ext_sample_hash",
+    f"""
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE {_sql_hash_bucket('doc_id')} < '4000'
+""",
+    doc=(
+        "deterministic Bernoulli sample (~25%): keep rows whose md5(id) hex "
+        "prefix sorts below the threshold.  Map-only (filter rides the "
+        "scan — no shuffle, no rand()), reproducible across reruns and "
+        "task retries, so a 100 TB sample is resumable and auditable."
+    ),
+)
+def ext_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.hash_sample(docs, "doc_id", "4000").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+@query(
+    "ext_sample_stratified",
+    f"""
+SELECT doc_id, lang FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY lang ORDER BY {_sql_hash_bucket('doc_id', 8)}, doc_id) <= 20
+""",
+    doc=(
+        "EXACT per-language 20-doc uniform sample via deterministic hash "
+        "rank.  Skew-safe two-level top-k (rank within (lang, salt) first, "
+        "then within lang over <= k*salt survivors) — one hot language "
+        "cannot serialize into a single window task."
+    ),
+)
+def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.stratified_sample_topk(docs, "lang", "doc_id", k=20).select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "ext_shard_pack",
+    """
+WITH t AS (SELECT doc_id,
+                  CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_toks
+           FROM documents)
+SELECT doc_id, n_toks,
+       CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS cum_before,
+       CAST(FLOOR(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 1000.0)
+            AS BIGINT) AS shard_id
+FROM t
+""",
+    doc=(
+        "token-budget shard packing: shard_id = floor(global exclusive "
+        "prefix-sum of token counts / 1000).  Computed with the two-pass "
+        "distributed scan (per-range-bucket partials -> broadcast offsets "
+        "-> per-bucket windows), NOT a single-task global Window.orderBy — "
+        "the oracle's one-task window is exactly what the operator avoids."
+    ),
+)
+def ext_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " +")).cast("long").alias("n_toks")
+    )
+    packed = corpus.pack_shards(docs, "doc_id", "n_toks", budget=1000)
+    return packed.select(
+        "doc_id",
+        "n_toks",
+        F.col("cum_before").cast("long").alias("cum_before"),
+        F.col("shard_id").cast("long").alias("shard_id"),
+    )
+
+
+@query(
+    "ext_decontaminate",
+    f"""
+WITH g AS ({_SQL_WORD_GRAMS}),
+bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 17 = 0),
+cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 17 <> 0),
+hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+         FROM cg JOIN bg USING (gram) GROUP BY doc_id)
+SELECT h.doc_id, CAST(len(g.grams) AS BIGINT) AS n_grams, h.n_contaminated
+FROM hits h JOIN g ON h.doc_id = g.doc_id
+""",
+    doc=(
+        "benchmark decontamination: per corpus doc, how many of its "
+        "distinct word 3-grams occur in the benchmark set (docs with id % "
+        "17 = 0 stand in for an eval suite).  Benchmark gram vocabulary is "
+        "broadcast (eval sets are MBs vs a 100 TB corpus) so the corpus "
+        "side is a map-side hash join; one shuffle total (the per-doc "
+        "re-aggregation)."
+    ),
+)
+def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    corpus_docs = docs.where(F.col("doc_id") % 17 != 0)
+    return corpus.decontaminate(corpus_docs, bench, "text", "doc_id", n=3)
+
+
+@query(
+    "ext_dedup_canonical",
+    f"""
+WITH RECURSIVE g AS ({_SQL_WORD_GRAMS}),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))
+          / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+),
+comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+labeled AS (
+  SELECT d.doc_id, d.n_chars,
+         COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM (SELECT doc_id, cluster_id,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM labeled)
+WHERE rn = 1
+""",
+    doc=(
+        "END-TO-END dedup: LSH near-dup pairs -> connected components -> "
+        "keep ONE doc per cluster (largest n_chars, ties -> smallest id) — "
+        "the corpus a training run actually reads.  Cluster membership is "
+        "a tiny broadcast against the corpus; the per-cluster pick windows "
+        "over duplicate cliques, not the corpus."
+    ),
+)
+def ext_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "text", "doc_id", threshold=0.5, num_perm=128, rows_per_band=4
+    ).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs)
+    kept = corpus.canonical_dedup(docs, comp, "doc_id", "n_chars")
+    return kept.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+@query(
+    "ext_join_range_bucketed",
+    """
+WITH iv AS (SELECT event_type AS band, MIN(value) AS lo,
+                   (MIN(value) + MAX(value)) / 2 AS hi
+            FROM events GROUP BY event_type)
+SELECT iv.band, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN iv ON e.value >= iv.lo AND e.value < iv.hi
+GROUP BY iv.band
+""",
+    doc=(
+        "range (interval) join as a bucketed EQUI join: left values map to "
+        "floor(v/width) buckets, right intervals explode into covered "
+        "buckets, join on bucket + exact residual — Catalyst plans a "
+        "shuffled hash/sort-merge join parallel in #buckets instead of the "
+        "BroadcastNestedLoopJoin a raw theta join gets.  The big*big range "
+        "join path; interval bounds here are min/max arithmetic (no "
+        "summation-order noise) so counts are oracle-exact."
+    ),
+)
+def ext_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    iv = events.groupBy(F.col("event_type").alias("band")).agg(
+        F.min("value").alias("lo"),
+        ((F.min("value") + F.max("value")) / 2).alias("hi"),
+    )
+    joined = corpus.bucketed_interval_join(events, "value", iv, "lo", "hi", 25.0)
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "ext_pii_redact",
+    r"""
+WITH t AS (SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0
+                       THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com now'
+                       ELSE text END AS raw
+           FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       md5(regexp_replace(raw,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+            '<EMAIL>', 'g')) AS redacted_md5
+FROM t
+""",
+    doc=(
+        "PII redaction: count + mask email addresses (deterministically "
+        "injected into 1/7 of docs so the regex has real hits).  Pure JVM "
+        "regexp map stage — no shuffle; output compared by md5 of the "
+        "redacted text (bit-identical on ASCII across engines)."
+    ),
+)
+def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pat = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+        ),
+    ).otherwise(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.md5(F.regexp_replace(raw, pat, "<EMAIL>").cast("binary")).alias(
+            "redacted_md5"
+        ),
+    )
+
+
+@query(
+    "ext_text_normalize",
+    """
+SELECT doc_id,
+       CAST(length(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+            AS BIGINT) AS n_chars_norm,
+       md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS norm_md5
+FROM documents
+""",
+    doc=(
+        "text normalization: lowercase, collapse whitespace runs, trim — "
+        "the canonical form exact-dedup hashes.  Map-only JVM regexp; "
+        "compared via md5 of the normalized text."
+    ),
+)
+def ext_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+    return docs.select(
+        "doc_id",
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        F.md5(norm.cast("binary")).alias("norm_md5"),
+    )
+
+
+@query(
+    "ext_ngram_topk",
+    """
+WITH t AS (SELECT string_split_regex(text, ' +') AS toks FROM documents),
+b AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      FROM t WHERE len(toks) >= 2)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM b GROUP BY gram
+ORDER BY cnt DESC, gram
+LIMIT 20
+""",
+    doc=(
+        "corpus n-gram stats: top-20 word bigrams by occurrence count "
+        "(ties broken by gram so the cut is deterministic).  explode -> "
+        "two-phase hash agg (map-side combine) -> TakeOrderedAndProject "
+        "(per-partition top-k merged on the driver, never a global sort)."
+    ),
+)
+def ext_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " +")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    return (
+        docs.where(F.size(toks) >= 2)
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "gram")
+        .limit(20)
+    )
