@@ -20,6 +20,9 @@ import weakref
 from pyspark.sql import DataFrame
 
 _TRACKED: "weakref.WeakSet[DataFrame]" = weakref.WeakSet()
+# (SparkContext, rdd_id) pairs for localCheckpoint RDDs — those are plain
+# RDD-level persists the DataFrame-level tracker can't see
+_TRACKED_RDDS: list[tuple[weakref.ref, int]] = []
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
@@ -29,10 +32,36 @@ def tracked_persist(df: DataFrame) -> DataFrame:
     return df
 
 
-def release_caches() -> int:
-    """Unpersist every tracked DataFrame; returns how many were released.
+def _persistent_rdd_ids(sc) -> set[int]:
+    ids: set[int] = set()
+    it = sc._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
 
-    Non-blocking: the executors free the blocks asynchronously."""
+
+def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` + register the materialized RDD so
+    :func:`release_caches` can free its blocks.
+
+    A checkpoint truncates lineage, so once released the RETURNED frame
+    cannot be re-executed — consume (collect/write) before releasing, and
+    re-invoke the operator for a fresh result.  Iterative operators (see
+    ``dedup.connected_components``) need this: their per-round frames are
+    invisible to DataFrame-level unpersist and would otherwise accumulate
+    in executor storage for the life of the session.
+    """
+    sc = df.sparkSession.sparkContext
+    before = _persistent_rdd_ids(sc)
+    out = df.localCheckpoint(eager=True)
+    for rid in _persistent_rdd_ids(sc) - before:
+        _TRACKED_RDDS.append((weakref.ref(sc), rid))
+    return out
+
+
+def release_caches() -> int:
+    """Unpersist every tracked DataFrame + checkpoint RDD; returns how many
+    were released.  Non-blocking: executors free blocks asynchronously."""
     n = 0
     for df in list(_TRACKED):
         try:
@@ -41,4 +70,16 @@ def release_caches() -> int:
         except Exception:
             pass  # session already stopped — nothing to free
         _TRACKED.discard(df)
+    for sc_ref, rid in _TRACKED_RDDS:
+        sc = sc_ref()
+        if sc is None:
+            continue
+        try:
+            opt = sc._jsc.sc().getPersistentRDDs().get(rid)
+            if not opt.isEmpty():
+                opt.get().unpersist(False)
+                n += 1
+        except Exception:
+            pass
+    _TRACKED_RDDS.clear()
     return n

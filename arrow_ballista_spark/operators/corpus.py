@@ -168,18 +168,29 @@ def decontaminate(
     self-join.  Returns ``(id_col, n_grams, n_contaminated)`` for corpus
     docs with ≥1 hit.
     """
-    grams = F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
-    corpus_grams = docs.select(F.col(id_col), grams)
-    bench_grams = benchmark.select(grams).distinct()
-    per_doc = docs.select(
-        F.col(id_col), F.size(word_ngrams(F.col(text_col), n)).alias("n_grams")
+    # Materialize the gram array ONCE per doc and carry its size through the
+    # explode — the higher-order transform is interpreted (not codegen), so a
+    # second evaluation for the per-doc gram count would double the hottest
+    # map stage and force a second corpus scan + join.
+    exploded = docs.select(
+        F.col(id_col), word_ngrams(F.col(text_col), n).alias("_grams")
+    ).select(
+        F.col(id_col),
+        F.size("_grams").alias("n_grams"),
+        F.explode("_grams").alias("gram"),
     )
-    hits = (
-        corpus_grams.join(F.broadcast(bench_grams), "gram")
+    bench_grams = benchmark.select(
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    return (
+        exploded.join(F.broadcast(bench_grams), "gram")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_contaminated"))
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.count("*").alias("n_contaminated"),
+        )
+        .select(id_col, "n_grams", "n_contaminated")
     )
-    return per_doc.join(hits, id_col).select(id_col, "n_grams", "n_contaminated")
 
 
 def canonical_dedup(

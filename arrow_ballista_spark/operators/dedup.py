@@ -27,7 +27,10 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from arrow_ballista_spark.operators.caching import tracked_persist
+from arrow_ballista_spark.operators.caching import (
+    tracked_local_checkpoint,
+    tracked_persist,
+)
 
 # MinHash modulus: 2^31 - 1 (Mersenne prime).  Base hashes and permutation
 # coefficients stay < 2^31 so a*h+b < 2^62 never overflows signed 64-bit.
@@ -327,24 +330,30 @@ def connected_components(
     label changes.  Rounds = graph diameter, which for near-dup clusters
     is small (dup groups are near-cliques, so 2-3 rounds typical).  Each
     round is one shuffle join keyed by node id — the same round structure
-    GraphX/GraphFrames Pregel uses for CC at scale.  ``localCheckpoint``
-    truncates the per-round lineage so the plan doesn't grow with the
-    iteration count (at cluster scale, use a reliable checkpoint dir
-    instead).  The convergence probe is a scalar aggregate per round
-    (sum of labels, strictly decreasing until fixpoint) — a planning-time
-    action, not a data collect.
+    GraphX/GraphFrames Pregel uses for CC at scale.  Each round ends in a
+    TRACKED ``localCheckpoint`` (lineage truncation keeps the plan flat
+    across rounds — per-round persist+lineage was measured far slower
+    here: cache-plan matching across deepening lineages is fragile and a
+    single miss re-runs the whole upstream pipeline once per round); the
+    checkpoint RDDs are registered with ``operators.caching`` so
+    ``release_caches()`` frees them instead of leaking per invocation.
+    The convergence probe is a scalar sum of labels, strictly decreasing
+    until fixpoint.  At cluster scale swap the localCheckpoint for a
+    reliable checkpoint dir.
     """
+    # the union consumes `pairs` twice — persist so an expensive upstream
+    # (the LSH pipeline) materializes once, not per branch
+    pairs = tracked_persist(pairs.select(a_col, b_col))
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).unionByName(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
     edges = tracked_persist(edges.distinct())
-    labels = (
+    labels = tracked_local_checkpoint(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
@@ -353,7 +362,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nb_label"))
         )
-        labels = (
+        labels = tracked_local_checkpoint(
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 F.col("id"),
@@ -362,7 +371,6 @@ def connected_components(
                     F.coalesce(F.col("nb_label"), F.col("label")),
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:

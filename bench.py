@@ -31,6 +31,9 @@ BENCH_QUERIES = [f"tpch_q{i}" for i in range(1, 23)] + [
     "ext_text_quality_langid",
     "ext_asof_join",
     "ext_asof_join_bucketed",
+    "ext_decontaminate",
+    "ext_shard_pack",
+    "ext_dedup_canonical",
 ]
 
 
