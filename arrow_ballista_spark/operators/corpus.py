@@ -135,19 +135,16 @@ def pack_shards(
     )
 
 
-def word_ngrams(text_col: Column, n: int) -> Column:
-    """Distinct word n-grams of ``text_col`` (split on runs of spaces);
-    documents shorter than n words contribute their whole token list.
-    Mirrors DuckDB ``list_transform(generate_series(...), i -> ...)`` so
-    n-gram sets are oracle-identical."""
-    toks = F.split(text_col, " +")
-    grams = F.when(F.size(toks) < n, toks).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
-    return F.array_distinct(grams)
+def word_ngrams(text_col: str, n: int) -> Column:
+    """Distinct word n-grams of the ``text_col`` column (split on runs of
+    spaces); documents shorter than n words contribute their whole token
+    list.  Mirrors DuckDB ``list_transform(generate_series(...), ...)`` so
+    n-gram sets are oracle-identical.  Delegates to
+    :func:`dedup.word_shingles` (same semantics, let-binding idiom — the
+    token array is bound once per row, not re-split per gram)."""
+    from arrow_ballista_spark.operators.dedup import word_shingles
+
+    return word_shingles(text_col, n)
 
 
 def decontaminate(
@@ -173,14 +170,14 @@ def decontaminate(
     # second evaluation for the per-doc gram count would double the hottest
     # map stage and force a second corpus scan + join.
     exploded = docs.select(
-        F.col(id_col), word_ngrams(F.col(text_col), n).alias("_grams")
+        F.col(id_col), word_ngrams(text_col, n).alias("_grams")
     ).select(
         F.col(id_col),
         F.size("_grams").alias("n_grams"),
         F.explode("_grams").alias("gram"),
     )
     bench_grams = benchmark.select(
-        F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+        F.explode(word_ngrams(text_col, n)).alias("gram")
     ).distinct()
     return (
         exploded.join(F.broadcast(bench_grams), "gram")

@@ -313,14 +313,16 @@ LIMIT 20
 )
 def ext_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " +")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    # let-binding idiom (see dedup.word_shingles): bind tokens once per row;
+    # empty result for <2-token docs, dropped by the explode
+    grams = F.expr(
+        "transform(array(split(text, ' +')), t -> "
+        "CASE WHEN size(t) < 2 THEN slice(t, 1, 0) ELSE "
+        "transform(sequence(1, size(t) - 1),"
+        " i -> concat(t[i-1], ' ', t[i+0])) END)[0]"
     )
     return (
-        docs.where(F.size(toks) >= 2)
-        .select(F.explode(grams).alias("gram"))
+        docs.select(F.explode(grams).alias("gram"))
         .groupBy("gram")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), "gram")

