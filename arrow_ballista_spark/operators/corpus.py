@@ -195,20 +195,37 @@ def canonical_dedup(
     components: DataFrame,
     id_col: str = "doc_id",
     prefer_col: str = "n_chars",
+    broadcast_threshold_rows: int | None = None,
 ) -> DataFrame:
     """Keep-one-per-cluster dedup: given ``components`` ``(id, cluster_id)``
     from :func:`dedup.connected_components`, retain per cluster the doc with
     the largest ``prefer_col`` (ties → smallest id); docs in no cluster are
     their own canonical.  Returns the kept docs plus ``cluster_size``.
 
-    Components are a tiny projection of the corpus (only near-dup members),
-    so the membership join broadcasts; the per-cluster pick is a window
-    over clusters — bounded by the largest duplicate clique, not the corpus.
+    The membership join broadcasts the components side ONLY when it is
+    small: components cover every near-dup member, and at 100 TB with a
+    realistic 10-30% dup rate that is billions of rows — an unconditional
+    broadcast OOMs the driver.  The guard counts components (cheap: CC
+    output is already localCheckpointed) against
+    ``broadcast_threshold_rows`` (default from spark conf
+    ``spark.ballista.canonicalDedup.broadcastRows``, 10M); above it the
+    join shuffles on ``id_col`` and AQE may still promote genuinely-small
+    cases at runtime.  The per-cluster pick is a window over clusters —
+    bounded by the largest duplicate clique, not the corpus.
     """
     comp = components.select(
         F.col("id").alias(id_col), F.col("cluster_id")
     )
-    labeled = docs.join(F.broadcast(comp), id_col, "left").withColumn(
+    if broadcast_threshold_rows is None:
+        broadcast_threshold_rows = int(
+            docs.sparkSession.conf.get(
+                "spark.ballista.canonicalDedup.broadcastRows", "10000000"
+            )
+        )
+    n_comp = comp.count()  # one job over the (checkpointed) CC output
+    if n_comp <= broadcast_threshold_rows:
+        comp = F.broadcast(comp)
+    labeled = docs.join(comp, id_col, "left").withColumn(
         "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
     )
     w = Window.partitionBy("cluster_id").orderBy(

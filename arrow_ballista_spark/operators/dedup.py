@@ -326,27 +326,35 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph: returns
     ``(id, cluster_id)`` where ``cluster_id`` is the smallest id reachable
     from ``id`` — the canonical-representative labeling a dedup pipeline
     needs to go from *pairs* to *keep one doc per duplicate cluster*.
 
-    Min-label propagation: every node starts labeled with its own id; each
-    round takes the min of its label and its neighbors' labels, until no
-    label changes.  Rounds = graph diameter, which for near-dup clusters
-    is small (dup groups are near-cliques, so 2-3 rounds typical).  Each
-    round is one shuffle join keyed by node id — the same round structure
-    GraphX/GraphFrames Pregel uses for CC at scale.  Each round ends in a
-    TRACKED ``localCheckpoint`` (lineage truncation keeps the plan flat
-    across rounds — per-round persist+lineage was measured far slower
-    here: cache-plan matching across deepening lineages is fragile and a
-    single miss re-runs the whole upstream pipeline once per round); the
-    checkpoint RDDs are registered with ``operators.caching`` so
+    Min-label propagation WITH pointer jumping: every node starts labeled
+    with its own id; each round (1) takes the min of its label and its
+    neighbors' labels (one shuffle join keyed by node id — the round
+    structure GraphX/GraphFrames Pregel uses for CC at scale), then
+    (2) pointer-jumps — relabels to ``label(label)`` via a label→id
+    self-join.  Propagation alone needs diameter rounds (a 1M-node chain
+    = 1M shuffles); the jump doubles the label's reach each round, so
+    rounds scale with **log2(diameter)** — the same shortcutting used by
+    the large-star/small-star MapReduce CC algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14).  Each round
+    ends in a TRACKED ``localCheckpoint`` (lineage truncation keeps the
+    plan flat across rounds — per-round persist+lineage was measured far
+    slower here: cache-plan matching across deepening lineages is fragile
+    and a single miss re-runs the whole upstream pipeline once per round);
+    the checkpoint RDDs are registered with ``operators.caching`` so
     ``release_caches()`` frees them instead of leaking per invocation.
     The convergence probe is a scalar sum of labels, strictly decreasing
     until fixpoint.  At cluster scale swap the localCheckpoint for a
     reliable checkpoint dir.
+
+    ``stats`` (optional dict) receives ``{"rounds": N}`` so tests can pin
+    the logarithmic round bound on path graphs.
     """
     # the union consumes `pairs` twice — persist so an expensive upstream
     # (the LSH pipeline) materializes once, not per branch
@@ -363,13 +371,15 @@ def connected_components(
         .withColumn("label", F.col("id"))
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nb_label"))
         )
-        labels = tracked_local_checkpoint(
+        propagated = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 F.col("id"),
@@ -379,8 +389,30 @@ def connected_components(
                 ).alias("label"),
             )
         )
+        # pointer jump: label <- label(label).  Every label is itself a node
+        # id (labels cover all nodes), so the lookup side is `propagated`
+        # re-keyed by id; left+coalesce keeps already-minimal labels.  In
+        # round 1 every label is still its own id, so the jump is an
+        # identity — skip the extra join (near-dup graphs are clique-y and
+        # often converge in 2 rounds; the jump must not tax that case).
+        if rounds == 1:
+            labels = tracked_local_checkpoint(propagated)
+        else:
+            lk = propagated.select(
+                F.col("id").alias("_lid"), F.col("label").alias("_llabel")
+            )
+            labels = tracked_local_checkpoint(
+                propagated.join(lk, propagated.label == lk._lid, "left")
+                .select(
+                    F.col("id"),
+                    F.coalesce(F.col("_llabel"), F.col("label"))
+                    .alias("label"),
+                )
+            )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select("id", F.col("label").alias("cluster_id"))

@@ -71,16 +71,49 @@ def query(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+# Registry order is LOAD-BEARING: the driver's correctness harness checks
+# the first ~50 entries, in dict order.  Rounds 1-2 witnessed TPC-H, the
+# window suite, joins/setops/aggs and the round-1 extension families
+# (CORRECTNESS_r01/r02.json green rows).  Round 3 rotates the head so the
+# external evidence trail covers the never-driver-checked band: the
+# agg_stats..meta_information_schema block, the round-2 corpus additions,
+# and the streaming family (whose watermark path was repaired this round).
+_HEAD_ROTATION = [
+    # never driver-checked (indices 52-74 of the round-2 order)
+    "agg_stats", "agg_median_percentile", "agg_approx_distinct",
+    "agg_array_agg", "agg_minmax_by", "select_distinct",
+    "sort_multi_key_nulls", "limit_offset", "topk", "values_inline",
+    "pivot_conditional", "join_right_semi", "join_right_anti",
+    "sql_parameterized", "setop_intersect_all", "setop_except_all",
+    "view_scan", "source_python_datasource", "h2o_groupby_lowcard",
+    "h2o_groupby_highcard", "h2o_join_bigsmall", "fn_explode_unnest",
+    "meta_information_schema",
+    # round-2 corpus/dedup additions (never driver-checked)
+    "ext_asof_join_bucketed", "ext_dedup_clusters", "ext_sample_hash",
+    "ext_sample_stratified", "ext_shard_pack", "ext_decontaminate",
+    "ext_dedup_canonical", "ext_join_range_bucketed", "ext_pii_redact",
+    "ext_text_normalize", "ext_ngram_topk",
+    # streaming family: r1-green but repaired this round (timestamp_ltz)
+    "ext_stream_tumbling_counts", "ext_stream_dedup",
+    "ext_stream_stream_join", "ext_stream_stateful_user_counts",
+    # decimal parity family: r2-green, keep inside the window as canaries
+    "tpch_q1_decimal", "decimal_promotion", "decimal_agg",
+    # core canaries so a core regression is still driver-visible
+    "tpch_q1", "tpch_q7", "tpch_q16", "tpch_q17", "tpch_q21", "tpch_q22",
+    "window_agg_frames", "join_full_outer", "setop_intersect",
+]
+
+
 def load_all() -> dict[str, QueryDef]:
     """Import every query module so REGISTRY is fully populated.
 
-    Import order is LOAD-BEARING: the driver's correctness harness checks
-    the registry's first entries (50 in round 1), in dict order.  The
-    flagship suites lead — TPC-H (the reference's own correctness gate,
-    ``benchmarks/src/bin/tpch.rs:1294-1400``), then the window suite, then
-    the per-operator families — so the driver's window lands on the core
-    relational surface; everything after it carries the identical
-    DuckDB-oracle check in the local pytest suite (tests/test_*).
+    Import order populates the registry; the final dict order is the
+    round's evidence-rotation policy (``_HEAD_ROTATION`` first, then every
+    remaining query in module order).  The flagship suites — TPC-H (the
+    reference's own correctness gate, ``benchmarks/src/bin/tpch.rs:
+    1294-1400``), windows, per-operator families — all carry the identical
+    DuckDB-oracle check in the local pytest suite (tests/test_*)
+    regardless of driver-window position.
     """
     from arrow_ballista_spark.queries import (  # noqa: F401
         tpch,
@@ -91,4 +124,9 @@ def load_all() -> dict[str, QueryDef]:
         corpus_pipeline,
     )
 
+    head = [n for n in _HEAD_ROTATION if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in set(head)]
+    ordered = {n: REGISTRY[n] for n in [*head, *rest]}
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
     return REGISTRY

@@ -66,7 +66,7 @@ def events_stream(
             "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
         )
     else:
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
     return df
 
 

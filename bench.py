@@ -4,7 +4,23 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Mirrors the reference's bench protocol (benchmarks/src/bin/tpch.rs:285-452:
-per-query wall-time, JSON summary)."""
+per-query wall-time, JSON summary, --iterations N), with two local-mode
+hardening changes measured in round 3:
+
+- **Interleaved sweeps, not back-to-back iterations.**  Timing the same
+  query 3× in a row puts all of its samples inside the same ~2s window, so
+  one transient host-noise burst (CPU steal on shared hosts, a neighboring
+  JVM's GC) poisons every sample and the median records it as a fake
+  regression — exactly what BENCH_r02 showed (q7/q16/q17/q21/q22 "2-6×
+  slower" on byte-identical SQL; all recovered on re-run).  One full sweep
+  of all queries takes ~30s, so per-query samples land minutes apart and
+  the median filters any single burst.
+- **Per-iteration times + session uptime in the output.**  JVM/JIT warmup
+  is measurable for the heavyweight iterative entries (ext_dedup_clusters:
+  33s cold → 3.2s steady over 4 executions); emitting the raw samples and
+  when they ran makes warmup/accumulation effects visible in-band instead
+  of laundered through a single median.
+"""
 
 from __future__ import annotations
 
@@ -42,6 +58,7 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_session(app_name="arrow-ballista-spark-bench")
     reg = load_all()
+    t_session = time.monotonic()
 
     # Warm up the JVM + parquet footer caches outside the timed region.
     from arrow_ballista_spark.catalog import register_tables
@@ -49,29 +66,37 @@ def main() -> None:
     register_tables(spark, sf_dir)
     spark.sql("SELECT COUNT(*) FROM lineitem").collect()
 
+    names = [n for n in BENCH_QUERIES if n in reg]
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
-    times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        if name not in reg:
-            continue
-        # one untimed warmup iteration (whole-stage-codegen compilation of
-        # large expression trees costs seconds on first execution and is
-        # not steady-state throughput), then >=3 timed iterations with the
-        # median reported — mirroring the reference harness's protocol
-        # (benchmarks/src/bin/tpch.rs:285-452, --iterations 3)
-        reg[name].spark(spark, sf_dir).collect()
-        samples = []
-        n = 0
-        for _ in range(iters):
+    warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2"))
+
+    # Untimed warmup sweeps: whole-stage-codegen compilation + JIT of the
+    # generated code costs seconds on the first executions of each plan
+    # shape and is not steady-state throughput.  The iterative operators
+    # need ~2 executions to fully warm (janino + C2), hence 2 sweeps.
+    for w in range(warmups):
+        for name in names:
+            reg[name].spark(spark, sf_dir).collect()
+            release_caches()
+
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    at: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(iters):
+        for name in names:
             t0 = time.monotonic()
             df = reg[name].spark(spark, sf_dir)
-            n = len(df.collect())
-            samples.append(time.monotonic() - t0)
-        times[name] = round(statistics.median(samples), 3)
-        release_caches()  # free operator-internal persist()s between queries
+            n_rows = len(df.collect())
+            samples[name].append(time.monotonic() - t0)
+            at[name].append(round(time.monotonic() - t_session, 1))
+            release_caches()  # free operator-internal persist()s
+            del n_rows
+
+    times = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    for name in names:
+        s = samples[name]
         print(
             f"# {name}: median={times[name]:.3f}s "
-            f"min={min(samples):.3f}s max={max(samples):.3f}s rows={n}",
+            f"min={min(s):.3f}s max={max(s):.3f}s",
             file=sys.stderr,
         )
 
@@ -85,7 +110,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "iterations": iters,
+        "warmup_sweeps": warmups,
+        "protocol": "interleaved_sweeps",
         "queries": times,
+        "queries_min": {n: round(min(s), 3) for n, s in samples.items()},
+        "queries_iters": {
+            n: [round(x, 3) for x in s] for n, s in samples.items()
+        },
+        "session_uptime_at_sample": at,
         "sf": sf,
     }
     prev = _load_prev_round(os.path.dirname(os.path.abspath(__file__)))

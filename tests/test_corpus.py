@@ -150,3 +150,26 @@ def test_canonical_dedup_keeps_one_per_cluster(spark):
     # every unlabeled doc survives as its own singleton cluster
     n_docs = docs.count()
     assert len(kept) == n_docs - (3 - 1) - (2 - 1)
+
+
+def test_canonical_dedup_shuffle_path_matches_broadcast(spark):
+    """threshold=0 forces the non-broadcast membership join (the 100 TB
+    path: components can be corpus-scale); results must equal the
+    broadcast path and the plan must not force a broadcast hint."""
+    docs = load_table(spark, SF_DIR, "documents")
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "id long, cluster_id long"
+    )
+    rows_b = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in corpus.canonical_dedup(
+            docs, comp, "doc_id", "n_chars", broadcast_threshold_rows=10**6
+        ).collect()
+    }
+    rows_s = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in corpus.canonical_dedup(
+            docs, comp, "doc_id", "n_chars", broadcast_threshold_rows=0
+        ).collect()
+    }
+    assert rows_s == rows_b

@@ -164,3 +164,61 @@ def test_connected_components_matches_union_find(spark, edges):
         r.id: r.cluster_id for r in connected_components(pairs).collect()
     }
     assert got == want
+
+
+def test_connected_components_path_graph_log_rounds(spark):
+    """Pointer jumping must close a long path (the worst case for plain
+    min-label propagation) in ~log2(diameter) rounds, not diameter rounds.
+    A 48-node chain has diameter 47; propagation alone needs 47 rounds,
+    propagation+jump reaches distance 3^r after r rounds -> <= 7 here
+    (bound kept loose vs the theoretical ceiling)."""
+    from arrow_ballista_spark.operators.dedup import connected_components
+
+    n = 48
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(pairs, stats=stats).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 7, stats
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@_SLOW
+def test_connected_components_sparse_trees_match_union_find(spark, edges):
+    """Sparse random graphs (n >> |E|: mostly trees/paths, the chainy
+    regime the clique-biased test above misses) vs pure union-find."""
+    from arrow_ballista_spark.operators.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.id: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert got == want
