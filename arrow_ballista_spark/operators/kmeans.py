@@ -1,0 +1,92 @@
+"""Distributed Lloyd's k-means over an embedding column — the clustering
+primitive a training-data pipeline uses for corpus partitioning, IVF coarse
+quantization (see :mod:`operators.ivf`), diversity sampling, and
+semantic-dedup bucketing.
+
+No reference parity: arrow-ballista has no ML operators (SURVEY.md §2 —
+extension beyond the reference surface).  The design is the standard
+broadcast-Lloyd iteration every distributed ML library uses:
+
+- **Assignment is map-only**: centroids (k rows) broadcast to every task;
+  each point computes k squared-L2 distances JVM-side (``aggregate`` over
+  ``sequence`` — no Python in the loop) and keeps the argmin via
+  ``min_by``.  At 100 TB this is a single scan per iteration, no shuffle
+  of the points.
+- **Update is one two-phase aggregation**: explode (cluster, dim, value)
+  → partial sums per (cluster, dim) map-side → k·dim rows reduce-side —
+  never the points themselves.  Centroid arrays are rebuilt with a
+  collect_list bounded by k·dim.
+- **Determinism**: init = the k smallest-id points (no rand(), so reruns
+  and retries agree); distance summation is left-to-right over dimensions
+  (binary-identical to the DuckDB oracle); updated centroids round to 6
+  decimals so cross-engine float noise cannot flip a near-tie assignment;
+  distance ties break by cluster id.
+
+``iters`` is intentionally small-and-fixed (Lloyd's converges fast for
+coarse quantization; IVF needs "good", not "optimal", cells).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sqdist(vec: str, cent: str) -> F.Column:
+    """Squared L2 distance with deterministic left-to-right summation —
+    the expression form (not a UDF) keeps it inside codegen."""
+    return F.expr(
+        f"aggregate(sequence(1, size({vec})), cast(0.0 as double), "
+        f"(acc, i) -> acc + ({vec}[i-1] - {cent}[i-1]) * "
+        f"({vec}[i-1] - {cent}[i-1]))"
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations; returns ``(id_col, cluster)``.
+
+    ``cluster`` is the 0-based index of the nearest centroid after the
+    final update, argmin ties broken by smallest cluster id.
+    """
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    # deterministic seed: the k smallest-id points (TakeOrdered, k rows)
+    w = Window.orderBy(id_col)
+    cents = (
+        e.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).cast("long").alias("cid"),
+            F.col("v").alias("cent"),
+        )
+    )
+    assigned = None
+    for it in range(iters):
+        scored = e.crossJoin(F.broadcast(cents)).withColumn(
+            "dist", _sqdist("v", "cent")
+        )
+        assigned = scored.groupBy(id_col).agg(
+            F.expr("min_by(cid, struct(dist, cid))").alias("cluster")
+        )
+        if it < iters - 1:
+            # two-phase mean per (cluster, dim); k*dim rows reduce-side
+            pos = (
+                assigned.join(e, id_col)
+                .select("cluster", F.posexplode("v").alias("pos", "val"))
+                .groupBy("cluster", "pos")
+                .agg(F.round(F.avg("val"), 6).alias("m"))
+            )
+            cents = pos.groupBy("cluster").agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, m))), "
+                    "s -> s.m)"
+                ).alias("cent")
+            ).select(F.col("cluster").alias("cid"), "cent")
+    return assigned.select(id_col, "cluster")

@@ -1069,3 +1069,156 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("long").alias("id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3: repetition-quality filtering + embedding k-means
+# --------------------------------------------------------------------------
+
+@query(
+    "ext_quality_repetition",
+    """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws FROM documents
+), s AS (
+  SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct, ws
+  FROM w
+), bg AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+  FROM s, UNNEST(generate_series(1, len(ws)-1)) AS t(i)
+), bc AS (
+  SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2
+), bt AS (
+  SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS DOUBLE) AS tot_c
+  FROM bc GROUP BY 1
+)
+SELECT s.doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(1.0 - n_distinct / CAST(n_words AS DOUBLE), 4) AS dup_word_frac,
+       round(COALESCE(top_c / tot_c, 0), 4) AS top_bigram_frac,
+       CAST(
+         (1.0 - n_distinct / CAST(n_words AS DOUBLE)) <= 0.6
+         AND COALESCE(top_c / tot_c, 0) <= 0.2 AS INT
+       ) AS keep
+FROM s LEFT JOIN bt USING (doc_id)
+""",
+    doc=(
+        "Gopher-style repetition quality filter (Rae et al. 2021, "
+        "'Scaling Language Models', table A1): duplicate-word fraction + "
+        "most-frequent-bigram fraction per document, with a keep flag at "
+        "the published-style thresholds.  Scale shape: the per-doc word "
+        "stats are map-only column expressions; the bigram mode is "
+        "explode -> two-phase (cluster, bigram) count -> per-doc max, so "
+        "the corpus never self-joins and partial aggregation runs "
+        "map-side.  The two aggs shuffle ~n_bigrams rows once each."
+    ),
+)
+def ext_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " +").alias("ws")
+    )
+    stats = words.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.size(F.array_distinct("ws")).alias("n_distinct"),
+        "ws",
+    )
+    bigrams = stats.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws)-1), "
+                "i -> concat(ws[i-1], ' ', ws[i]))"
+            )
+        ).alias("bigram"),
+    )
+    top = (
+        bigrams.groupBy("doc_id", "bigram")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").alias("top_c"),
+            F.sum("count").cast("double").alias("tot_c"),
+        )
+    )
+    dup_frac = F.lit(1.0) - F.col("n_distinct") / F.col("n_words").cast(
+        "double"
+    )
+    top_frac = F.coalesce(F.col("top_c") / F.col("tot_c"), F.lit(0.0))
+    return (
+        stats.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(dup_frac, 4).alias("dup_word_frac"),
+            F.round(top_frac, 4).alias("top_bigram_frac"),
+            ((dup_frac <= 0.6) & (top_frac <= 0.2))
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+_KMEANS_K = 8
+
+@query(
+    "ext_embed_kmeans",
+    f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         v AS cent
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT {_KMEANS_K})
+), d0 AS (
+  SELECT vec_id, cid,
+         list_sum(list_transform(generate_series(1, len(v)),
+                  i -> (v[i]-cent[i])*(v[i]-cent[i]))) AS dist
+  FROM e CROSS JOIN c0
+), a0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d0) WHERE rn = 1
+), c1p AS (
+  SELECT cid, i, round(avg(v[i]), 6) AS val
+  FROM a0 JOIN e USING (vec_id), UNNEST(generate_series(1, len(v))) AS t(i)
+  GROUP BY cid, i
+), c1 AS (
+  SELECT cid, list(val ORDER BY i) AS cent FROM c1p GROUP BY cid
+), d1 AS (
+  SELECT vec_id, cid,
+         list_sum(list_transform(generate_series(1, len(v)),
+                  i -> (v[i]-cent[i])*(v[i]-cent[i]))) AS dist
+  FROM e CROSS JOIN c1
+), a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1) WHERE rn = 1
+)
+SELECT vec_id, cid AS cluster FROM a1
+""",
+    doc=(
+        "Distributed Lloyd's k-means over the embedding column (k=8, 2 "
+        "iterations, deterministic smallest-id init) — corpus "
+        "partitioning / IVF coarse quantization / semantic-dedup "
+        "bucketing.  Value-exact oracle: the iterative algorithm is "
+        "unrolled into a 2-step CTE chain; determinism comes from "
+        "rand()-free init, left-to-right distance summation, 6-decimal "
+        "centroid rounding, and cid tie-breaks (operators/kmeans.py "
+        "docstring).  Scale shape: assignment broadcasts k centroids "
+        "(map-only scan of the points); the update is one two-phase "
+        "(cluster, dim) aggregation — the points themselves never "
+        "shuffle."
+    ),
+)
+def ext_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.operators.kmeans import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=_KMEANS_K, iters=2).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+    )

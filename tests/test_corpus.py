@@ -173,3 +173,14 @@ def test_canonical_dedup_shuffle_path_matches_broadcast(spark):
         ).collect()
     }
     assert rows_s == rows_b
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """The Lloyd assignment stage must broadcast the k centroids (map-only
+    scan of the points) — never shuffle the point set against them."""
+    from arrow_ballista_spark.operators.kmeans import kmeans_assign
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = explain.explain_str(kmeans_assign(emb, k=4, iters=2), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
