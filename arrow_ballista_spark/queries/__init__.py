@@ -93,14 +93,17 @@ _HEAD_ROTATION = [
     "ext_sample_stratified", "ext_shard_pack", "ext_decontaminate",
     "ext_dedup_canonical", "ext_join_range_bucketed", "ext_pii_redact",
     "ext_text_normalize", "ext_ngram_topk",
-    # streaming family: r1-green but repaired this round (timestamp_ltz)
+    # streaming family: r1-green but repaired this round (timestamp_ltz),
+    # plus the new stream-static join
     "ext_stream_tumbling_counts", "ext_stream_dedup",
     "ext_stream_stream_join", "ext_stream_stateful_user_counts",
+    "ext_stream_static_join",
+    # round-3 additions
+    "ext_quality_repetition", "ext_embed_kmeans",
     # decimal parity family: r2-green, keep inside the window as canaries
     "tpch_q1_decimal", "decimal_promotion", "decimal_agg",
     # core canaries so a core regression is still driver-visible
     "tpch_q1", "tpch_q7", "tpch_q16", "tpch_q17", "tpch_q21", "tpch_q22",
-    "window_agg_frames", "join_full_outer", "setop_intersect",
 ]
 
 

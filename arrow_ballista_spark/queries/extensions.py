@@ -1222,3 +1222,34 @@ def ext_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("cluster").cast("long").alias("cluster"),
     )
+
+
+@query(
+    "ext_stream_static_join",
+    """
+WITH dim AS (
+  SELECT DISTINCT user_id, user_id % 3 AS segment FROM events
+)
+SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events JOIN dim USING (user_id)
+GROUP BY segment
+""",
+    doc=(
+        "stream-static join: the event stream enriched against a batch "
+        "dimension (broadcast per micro-batch, no stream-side state or "
+        "watermark) then aggregated per segment; on bounded input it "
+        "must equal the batch join+agg, which is the oracle"
+    ),
+)
+def ext_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id").distinct()
+        .withColumn("segment", F.pmod("user_id", F.lit(3)))
+    )
+    ev = streaming.events_stream(spark, sf_dir).select("event_id", "user_id")
+    enriched = streaming.stream_static_enrich(ev, dim)
+    agg = enriched.groupBy("segment").agg(F.count(F.lit(1)).alias("n_events"))
+    return streaming.run_available_now(agg, "complete").select(
+        F.col("segment").cast("long").alias("segment"), "n_events"
+    )

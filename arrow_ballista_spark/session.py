@@ -77,6 +77,14 @@ def get_session(
         # temp-view catalog — static conf, must be set before the JVM starts
         .config("spark.sql.hive.thriftServer.singleSession", "true")
     )
+    # Jar-path hook for classpath-gated features (Avro datasource, cloud FS
+    # connectors — reference analogues: read_avro context.rs:223-231, the
+    # object-store registry features).  Colon-separated local jar paths; a
+    # deployment that vendors spark-avro_2.13-<ver>.jar here un-gates
+    # sources.readers.read_avro with no code change.
+    extra_jars = os.environ.get("SPARK_GRAFT_EXTRA_JARS", "")
+    if extra_jars:
+        b = b.config("spark.jars", ",".join(extra_jars.split(":")))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -74,6 +74,15 @@ def read_avro(spark: SparkSession, path: str, **opts: Any) -> DataFrame:
         raise
 
 
+def read_orc(spark: SparkSession, path: str, **opts: Any) -> DataFrame:
+    """ORC scan (beyond-reference: arrow-ballista reads csv/parquet/avro/
+    json only, ``ballista/client/src/context.rs:214-315`` — ORC is native
+    in Spark and a common lakehouse format, so the engine exposes it).
+    Projection/predicate pushdown and min/max pruning come from Spark's
+    vectorized ORC reader, same as parquet."""
+    return spark.read.options(**_str_opts(opts)).orc(path)
+
+
 def avro_available(spark: SparkSession) -> bool:
     try:
         spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]

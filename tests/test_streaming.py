@@ -67,3 +67,45 @@ def test_stateful_user_counts_matches_batch(spark):
         .agg(F.count(F.lit(1)).alias("total_events"))
     )
     _cmp(got, want, ["user_id"])
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path):
+    """Stream-static broadcast join == the same join in batch."""
+    from arrow_ballista_spark.catalog import load_table
+
+    events = pipeline.events_stream(spark, SF_DIR)
+    dim = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id").distinct()
+        .withColumn("segment", F.pmod("user_id", F.lit(3)))
+    )
+    enriched = pipeline.stream_static_enrich(
+        events.select("event_id", "user_id"), dim
+    )
+    got = pipeline.run_available_now(enriched, output_mode="append")
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "user_id").join(dim, "user_id")
+    )
+    assert sorted(
+        (r.event_id, r.user_id, r.segment) for r in got.collect()
+    ) == sorted(
+        (r.event_id, r.user_id, r.segment) for r in batch.collect()
+    )
+
+
+def test_sink_parquet_exactly_once_on_rerun(spark, tmp_path):
+    """File sink + checkpoint: re-running the same bounded job over
+    unchanged input must not duplicate rows (the metadata log records the
+    committed batches; availableNow finds nothing new)."""
+    from arrow_ballista_spark.catalog import load_table
+
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+    n_src = load_table(spark, SF_DIR, "events").count()
+    for _ in range(2):  # second run resumes from the checkpoint, no-op
+        src = pipeline.events_stream(spark, SF_DIR)
+        pipeline.sink_parquet(
+            src.select("event_id", "user_id", "ts"), out, ckpt
+        )
+        assert spark.read.parquet(out).count() == n_src
