@@ -162,3 +162,51 @@ def rolling_hash(text_col: str, window: int = 8) -> Column:
     return F.expr(
         f"CASE WHEN length({t}) <= {w} THEN {h0} ELSE {roll} END"
     )
+
+
+def bm25_scores(
+    docs,
+    terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 relevance of every document against a fixed term set —
+    the classic quality/relevance ranking a corpus-construction pipeline
+    runs to select topical documents.
+
+    Scale shape: term filter rides the explode (only query-term
+    occurrences survive the map stage); tf is a two-phase count; the
+    corpus stats (N, avgdl) are a 1-row aggregate and the per-term
+    document frequencies a ``len(terms)``-row aggregate — both broadcast,
+    so the scoring join never shuffles the corpus a second time.
+    Returns ``(id_col, bm25)`` for docs matching ≥1 term.
+    """
+    from pyspark.sql import functions as F
+
+    words = docs.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), " +").alias("ws")
+    ).select(F.col(id_col), F.size("ws").alias("dl"), F.col("ws"))
+    hits = words.select(
+        id_col, "dl", F.explode("ws").alias("w")
+    ).where(F.col("w").isin(*terms))
+    tf = hits.groupBy(id_col, "dl", "w").agg(F.count("*").alias("tf"))
+    dfreq = (
+        hits.select(id_col, "w").distinct()
+        .groupBy("w").agg(F.count("*").alias("df"))
+    )
+    corpus = words.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    j = tf.join(F.broadcast(dfreq), "w").crossJoin(F.broadcast(corpus))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    return j.groupBy(id_col).agg(F.sum(term_score).alias("bm25"))

@@ -99,11 +99,12 @@ _HEAD_ROTATION = [
     "ext_stream_stream_join", "ext_stream_stateful_user_counts",
     "ext_stream_static_join",
     # round-3 additions
-    "ext_quality_repetition", "ext_embed_kmeans",
+    "ext_quality_repetition", "ext_embed_kmeans", "ext_text_bm25",
+    "ext_merge_upsert", "ext_snapshot_diff",
     # decimal parity family: r2-green, keep inside the window as canaries
     "tpch_q1_decimal", "decimal_promotion", "decimal_agg",
     # core canaries so a core regression is still driver-visible
-    "tpch_q1", "tpch_q7", "tpch_q16", "tpch_q17", "tpch_q21", "tpch_q22",
+    "tpch_q1", "tpch_q7", "tpch_q21",
 ]
 
 

@@ -1253,3 +1253,148 @@ def ext_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_available_now(agg, "complete").select(
         F.col("segment").cast("long").alias("segment"), "n_events"
     )
+
+
+_BM25_TERMS = ("data", "join", "stream")
+
+@query(
+    "ext_text_bm25",
+    f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws FROM documents
+), d AS (
+  SELECT doc_id, len(ws) AS dl, ws FROM w
+), hits AS (
+  SELECT doc_id, dl, t.w FROM d, UNNEST(ws) AS t(w)
+  WHERE t.w IN ('data', 'join', 'stream')
+), tf AS (
+  SELECT doc_id, dl, w, COUNT(*) AS tf FROM hits GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT w, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, w FROM hits)
+  GROUP BY w
+), corpus AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d
+)
+SELECT doc_id,
+       {R("SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+          " * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))", 4)}
+         AS bm25
+FROM tf JOIN dfreq USING (w) CROSS JOIN corpus
+GROUP BY doc_id
+""",
+    doc=(
+        "Okapi BM25 relevance of every document against a fixed query "
+        "term set (k1=1.2, b=0.75) — topical document selection for "
+        "corpus construction.  Scale shape: term filter rides the "
+        "explode; tf two-phase; corpus stats (1 row) and per-term doc "
+        "frequencies (|terms| rows) broadcast — the corpus shuffles once"
+    ),
+)
+def ext_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.bm25_scores(docs, _BM25_TERMS)
+    return out.select("doc_id", cround(F.col("bm25"), 4).alias("bm25"))
+
+
+@query(
+    "ext_merge_upsert",
+    f"""
+WITH updates AS (
+  SELECT o_orderkey, CAST(o_totalprice * 1.1 AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, CAST(1.0 AS DOUBLE) FROM orders
+  WHERE o_orderkey % 5000 = 0
+), base AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM orders
+)
+SELECT o_orderkey,
+       {R("o_totalprice", 2)} AS o_totalprice
+FROM (
+  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+  UNION ALL
+  SELECT * FROM updates
+)
+""",
+    doc=(
+        "keyed MERGE/upsert (SCD type 1): an updates batch wins on key "
+        "collision, unmatched base rows survive, new keys insert.  One "
+        "anti join + union — each side shuffles once on the key; AQE "
+        "broadcasts batch-sized update sets at runtime (no forced hint)"
+    ),
+)
+def ext_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", F.col("o_totalprice").cast("double")
+    )
+    updates = base.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") * 1.1).alias("o_totalprice")
+    ).unionByName(
+        base.where(F.col("o_orderkey") % 5000 == 0).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            F.lit(1.0).alias("o_totalprice"),
+        )
+    )
+    merged = merge_upsert(base, updates, "o_orderkey")
+    return merged.select(
+        "o_orderkey", cround(F.col("o_totalprice"), 2).alias("o_totalprice")
+    )
+
+
+@query(
+    "ext_snapshot_diff",
+    """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS p
+  FROM orders
+), new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 13 = 0 THEN CAST(o_totalprice AS DOUBLE) + 5.0
+              ELSE CAST(o_totalprice AS DOUBLE) END AS p
+  FROM orders WHERE o_orderkey % 17 <> 0
+  UNION ALL
+  SELECT o_orderkey + 200000000, 'N', 2.0 FROM orders
+  WHERE o_orderkey % 4000 = 0
+)
+SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       CASE WHEN old.o_orderkey IS NULL THEN 'I'
+            WHEN new.o_orderkey IS NULL THEN 'D'
+            ELSE 'U' END AS change
+FROM old FULL OUTER JOIN new USING (o_orderkey)
+WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+      OR (old.o_orderstatus, old.p) IS DISTINCT FROM
+         (new.o_orderstatus, new.p)
+""",
+    doc=(
+        "snapshot diff (change data capture between two corpus versions): "
+        "one full-outer join on the key comparing a map-side value "
+        "fingerprint; emits (key, I/U/D), unchanged rows omitted — the "
+        "input to incremental downstream jobs.  Oracle compares the "
+        "values directly; the engine compares a 64-bit hash (wide rows "
+        "never widen the join)"
+    ),
+)
+def ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.operators.merge import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double").alias("p")
+    )
+    new = old.where(F.col("o_orderkey") % 17 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 13 == 0, F.col("p") + 5.0)
+        .otherwise(F.col("p"))
+        .alias("p"),
+    ).unionByName(
+        old.where(F.col("o_orderkey") % 4000 == 0).select(
+            (F.col("o_orderkey") + 200000000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(2.0).alias("p"),
+        )
+    )
+    return snapshot_diff(old, new, "o_orderkey")

@@ -184,3 +184,23 @@ def test_kmeans_assignment_broadcasts_centroids(spark):
     plan = explain.explain_str(kmeans_assign(emb, k=4, iters=2), "simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_merge_upsert_and_snapshot_diff_semantics(spark):
+    """merge_upsert: updates win, unmatched survive, inserts land.
+    snapshot_diff: I/U/D classification, unchanged omitted."""
+    from arrow_ballista_spark.operators.merge import merge_upsert, snapshot_diff
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    ups = spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string")
+    got = {(r.k, r.v) for r in merge_upsert(base, ups, "k").collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+
+    old = base
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k long, v string"
+    )  # 1 unchanged, 2 updated, 3 deleted, 4 inserted
+    diff = {(r.k, r.change) for r in snapshot_diff(old, new, "k").collect()}
+    assert diff == {(2, "U"), (3, "D"), (4, "I")}
