@@ -117,3 +117,31 @@ def test_plan_dot_export(spark):
     assert dot.startswith("digraph")
     assert "FileScan" in dot or "Scan parquet" in dot
     assert "->" in dot
+
+
+def test_merge_upsert_plan_no_cartesian(spark):
+    """MERGE = anti join + union: never a cartesian/nested-loop, and the
+    anti join may broadcast the (batch-sized) updates key set."""
+    df = REG["ext_merge_upsert"].spark(spark, SF_DIR)
+    plan = explain.explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_bm25_broadcasts_stats_sides(spark):
+    """BM25 scoring joins must broadcast the tiny sides (per-term doc
+    frequencies, 1-row corpus stats) — the corpus shuffles for the tf
+    aggregation, not for the scoring joins."""
+    df = REG["ext_text_bm25"].spark(spark, SF_DIR)
+    plan = explain.explain_str(df, "simple")
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_single_join(spark):
+    """CDC diff is ONE full-outer join on the key over map-side
+    fingerprints — no second corpus join, no nested loop."""
+    df = REG["ext_snapshot_diff"].spark(spark, SF_DIR)
+    plan = explain.explain_str(df, "simple")
+    assert plan.count("FullOuter") == 1
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
