@@ -57,6 +57,19 @@ def _configure_reader(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Apply the engine's parallelism envelope when the host session still
+    # carries Spark's stock default (200).  A foreign session (the driver
+    # hands us its own) at 200 partitions makes every stateful streaming
+    # operator build 200 state stores per side — measured 5-10x slower on
+    # the ext_stream_* family than the engine's sizing.  An explicitly
+    # non-default user setting is respected.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        import os as _os
+
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            _os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        )
     _CONFIGURED[spark] = True
 
 

@@ -55,6 +55,12 @@ BENCH_QUERIES = [f"tpch_q{i}" for i in range(1, 23)] + [
     "ext_decontaminate",
     "ext_shard_pack",
     "ext_dedup_canonical",
+    "ext_embed_kmeans",
+    "ext_sim_topk_ivf",
+    "ext_text_bm25",
+    "ext_quality_repetition",
+    "ext_merge_upsert",
+    "ext_snapshot_diff",
 ]
 
 
