@@ -100,7 +100,7 @@ _HEAD_ROTATION = [
     "ext_stream_static_join",
     # round-3 additions
     "ext_quality_repetition", "ext_embed_kmeans", "ext_text_bm25",
-    "ext_merge_upsert", "ext_snapshot_diff",
+    "ext_merge_upsert", "ext_snapshot_diff", "ext_pipeline_corpus_build",
     # decimal parity family: r2-green, keep inside the window as canaries
     "tpch_q1_decimal", "decimal_promotion", "decimal_agg",
     # core canaries so a core regression is still driver-visible

@@ -328,3 +328,122 @@ def ext_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "gram")
         .limit(20)
     )
+
+
+@query(
+    "ext_pipeline_corpus_build",
+    """
+WITH RECURSIVE base AS (
+  SELECT doc_id, text, n_chars FROM documents
+  WHERE doc_id % 17 <> 0
+    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+), w AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS toks FROM base
+), q AS (
+  SELECT doc_id FROM w
+  WHERE 1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) <= 0.6
+), qdocs AS (
+  SELECT b.doc_id, b.text, b.n_chars FROM base b JOIN q USING (doc_id)
+), g AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) < 3 THEN toks
+             ELSE list_transform(generate_series(1, len(toks) - 2),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)
+           AS grams
+  FROM (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM qdocs)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))
+          / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+), comp AS (
+  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+), labeled AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM qdocs d LEFT JOIN comp c ON d.doc_id = c.id
+), kept AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                    ORDER BY n_chars DESC, doc_id) AS rn
+    FROM labeled) WHERE rn = 1
+), bgrams AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM (
+    SELECT list_distinct(CASE WHEN len(toks) < 3 THEN toks
+        ELSE list_transform(generate_series(1, len(toks) - 2),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)
+      AS grams
+    FROM (SELECT string_split_regex(text, ' +') AS toks FROM documents
+          WHERE doc_id % 17 = 0))
+), contaminated AS (
+  SELECT DISTINCT cg.doc_id
+  FROM (SELECT k.doc_id, unnest(g.grams) AS gram
+        FROM kept k JOIN g ON k.doc_id = g.doc_id) cg
+  JOIN bgrams USING (gram)
+), clean AS (
+  SELECT doc_id FROM kept
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+), t AS (
+  SELECT c.doc_id,
+         CAST(len(string_split_regex(d.text, ' +')) AS BIGINT) AS n_toks
+  FROM clean c JOIN documents d USING (doc_id)
+), packed AS (
+  SELECT doc_id, n_toks,
+         CAST(FLOOR(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / 2000.0) AS BIGINT) AS shard_id
+  FROM t
+)
+SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+FROM packed GROUP BY shard_id
+""",
+    doc=(
+        "FLAGSHIP end-to-end corpus build — the full chain between raw "
+        "documents and training shards in ONE query: deterministic 50% "
+        "hash sample -> repetition-quality filter (map-only) -> LSH "
+        "near-dup pairs -> connected components -> keep-one-per-cluster "
+        "canonical dedup -> benchmark decontamination (broadcast gram "
+        "vocabulary) -> token-budget shard packing (two-pass distributed "
+        "prefix sum) -> per-shard stats.  Every stage is the registry "
+        "operator it names; the oracle composes their proven SQL twins.  "
+        "Scale: the corpus shuffles for LSH banding, the CC rounds, and "
+        "the final shard windows; sampling/quality/decontamination stay "
+        "map-only; nothing is O(n^2) and nothing collects data rows."
+    ),
+)
+def ext_pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    corp = docs.where(F.col("doc_id") % 17 != 0)
+    sampled = corpus.hash_sample(corp, "doc_id", "8000")
+    toks = F.split(F.col("text"), " +")
+    qdocs = sampled.where(
+        F.lit(1.0)
+        - F.size(F.array_distinct(toks)) / F.size(toks).cast("double")
+        <= 0.6
+    )
+    pairs = dedup.minhash_dedup_pairs(
+        qdocs, "text", "doc_id", threshold=0.5, num_perm=128, rows_per_band=4
+    ).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs)
+    kept = corpus.canonical_dedup(qdocs, comp, "doc_id", "n_chars").select(
+        "doc_id", "text"
+    )
+    dirty = corpus.decontaminate(kept, bench, "text", "doc_id", n=3).select(
+        "doc_id"
+    )
+    clean = kept.join(dirty, "doc_id", "left_anti").select(
+        "doc_id", F.size(F.split(F.col("text"), " +")).cast("long").alias("n_toks")
+    )
+    packed = corpus.pack_shards(clean, "doc_id", "n_toks", budget=2000)
+    return packed.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+    ).select(F.col("shard_id").cast("long").alias("shard_id"), "n_docs", "total_tokens")
