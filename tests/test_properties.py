@@ -222,3 +222,58 @@ def test_connected_components_sparse_trees_match_union_find(spark, edges):
         r.id: r.cluster_id for r in connected_components(pairs).collect()
     }
     assert got == want
+
+
+@given(
+    base=st.dictionaries(st.integers(0, 20), st.integers(0, 5), max_size=15),
+    ups=st.dictionaries(st.integers(0, 25), st.integers(0, 5), max_size=10),
+)
+@_SLOW
+def test_merge_upsert_matches_dict_semantics(spark, base, ups):
+    """merge_upsert == python dict.update on (key -> value)."""
+    from arrow_ballista_spark.operators.merge import merge_upsert
+
+    want = {**base, **ups}
+    bdf = spark.createDataFrame(
+        list(base.items()) or [(-1, 0)], "k long, v long"
+    )
+    udf_ = spark.createDataFrame(
+        list(ups.items()) or [(-2, 0)], "k long, v long"
+    )
+    if not base:
+        bdf = bdf.where("k >= 0")
+    if not ups:
+        udf_ = udf_.where("k >= 0")
+    got = {r.k: r.v for r in merge_upsert(bdf, udf_, "k").collect()}
+    assert got == want
+
+
+@given(
+    old=st.dictionaries(st.integers(0, 15), st.integers(0, 3), max_size=12),
+    new=st.dictionaries(st.integers(0, 15), st.integers(0, 3), max_size=12),
+)
+@_SLOW
+def test_snapshot_diff_matches_dict_semantics(spark, old, new):
+    """snapshot_diff == pure-python dict diff (I/U/D, unchanged omitted)."""
+    from arrow_ballista_spark.operators.merge import snapshot_diff
+
+    want = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            want[k] = "I"
+        elif k not in new:
+            want[k] = "D"
+        elif old[k] != new[k]:
+            want[k] = "U"
+    odf = spark.createDataFrame(
+        list(old.items()) or [(-1, 0)], "k long, v long"
+    )
+    ndf = spark.createDataFrame(
+        list(new.items()) or [(-2, 0)], "k long, v long"
+    )
+    if not old:
+        odf = odf.where("k >= 0")
+    if not new:
+        ndf = ndf.where("k >= 0")
+    got = {r.k: r.change for r in snapshot_diff(odf, ndf, "k").collect()}
+    assert got == want
