@@ -120,3 +120,33 @@ def avro_available(spark: SparkSession) -> bool:
 
 def _str_opts(opts: dict[str, Any]) -> dict[str, str]:
     return {k: str(v) for k, v in opts.items()}
+
+
+def read_text(
+    spark: SparkSession, path: str, whole_text: bool = False, **opts: Any
+) -> DataFrame:
+    """Line-oriented text scan (``value`` column; one row per line, or one
+    row per file with ``whole_text``) — the raw-ingest path for text
+    corpora before parsing/tokenization.  Beyond-reference: arrow-ballista
+    reads csv/parquet/avro/json only (context.rs:214-315)."""
+    # the wholetext kwarg form is load-bearing: this Spark build ignores a
+    # reader-level .option("wholetext", ...) for the text source
+    return spark.read.options(**_str_opts(opts)).text(
+        path, wholetext=whole_text
+    )
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None, **opts: Any
+) -> DataFrame:
+    """Binary-file scan → ``(path, modificationTime, length, content)`` —
+    the ingestion path for multimodal corpora (images/audio/video land as
+    opaque ``binary`` + metadata, then flow through the Arrow-batched
+    feature extractors in ``operators/multimodal.py``).  Scale notes: one
+    row per file; pair with ``spark.sql.files.maxPartitionBytes`` and
+    ``pathGlobFilter`` pushdown so listing/pruning stays on the driver's
+    metadata path, never the content."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.options(**_str_opts(opts)).load(path)

@@ -345,3 +345,25 @@ def test_compact_dataset_reduces_files_preserves_rows(ctx, tmp_path):
     assert after.n_files < before.n_files
     assert abs(after.total_bytes - before.total_bytes) < before.total_bytes
     assert ctx.spark.read.parquet(path).count() == src.count()
+
+
+def test_text_and_binary_file_sources(ctx, tmp_path):
+    """text source: one row per line / per file; binaryFile source: (path,
+    length, content) rows with glob pushdown — the multimodal ingest path."""
+    d = tmp_path / "raw"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("solo\n")
+    (d / "c.bin").write_bytes(b"\x00\x01\x02")
+
+    lines = readers.read_text(ctx.spark, str(d / "*.txt"))
+    assert sorted(r.value for r in lines.collect()) == [
+        "line one", "line two", "solo",
+    ]
+    whole = readers.read_text(ctx.spark, str(d / "*.txt"), whole_text=True)
+    assert whole.count() == 2
+
+    bins = readers.read_binary_files(ctx.spark, str(d), glob="*.bin")
+    rows = bins.collect()
+    assert len(rows) == 1
+    assert rows[0].length == 3 and bytes(rows[0].content) == b"\x00\x01\x02"
