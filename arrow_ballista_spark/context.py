@@ -214,6 +214,20 @@ class BallistaContext:
     def register_avro(self, name: str, path: str, **opts: Any) -> None:
         self.register_table(name, self.read_avro(path, **opts))
 
+    def read_orc(self, path: str, **opts: Any) -> DataFrame:
+        return readers.read_orc(self.spark, path, **opts)
+
+    def register_orc(self, name: str, path: str, **opts: Any) -> None:
+        self.register_table(name, self.read_orc(path, **opts))
+
+    def register_udf(self, name: str, fn, return_type="string"):
+        """Register a Python scalar function for SQL use (reference: the
+        executor's scalar-UDF registry, ``ballista/executor/src/executor.rs:
+        67-73``; plugin loading replaced by Python registration per
+        SURVEY §2.B.11).  Prefer ``functions``' pandas_udf surface for hot
+        paths — this row-at-a-time form is for low-volume glue."""
+        return self.spark.udf.register(name, fn, return_type)
+
     def tables(self) -> list[str]:
         return [t.name for t in self.spark.catalog.listTables()]
 

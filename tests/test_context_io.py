@@ -367,3 +367,18 @@ def test_text_and_binary_file_sources(ctx, tmp_path):
     rows = bins.collect()
     assert len(rows) == 1
     assert rows[0].length == 3 and bytes(rows[0].content) == b"\x00\x01\x02"
+
+
+def test_context_orc_and_udf_registration(ctx, tmp_path):
+    """Context-level ORC register + SQL-visible Python UDF (reference:
+    executor scalar-UDF registry, executor.rs:67-73)."""
+    nation = load_table(ctx.spark, SF_DIR, "nation")
+    path = str(tmp_path / "nation_orc_ctx")
+    writers.write_orc(nation, path)
+    ctx.register_orc("nation_orc", path)
+    assert "nation_orc" in ctx.tables()
+    ctx.register_udf("shout", lambda s: s.upper() + "!", "string")
+    row = ctx.sql(
+        "SELECT shout(n_name) AS x FROM nation_orc WHERE n_nationkey = 0"
+    ).collect()[0]
+    assert row.x == "NATION_0!"
