@@ -382,3 +382,42 @@ def test_context_orc_and_udf_registration(ctx, tmp_path):
         "SELECT shout(n_name) AS x FROM nation_orc WHERE n_nationkey = 0"
     ).collect()[0]
     assert row.x == "NATION_0!"
+
+
+def test_binary_file_ingest_to_multimodal_features(ctx, tmp_path):
+    """END-TO-END multimodal ingest: binaryFile source -> (id, blob)
+    columns -> Arrow-batched feature extraction + frame sampling.  This is
+    the real 100 TB media path: files land as opaque binary rows, features
+    are map-only mapInPandas, frames explode 1->N inside Arrow batches."""
+    import hashlib as _hl
+
+    from arrow_ballista_spark.operators import multimodal
+
+    d = tmp_path / "media"
+    d.mkdir()
+    payloads = {i: bytes(range(10)) * (30 * (i + 1)) for i in range(3)}
+    for i, b in payloads.items():
+        (d / f"{i}.bin").write_bytes(b)
+
+    raw = readers.read_binary_files(ctx.spark, str(d), glob="*.bin")
+    blobs = raw.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("blob"),
+    )
+    feats = {
+        r.doc_id: (r.n_bytes, r.sha_hex)
+        for r in multimodal.extract_blob_features(blobs).collect()
+    }
+    assert feats == {
+        i: (len(b), _hl.sha256(b).hexdigest()) for i, b in payloads.items()
+    }
+    frames = multimodal.sample_frames(blobs, frame_size=128)
+    per_doc = {
+        r.doc_id: r.n for r in frames.groupBy("doc_id")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert per_doc == {
+        i: -(-len(b) // 128) for i, b in payloads.items()
+    }
