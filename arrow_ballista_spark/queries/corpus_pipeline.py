@@ -447,3 +447,88 @@ def ext_pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_toks").cast("long").alias("total_tokens"),
     ).select(F.col("shard_id").cast("long").alias("shard_id"), "n_docs", "total_tokens")
+
+
+@query(
+    "ext_profile_table",
+    """
+SELECT 'doc_id' AS col,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(doc_id) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       CAST(MIN(doc_id) AS DOUBLE) AS min_v,
+       CAST(MAX(doc_id) AS DOUBLE) AS max_v
+FROM documents
+UNION ALL
+SELECT 'n_chars',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(n_chars) AS BIGINT),
+       CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+       CAST(MIN(n_chars) AS DOUBLE),
+       CAST(MAX(n_chars) AS DOUBLE)
+FROM documents
+""",
+    doc=(
+        "data profiling (per-column rows/non-null/distinct/min/max over "
+        "numeric columns) — the pre-flight check a pipeline runs before "
+        "ingesting a new corpus drop.  One pass per profiled column "
+        "(Spark computes all aggregates of a column in a single two-phase "
+        "agg; COUNT(DISTINCT) expands to one extra shuffle each)"
+    ),
+)
+def ext_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def prof(col: str) -> DataFrame:
+        return docs.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("double").alias("min_v"),
+            F.max(col).cast("double").alias("max_v"),
+        )
+
+    return prof("doc_id").unionByName(prof("n_chars"))
+
+
+@query(
+    "ext_corpus_report",
+    """
+WITH t AS (
+  SELECT lang, source,
+         CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_toks,
+         n_chars
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM t GROUP BY lang
+""",
+    doc=(
+        "per-language corpus report (docs, distinct sources, token/char "
+        "budgets) — the mix dashboard a training-data curation loop "
+        "watches.  Single two-phase aggregation; token counting is a "
+        "map-side column expression"
+    ),
+)
+def ext_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            "source",
+            F.size(F.split(F.col("text"), " +")).cast("long").alias("n_toks"),
+            "n_chars",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
