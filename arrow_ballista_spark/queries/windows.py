@@ -362,3 +362,45 @@ def ext_udf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         mod_sum((F.col("o_orderkey") % 97).cast("bigint")).over(w)
         .alias("win_sum"),
     )
+
+
+@query(
+    "events_rollup_multires",
+    """
+SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour' ELSE 'day' END AS grain,
+       CAST(COALESCE(h, d) AS TIMESTAMP) AS bucket_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       (floor(abs(SUM(value)) * 100 + 0.5) / 100e0
+        * (CASE WHEN (SUM(value)) < 0 THEN -1 ELSE 1 END)) AS total_value
+FROM (SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+             event_type, value FROM events)
+GROUP BY GROUPING SETS ((h, d, event_type), (d, event_type))
+""",
+    doc=(
+        "multi-resolution time rollup (the hypertable continuous-aggregate "
+        "shape): hourly AND daily per-type aggregates in ONE pass via "
+        "GROUPING SETS over date_trunc buckets — one shuffle computes all "
+        "granularities with map-side partials, instead of one scan+shuffle "
+        "per grain.  At 100 TB the coarse grains are nearly free riders on "
+        "the finest grain's aggregation"
+    ),
+)
+def events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT CASE WHEN grouping(h) = 0 THEN 'hour' ELSE 'day' END AS grain,
+               COALESCE(h, d) AS bucket_start,
+               event_type,
+               COUNT(*) AS n_events,
+               (floor(abs(SUM(value)) * 100 + 0.5) / 100e0
+                * (CASE WHEN (SUM(value)) < 0 THEN -1 ELSE 1 END))
+                 AS total_value
+        FROM (SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+                     event_type, value FROM events)
+        GROUP BY GROUPING SETS ((h, d, event_type), (d, event_type))
+        """
+    )
