@@ -60,6 +60,13 @@ def get_session(
         # reference collects per-partition statistics (ballista.collect_
         # statistics, config.rs:39) -> Spark CBO over ANALYZE'd tables
         .config("spark.sql.cbo.enabled", "true")
+        # runtime semi-join reduction: build a bloom filter from the
+        # selective side of a shuffle join and push it into the big side's
+        # scan.  Engages only past the default size thresholds (10 GB
+        # application-side scan), i.e. exactly the 100 TB regime — tiny
+        # local runs keep their plans unchanged (mechanism pinned with
+        # lowered thresholds in tests/test_plans.py).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "90g"))
         # Spark UI = the deep-inspection monitoring surface (reference serves
         # a scheduler UI on :80, ballista/scheduler/ui).  Off by default in

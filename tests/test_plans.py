@@ -145,3 +145,40 @@ def test_snapshot_diff_single_join(spark):
     plan = explain.explain_str(df, "simple")
     assert plan.count("FullOuter") == 1
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Runtime bloom-filter semi-join reduction is enabled in the session
+    envelope; it engages only past the (10 GB) application-side scan
+    threshold, so pin the mechanism here by lowering the threshold: the
+    selective orders-side filter must inject a bloom_filter_agg that
+    prunes the lineitem scan before the shuffle join."""
+    from arrow_ballista_spark.catalog import register_tables
+
+    register_tables(spark, SF_DIR)
+    old_thr = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = spark.sql(
+            """
+            SELECT l_orderkey, l_extendedprice
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate >= DATE '1995-03-01'
+              AND o_orderdate < DATE '1995-03-10'
+            """
+        )
+        plan = explain.explain_str(df, "simple")
+        assert "bloom_filter_agg" in plan
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thr,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
