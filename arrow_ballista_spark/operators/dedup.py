@@ -416,3 +416,106 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = rounds
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_perm: int = 128,
+    rows_per_band: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus index AND itself —
+    the production incremental pattern: re-crawls arrive continuously and
+    re-clustering the whole corpus per batch is O(corpus) wasted work.
+
+    Returns one row per new doc: ``(id_col, is_dup, dup_of)`` where
+    ``is_dup = 1`` when the doc near-duplicates (Jaccard >= threshold) an
+    index doc or an earlier-id doc in the same batch, and ``dup_of`` is
+    the smallest such id (NULL when unique).
+
+    Scale shape: in production the index side's band signatures are
+    PRECOMPUTED and stored with the corpus (append-only LSH index); here
+    they are derived inline from ``index_docs`` to keep the operator
+    self-contained.  The batch side is small, so its exploded band
+    signatures broadcast against the index's — the corpus never
+    self-joins, and per batch the work is O(batch x collision rate), not
+    O(corpus^2).  Batch-internal dedup is the usual banded self-join over
+    only the batch.
+    """
+    parts_conf = new_docs.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    try:
+        parts = int(parts_conf)
+    except (TypeError, ValueError):
+        parts = new_docs.sparkSession.sparkContext.defaultParallelism
+
+    def prep(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        grams = tracked_persist(
+            df.repartition(parts, id_col)
+            .select(F.col(id_col), word_shingles(text_col, n).alias("grams"))
+        )
+        sigs = grams.select(
+            F.col(id_col), base_hashes("grams").alias("hashes")
+        ).select(F.col(id_col), *minhash_signature("hashes", num_perm))
+        return grams, sigs
+
+    new_grams, new_sigs = prep(new_docs)
+    idx_grams, idx_sigs = prep(index_docs)
+
+    n_bands = num_perm // rows_per_band
+    bands = F.array(
+        *[
+            F.xxhash64(
+                *[
+                    F.col(f"mh_{band * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+                F.lit(band),
+            )
+            for band in range(n_bands)
+        ]
+    )
+    new_x = tracked_persist(
+        new_sigs.select(F.col(id_col), F.explode(bands).alias("band_sig"))
+    )
+    idx_x = idx_sigs.select(F.col(id_col), F.explode(bands).alias("band_sig"))
+
+    # new x index: broadcast the (small) batch side against the corpus
+    cand_idx = (
+        idx_x.join(F.broadcast(new_x.withColumnRenamed(id_col, "_nid")),
+                   "band_sig")
+        .select(F.col("_nid").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+    # new x new: banded self-join over the batch only (earlier id wins)
+    a, b = new_x.alias("a"), new_x.alias("b")
+    cand_new = (
+        a.join(
+            b,
+            (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    all_grams = new_grams.unionByName(idx_grams)
+    matches = jaccard_verify(
+        cand_idx.unionByName(cand_new), all_grams, id_col, threshold
+    ).groupBy("id_a").agg(F.min("id_b").alias("dup_of"))
+    return (
+        new_docs.select(F.col(id_col))
+        .join(matches.withColumnRenamed("id_a", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.col("dup_of").isNotNull().cast("int").alias("is_dup"),
+            "dup_of",
+        )
+    )

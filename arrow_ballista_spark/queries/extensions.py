@@ -1398,3 +1398,53 @@ def ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(old, new, "o_orderkey")
+
+
+@query(
+    "ext_dedup_incremental",
+    f"""
+WITH g AS ({_SQL_WORD_GRAMS}),
+newd AS (SELECT doc_id, grams FROM g WHERE doc_id % 3 = 0),
+idx AS (SELECT doc_id, grams FROM g WHERE doc_id % 3 <> 0),
+matches AS (
+  SELECT n.doc_id AS new_id, o.doc_id AS other_id
+  FROM newd n JOIN idx o
+    ON len(list_intersect(n.grams, o.grams))
+         / len(list_distinct(list_concat(n.grams, o.grams))) >= 0.5
+  UNION ALL
+  SELECT a.doc_id, b.doc_id
+  FROM newd a JOIN newd b ON b.doc_id < a.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))
+          / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+), agg AS (
+  SELECT new_id, MIN(other_id) AS dup_of FROM matches GROUP BY new_id
+)
+SELECT n.doc_id,
+       CAST(CASE WHEN a.dup_of IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS is_dup,
+       CAST(a.dup_of AS BIGINT) AS dup_of
+FROM newd n LEFT JOIN agg a ON n.doc_id = a.new_id
+""",
+    doc=(
+        "INCREMENTAL dedup: a new batch (docs with id % 3 = 0) checked "
+        "against the existing corpus index (the rest) and against "
+        "earlier docs in the same batch — the production pattern for "
+        "continuous re-crawls, where re-clustering the whole corpus per "
+        "batch is O(corpus) wasted work.  The batch's band signatures "
+        "broadcast against the (stored, append-only) index signatures; "
+        "work per batch is O(batch x collision rate).  Oracle: exact "
+        "Jaccard of each new doc vs index + earlier batch docs"
+    ),
+)
+def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    new_batch = docs.where(F.col("doc_id") % 3 == 0)
+    index = docs.where(F.col("doc_id") % 3 != 0)
+    out = dedup.incremental_dedup(
+        new_batch, index, "text", "doc_id", threshold=0.5
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("is_dup").cast("int").alias("is_dup"),
+        F.col("dup_of").cast("long").alias("dup_of"),
+    )
