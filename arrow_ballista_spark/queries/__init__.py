@@ -102,7 +102,8 @@ _HEAD_ROTATION = [
     "ext_quality_repetition", "ext_embed_kmeans", "ext_text_bm25",
     "ext_merge_upsert", "ext_snapshot_diff", "ext_pipeline_corpus_build",
     "ext_profile_table", "ext_corpus_report", "events_rollup_multires",
-    "ext_dedup_incremental",
+    "ext_dedup_incremental", "ext_sessionize", "ext_funnel",
+    "ext_retention_cohorts",
     # canaries (r2-green decimal parity + core TPC-H) so a core
     # regression is still driver-visible inside the 50-entry window
     "tpch_q1_decimal", "tpch_q1", "tpch_q7", "tpch_q21",
@@ -127,6 +128,7 @@ def load_all() -> dict[str, QueryDef]:
         functions_suite,
         extensions,
         corpus_pipeline,
+        events_analytics,
     )
 
     head = [n for n in _HEAD_ROTATION if n in REGISTRY]
