@@ -532,3 +532,46 @@ def ext_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@query(
+    "ext_sample_weighted",
+    """
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+              AS BIGINT) + 1) / 16777216.0) / n_chars AS wkey
+  FROM documents
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM keyed
+QUALIFY row_number() OVER (ORDER BY wkey DESC, doc_id) <= 50
+""",
+    doc=(
+        "deterministic WEIGHTED sample (Efraimidis-Spirakis A-Res): 50 "
+        "docs drawn with probability proportional to n_chars via key = "
+        "ln(u)/w with u derived from md5(id) — rand()-free, so retries "
+        "and reruns agree and the draw is auditable.  Map-only key "
+        "computation + a global top-k (TakeOrdered, no full sort); the "
+        "same two-level salted window as ext_sample_stratified applies "
+        "when k is huge"
+    ),
+)
+def ext_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.expr(
+            "cast(conv(substring(md5(cast(cast(doc_id AS string) AS binary)),"
+            " 1, 6), 16, 10) AS bigint)"
+        )
+        + F.lit(1)
+    ) / F.lit(16777216.0)
+    keyed = docs.select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"),
+        (F.log(u) / F.col("n_chars")).alias("wkey"),
+    )
+    return (
+        keyed.orderBy(F.col("wkey").desc(), "doc_id")
+        .limit(50)
+        .select("doc_id", "lang", "n_chars")
+    )

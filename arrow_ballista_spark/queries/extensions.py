@@ -1448,3 +1448,69 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_dup").cast("int").alias("is_dup"),
         F.col("dup_of").cast("long").alias("dup_of"),
     )
+
+
+@query(
+    "ext_dedup_containment",
+    f"""
+WITH g AS ({_SQL_WORD_GRAMS}),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.grams, b.grams))
+           / CAST(len(a.grams) AS DOUBLE) AS containment
+  FROM g a JOIN g b ON a.doc_id <> b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))
+          / CAST(len(a.grams) AS DOUBLE) >= 0.8
+)
+SELECT id_a, id_b,
+       {R("containment", 4)} AS containment
+FROM pairs
+""",
+    doc=(
+        "containment near-SUPERSET detection: |grams(A) n grams(B)| / "
+        "|grams(A)| >= 0.8 flags docs mostly contained in another "
+        "(quote-inflated or excerpt duplicates that symmetric Jaccard "
+        "misses: a short doc inside a long one has low Jaccard but high "
+        "containment).  Engine side reuses the LSH candidate pipeline "
+        "(banded, linear) with the asymmetric verify; the small-SF "
+        "oracle is the exact all-pairs containment.  Scale caveat: "
+        "minhash banding recalls by JACCARD, so extreme size-ratio "
+        "pairs (high containment, low Jaccard) need the size-stratified "
+        "banding variant (band within doc-length buckets) at 100 TB"
+    ),
+)
+def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    parts_conf = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    try:
+        parts = int(parts_conf)
+    except (TypeError, ValueError):
+        parts = spark.sparkContext.defaultParallelism
+    from arrow_ballista_spark.operators.caching import tracked_persist
+
+    grams = tracked_persist(
+        docs.repartition(parts, "doc_id").select(
+            F.col("doc_id"), dedup.word_shingles("text", 3).alias("grams")
+        )
+    )
+    sigs = grams.select(
+        F.col("doc_id"), dedup.base_hashes("grams").alias("hashes")
+    ).select(F.col("doc_id"), *dedup.minhash_signature("hashes", 128))
+    # symmetric candidates (id_a < id_b), then verify BOTH directions —
+    # containment is asymmetric, so each unordered candidate yields up to
+    # two ordered rows
+    cand = dedup.lsh_candidate_pairs(sigs, "doc_id", 128, rows_per_band=4)
+    both = cand.unionByName(
+        cand.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    )
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    j = both.join(ga, "id_a").join(gb, "id_b")
+    cont = F.size(F.array_intersect("ga", "gb")) / F.size("ga").cast("double")
+    return (
+        j.select("id_a", "id_b", cont.alias("containment"))
+        .where(F.col("containment") >= 0.8)
+        .select("id_a", "id_b", cround(F.col("containment"), 4).alias("containment"))
+    )
