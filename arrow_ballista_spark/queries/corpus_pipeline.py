@@ -12,7 +12,7 @@ summation-order dependence.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from arrow_ballista_spark.catalog import load_table
@@ -574,4 +574,44 @@ def ext_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.orderBy(F.col("wkey").desc(), "doc_id")
         .limit(50)
         .select("doc_id", "lang", "n_chars")
+    )
+
+
+@query(
+    "ext_quality_percentile_filter",
+    """
+WITH ranked AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+         percent_rank() OVER (PARTITION BY lang
+                              ORDER BY n_chars, doc_id) AS pr
+  FROM documents
+)
+SELECT doc_id, lang, n_chars,
+       (floor(abs(pr) * 10000 + 0.5) / 10000e0
+        * (CASE WHEN (pr) < 0 THEN -1 ELSE 1 END)) AS pctile
+FROM ranked WHERE pr >= 0.75
+""",
+    doc=(
+        "per-language percentile curation: keep each language's top "
+        "quartile by length (quality cutoffs must be per-language — "
+        "scripts and tokenization differ).  percent_rank windows per "
+        "lang with a deterministic (value, id) order; one shuffle on "
+        "lang, skew handled the same way as ext_sample_stratified when "
+        "one language dominates"
+    ),
+)
+def ext_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    from arrow_ballista_spark.queries import cround
+
+    return (
+        docs.select(
+            "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"),
+            F.percent_rank().over(w).alias("pr"),
+        )
+        .where(F.col("pr") >= 0.75)
+        .select(
+            "doc_id", "lang", "n_chars", cround(F.col("pr"), 4).alias("pctile")
+        )
     )
