@@ -89,9 +89,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _configure_reader(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    ns_cols = {
-        f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"
-    }
+    # the ns-timestamp probe reads ONE footer; handle both layouts — a
+    # single parquet file (driver testdata) and a Spark-written directory
+    # of part files (replicas, compaction output, any engine-written table)
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(
+            p for p in os.listdir(path)
+            if p.endswith(".parquet") and not p.startswith(("_", "."))
+        )
+        probe = os.path.join(path, parts[0]) if parts else None
+    ns_cols = (
+        {
+            f.name
+            for f in pq.read_schema(probe)
+            if str(f.type) == "timestamp[ns]"
+        }
+        if probe is not None
+        else set()
+    )
     for c in ns_cols:
         df = df.withColumn(
             c,

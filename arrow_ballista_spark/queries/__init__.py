@@ -107,6 +107,11 @@ _HEAD_ROTATION = [
     # canaries (r2-green decimal parity + core TPC-H) so a core
     # regression is still driver-visible inside the 50-entry window
     "tpch_q1_decimal", "tpch_q1", "tpch_q7", "tpch_q21",
+    # NOTE for the round-4 rotation: entries below land past index 50 and
+    # stay driver-unwitnessed this round (locally green in pytest +
+    # emulation) — promote them next round: ext_funnel,
+    # ext_retention_cohorts, ext_dedup_containment, ext_sample_weighted,
+    # ext_quality_percentile_filter.
 ]
 
 

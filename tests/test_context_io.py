@@ -421,3 +421,17 @@ def test_binary_file_ingest_to_multimodal_features(ctx, tmp_path):
     assert per_doc == {
         i: -(-len(b) // 128) for i, b in payloads.items()
     }
+
+
+def test_load_table_directory_layout(ctx, tmp_path):
+    """catalog.load_table must accept Spark-written DIRECTORY parquet
+    (part files), not just the driver's single-file layout — replicas and
+    compaction output are directories."""
+    from arrow_ballista_spark.catalog import load_table
+
+    src = load_table(ctx.spark, SF_DIR, "events")
+    d = str(tmp_path / "events.parquet")
+    src.write.parquet(d)
+    back = load_table(ctx.spark, str(tmp_path), "events")
+    assert back.count() == src.count()
+    assert dict(back.dtypes)["ts"] == "timestamp_ntz"
