@@ -277,3 +277,64 @@ def test_snapshot_diff_matches_dict_semantics(spark, old, new):
         ndf = ndf.where("k >= 0")
     got = {r.k: r.change for r in snapshot_diff(odf, ndf, "k").collect()}
     assert got == want
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9), st.integers(0, 9)),
+        min_size=4,
+        max_size=16,
+    ),
+)
+@_SLOW
+def test_kmeans_matches_reference_lloyd(spark, pts):
+    """kmeans_assign == a pure-Python Lloyd's with the same deterministic
+    rules (smallest-id init, sequential squared-L2, 6dp-rounded means,
+    cid tie-break).  Integer-valued vectors keep every sum exact in
+    double, so the comparison is bit-deterministic."""
+    from arrow_ballista_spark.operators.kmeans import kmeans_assign
+
+    k, iters = 2, 2
+    ids = list(range(len(pts)))
+    cents = {c: [float(x) for x in pts[c]] for c in range(k)}
+
+    def assign(cents_):
+        out = {}
+        for i in ids:
+            best = min(
+                (
+                    (
+                        sum((pts[i][d] - cents_[c][d]) ** 2 for d in range(3)),
+                        c,
+                    )
+                    for c in sorted(cents_)
+                ),
+            )
+            out[i] = best[1]
+        return out
+
+    a = None
+    for it in range(iters):
+        a = assign(cents)
+        if it < iters - 1:
+            new = {}
+            for c in sorted(cents):
+                members = [i for i in ids if a[i] == c]
+                if members:
+                    new[c] = [
+                        round(
+                            sum(pts[i][d] for i in members) / len(members), 6
+                        )
+                        for d in range(3)
+                    ]
+            cents = new
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign(df, k=k, iters=iters).collect()
+    }
+    assert got == a
