@@ -951,3 +951,109 @@ def meta_information_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY table_name, ordinal_position
         """
     )
+
+
+@query(
+    "h2o_groupby_median_sd",
+    """
+SELECT event_type,
+       (floor(abs(median(value)) * 10000 + 0.5) / 10000e0 *
+        (CASE WHEN (median(value)) < 0 THEN -1 ELSE 1 END)) AS median_v,
+       (floor(abs(stddev_samp(value)) * 10000 + 0.5) / 10000e0 *
+        (CASE WHEN (stddev_samp(value)) < 0 THEN -1 ELSE 1 END)) AS sd_v
+FROM events GROUP BY event_type
+""",
+    doc="h2o groupby q6 shape: median + sample stddev by key (ref "
+        "benchmarks/db-benchmark/groupby-datafusion.py:155-162)",
+)
+def h2o_groupby_median_sd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.queries import cround
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        cround(F.median("value"), 4).alias("median_v"),
+        cround(F.stddev_samp("value"), 4).alias("sd_v"),
+    )
+
+
+@query(
+    "h2o_groupby_range",
+    """
+SELECT event_type,
+       (floor(abs(MAX(value) - MIN(value)) * 10000 + 0.5) / 10000e0 *
+        (CASE WHEN (MAX(value) - MIN(value)) < 0 THEN -1 ELSE 1 END))
+         AS range_v
+FROM events GROUP BY event_type
+""",
+    doc="h2o groupby q7 shape: max - min by key (ref "
+        "groupby-datafusion.py:172-179)",
+)
+def h2o_groupby_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.queries import cround
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        cround(F.max("value") - F.min("value"), 4).alias("range_v")
+    )
+
+
+@query(
+    "h2o_groupby_top2",
+    """
+SELECT event_type,
+       (floor(abs(v) * 10000 + 0.5) / 10000e0 *
+        (CASE WHEN (v) < 0 THEN -1 ELSE 1 END)) AS v,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT event_type, value AS v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rnk
+  FROM events
+) WHERE rnk <= 2
+""",
+    doc="h2o groupby q8 shape: largest two values per group via a "
+        "partitioned window, tie-broken by event_id (ref "
+        "groupby-datafusion.py:189-196)",
+)
+def h2o_groupby_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from arrow_ballista_spark.queries import cround
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.col("value").alias("v"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= 2)
+        .select(
+            "event_type", cround(F.col("v"), 4).alias("v"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+@query(
+    "h2o_groupby_corr",
+    """
+SELECT event_type,
+       (floor(abs(pow(corr(user_id, value), 2)) * 10000 + 0.5) / 10000e0 *
+        (CASE WHEN (pow(corr(user_id, value), 2)) < 0 THEN -1 ELSE 1 END))
+         AS r2
+FROM events GROUP BY event_type
+""",
+    doc="h2o groupby q9 shape: regression r^2 = corr^2 by key (ref "
+        "groupby-datafusion.py:206-213)",
+)
+def h2o_groupby_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.queries import cround
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        cround(F.pow(F.corr("user_id", "value"), 2), 4).alias("r2")
+    )
