@@ -70,7 +70,51 @@ def _configure_reader(spark: SparkSession) -> None:
             "spark.sql.shuffle.partitions",
             _os.environ.get("SPARK_GRAFT_CPUS", "32"),
         )
+    _ship_package(spark)
     _CONFIGURED[spark] = True
+
+
+_PKG_ZIP: str | None = None
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship the engine package to Python workers via ``addPyFile``.
+
+    Python-executed operators (UDTFs, the Python DataSource, stateful
+    streaming update functions) are cloudpickled BY REFERENCE to their
+    defining module, so the worker process must be able to import
+    ``arrow_ballista_spark`` itself.  A foreign driver session launched
+    from an arbitrary cwd (the external driver, a notebook, a cluster
+    executor) has no such guarantee — this is the same problem
+    ``spark-submit --py-files`` solves on a 1000-executor cluster, and
+    ``addPyFile`` is its runtime form: the zip is shipped with every task
+    and prepended to the worker's sys.path."""
+    global _PKG_ZIP
+    if _PKG_ZIP is None:
+        import tempfile
+        import zipfile
+
+        import arrow_ballista_spark as pkg
+
+        pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+        fd, path = tempfile.mkstemp(
+            suffix=".zip", prefix="arrow_ballista_spark_"
+        )
+        os.close(fd)
+        with zipfile.ZipFile(path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+        _PKG_ZIP = path
+    try:
+        spark.sparkContext.addPyFile(_PKG_ZIP)
+    except Exception:
+        # Connect-mode sessions have no sparkContext; artifact upload is
+        # their equivalent and the local-mode driver never needs it.
+        pass
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

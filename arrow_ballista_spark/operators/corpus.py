@@ -42,6 +42,31 @@ def hash_sample(df: DataFrame, id_col: str, keep_below: str) -> DataFrame:
     return df.where(hash_bucket(F.col(id_col)) < F.lit(keep_below))
 
 
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    val_below: str = "e000",
+    train_below: str = "c000",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic three-way corpus split by md5-of-id hex ranges
+    (default 75% train / 12.5% val / 12.5% test).
+
+    The assignment is a pure function of the row id: map-only (no shuffle,
+    no ``rand()``), stable across reruns, task retries, and cluster sizes —
+    so a 100 TB split is reproducible and any document's membership can be
+    audited after the fact.  Contrast ``df.randomSplit``, which resamples
+    per attempt and depends on partitioning.  Split-fraction resolution is
+    16^-digits of the hex prefix (4 digits → 1/65536)."""
+    b = hash_bucket(F.col(id_col))
+    return df.withColumn(
+        split_col,
+        F.when(b < F.lit(train_below), F.lit("train"))
+        .when(b < F.lit(val_below), F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
 def stratified_sample_topk(
     df: DataFrame,
     strata_col: str,

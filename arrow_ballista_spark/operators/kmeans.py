@@ -90,3 +90,73 @@ def kmeans_assign(
                 ).alias("cent")
             ).select(F.col("cluster").alias("cid"), "cent")
     return assigned.select(id_col, "cluster")
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    tau: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: k-means-cluster the
+    embeddings, then compare pairs only WITHIN a cluster and keep those
+    with cosine >= ``tau`` (Abbas et al. 2023, "SemDeDup" — public
+    method).  Returns ``(id_a, id_b, cluster, cos_raw)`` with
+    ``id_a < id_b``.
+
+    This is the scale path for embedding dedup: the quadratic blow-up is
+    confined to one cluster at a time — O(sum |c_i|^2) instead of O(n^2).
+    At corpus scale k grows with n (k ~ sqrt(n) keeps expected cluster
+    size ~ sqrt(n)), and the pairwise stage shuffles once on the cluster
+    id, each cluster a separate task; row norms are folded once per ROW
+    before the pair join, not once per pair.  Clustering itself is
+    broadcast-Lloyd (:func:`kmeans_assign` — map-only assignment, no
+    point shuffle).  Deterministic end-to-end (rand()-free init, fixed
+    fold order), so the composition is value-exact against an unrolled
+    SQL oracle."""
+    from arrow_ballista_spark.operators.similarity import (
+        cosine_with_norms,
+        norm,
+    )
+
+    assign = kmeans_assign(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    e = (
+        embeddings.select(F.col(id_col), F.col(vec_col).alias("vec"))
+        .join(assign, id_col)
+        .select(
+            F.col(id_col),
+            "cluster",
+            "vec",
+            norm(F.col("vec")).alias("nrm"),
+        )
+    )
+    a = e.select(
+        F.col(id_col).alias("id_a"),
+        F.col("cluster"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cluster").alias("cluster_b"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        a.join(
+            b,
+            (a.cluster == b.cluster_b) & (a.id_a < b.id_b),
+        )
+        .withColumn(
+            "cos_raw",
+            cosine_with_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ),
+        )
+        .filter(F.col("cos_raw") >= tau)
+        .select("id_a", "id_b", "cluster", "cos_raw")
+    )

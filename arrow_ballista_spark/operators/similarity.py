@@ -57,6 +57,48 @@ def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return dot(a, b) / F.nullif(na * nb, F.lit(0.0))
 
 
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``q[i] = round(v[i] *
+    127 / max(|v|))`` — 4x storage/IO reduction for ANN corpora (the
+    standard scalar-quantized index layout; dot products on int8 reclaim
+    most of the recall at a fraction of the bandwidth).
+
+    Map-only: one codegen'd fold for the row max plus one ``transform`` —
+    no shuffle, so it rides any scan at 100 TB.  Deterministic and
+    oracle-exact: the scale is one IEEE division, rounding is the
+    engine-portable floor(|x|+0.5)·sign form, all-zero vectors quantize to
+    zeros (scale 0 sentinel).  Returns (id, scale, q) with ``q`` as an
+    int array."""
+    e = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    e = e.withColumn(
+        "amax",
+        F.expr(
+            "aggregate(v, cast(0.0 as double), (acc, x) -> "
+            "greatest(acc, abs(x)))"
+        ),
+    )
+    e = e.withColumn(
+        "scale",
+        F.when(F.col("amax") > 0, F.lit(127.0) / F.col("amax")).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    return e.select(
+        F.col(id_col),
+        F.col("scale"),
+        F.expr(
+            "transform(v, x -> cast(floor(abs(x * scale) + 0.5) * "
+            "(case when x * scale < 0 then -1 else 1 end) as int))"
+        ).alias("q"),
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -47,6 +47,31 @@ def ext_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_split_train_val_test",
+    f"""
+SELECT doc_id,
+       CASE WHEN {_sql_hash_bucket('doc_id')} < 'c000' THEN 'train'
+            WHEN {_sql_hash_bucket('doc_id')} < 'e000' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+    doc=(
+        "deterministic train/val/test split (75/12.5/12.5) by md5-of-id "
+        "hex range.  Map-only and a pure function of the row id — stable "
+        "across reruns, retries, and cluster sizes (randomSplit is none "
+        "of these), so a 100 TB split is reproducible and every "
+        "document's membership is auditable (operators/corpus.py"
+        ":train_val_test_split)."
+    ),
+)
+def ext_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.train_val_test_split(docs, "doc_id").select(
+        "doc_id", "split"
+    )
+
+
+@query(
     "ext_sample_stratified",
     f"""
 SELECT doc_id, lang FROM documents

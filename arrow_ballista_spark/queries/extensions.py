@@ -1162,9 +1162,9 @@ def ext_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KMEANS_K = 8
 
-@query(
-    "ext_embed_kmeans",
-    f"""
+# Unrolled 2-iteration Lloyd's CTE chain (shared by ext_embed_kmeans and
+# ext_dedup_semantic): a1 = final (vec_id, cid) assignment.
+_KMEANS_CTE = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), c0 AS (
@@ -1198,8 +1198,12 @@ WITH e AS (
            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
     FROM d1) WHERE rn = 1
 )
-SELECT vec_id, cid AS cluster FROM a1
-""",
+"""
+
+
+@query(
+    "ext_embed_kmeans",
+    _KMEANS_CTE + "SELECT vec_id, cid AS cluster FROM a1",
     doc=(
         "Distributed Lloyd's k-means over the embedding column (k=8, 2 "
         "iterations, deterministic smallest-id init) — corpus "
@@ -1221,6 +1225,84 @@ def ext_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(emb, k=_KMEANS_K, iters=2).select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("cluster").cast("long").alias("cluster"),
+    )
+
+
+@query(
+    "ext_dedup_semantic",
+    _KMEANS_CTE
+    + f"""
+SELECT aa.vec_id AS id_a, bb.vec_id AS id_b,
+       CAST(aa.cid AS BIGINT) AS cluster,
+       {R(_sql_cosine("ea.embedding", "eb.embedding"), 6)} AS cosine
+FROM a1 aa
+JOIN a1 bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+JOIN embeddings ea ON ea.vec_id = aa.vec_id
+JOIN embeddings eb ON eb.vec_id = bb.vec_id
+WHERE {_sql_cosine("ea.embedding", "eb.embedding")} >= 0.35
+""",
+    doc=(
+        "SemDeDup-style semantic near-dup pairs (public method: Abbas et "
+        "al. 2023): k-means-cluster the embeddings, compare pairs only "
+        "WITHIN a cluster, keep cosine >= 0.35.  The quadratic stage is "
+        "confined per cluster — O(sum |c_i|^2), one shuffle on cluster "
+        "id; at corpus scale k ~ sqrt(n) bounds expected cluster size.  "
+        "Value-exact oracle: the unrolled k-means CTE composed with the "
+        "same deterministic cosine fold (operators/kmeans.py"
+        ":semantic_dedup_pairs)."
+    ),
+)
+def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.operators.kmeans import semantic_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup_pairs(emb, k=_KMEANS_K, iters=2, tau=0.35)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("cluster").cast("long").alias("cluster"),
+        cround(F.col("cos_raw"), 6).alias("cosine"),
+    )
+
+
+@query(
+    "ext_embed_quantize",
+    f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), m AS (
+  SELECT vec_id, v,
+         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS amax
+  FROM e
+), s AS (
+  SELECT vec_id, v,
+         CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END AS scale
+  FROM m
+)
+SELECT vec_id, {R("scale", 6)} AS scale,
+       array_to_string(list_transform(v, x ->
+         CAST(CAST(floor(abs(x * scale) + 0.5) *
+              (CASE WHEN x * scale < 0 THEN -1 ELSE 1 END) AS INT)
+              AS VARCHAR)), ',') AS q_csv
+FROM s
+""",
+    doc=(
+        "Per-vector symmetric int8 scalar quantization (q = round(v * "
+        "127/max|v|)) — 4x storage/IO for ANN corpora.  Map-only, no "
+        "shuffle at any scale; engine-portable floor-based rounding makes "
+        "the int codes value-exact cross-engine "
+        "(operators/similarity.py:quantize_int8)."
+    ),
+)
+def ext_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.quantize_int8(emb, "vec_id", "embedding")
+    return q.select(
+        "vec_id",
+        cround(F.col("scale"), 6).alias("scale"),
+        F.expr(
+            "array_join(transform(q, x -> cast(x as string)), ',')"
+        ).alias("q_csv"),
     )
 
 

@@ -902,6 +902,161 @@ def h2o_join_bigsmall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "h2o_join_medium_inner",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       (floor(abs(SUM(o_totalprice)) * 100 + 0.5) / 100e0 *
+        (CASE WHEN (SUM(o_totalprice)) < 0 THEN -1 ELSE 1 END)) AS sum_price,
+       (floor(abs(SUM(c_acctbal)) * 100 + 0.5) / 100e0 *
+        (CASE WHEN (SUM(c_acctbal)) < 0 THEN -1 ELSE 1 END)) AS sum_bal
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+    doc="h2o join q2 shape: medium inner equi-join on int key, checksum "
+        "output per the h2o chk protocol (ref benchmarks/db-benchmark/"
+        "join-datafusion.py:105-118). No broadcast hint: at scale both "
+        "sides shuffle; AQE promotes small cases at test SF.",
+)
+def h2o_join_medium_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.queries import cround
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            cround(F.sum("o_totalprice"), 2).alias("sum_price"),
+            cround(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+@query(
+    "h2o_join_medium_outer",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_matched,
+       (floor(abs(SUM(c_acctbal)) * 100 + 0.5) / 100e0 *
+        (CASE WHEN (SUM(c_acctbal)) < 0 THEN -1 ELSE 1 END)) AS sum_bal,
+       (floor(abs(SUM(o_totalprice)) * 100 + 0.5) / 100e0 *
+        (CASE WHEN (SUM(o_totalprice)) < 0 THEN -1 ELSE 1 END)) AS sum_price
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+""",
+    doc="h2o join q3 shape: medium LEFT OUTER on int key — customers "
+        "without orders witness the null-extended side (ref benchmarks/"
+        "db-benchmark/join-datafusion.py:122-135)",
+)
+def h2o_join_medium_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.queries import cround
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("o_orderkey").alias("n_matched"),
+            cround(F.sum("c_acctbal"), 2).alias("sum_bal"),
+            cround(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "h2o_join_factor",
+    """
+WITH brand_dim AS (
+  SELECT p_brand AS b_brand,
+         (floor(abs(AVG(p_retailprice)) * 10000 + 0.5) / 10000e0 *
+          (CASE WHEN (AVG(p_retailprice)) < 0 THEN -1 ELSE 1 END))
+           AS b_avg_price
+  FROM part GROUP BY p_brand
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       (floor(abs(SUM(p_retailprice)) * 100 + 0.5) / 100e0 *
+        (CASE WHEN (SUM(p_retailprice)) < 0 THEN -1 ELSE 1 END)) AS sum_price,
+       (floor(abs(SUM(b_avg_price)) * 100 + 0.5) / 100e0 *
+        (CASE WHEN (SUM(b_avg_price)) < 0 THEN -1 ELSE 1 END)) AS sum_brand_avg
+FROM part JOIN brand_dim ON p_brand = b_brand
+""",
+    doc="h2o join q4 shape: inner join on a string factor key (ref "
+        "benchmarks/db-benchmark/join-datafusion.py:139-152). The "
+        "low-cardinality dim is broadcast — zero extra shuffle at any "
+        "scale; per-brand avg is pre-rounded identically on both sides.",
+)
+def h2o_join_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.queries import cround
+
+    part = load_table(spark, sf_dir, "part")
+    dim = part.groupBy(F.col("p_brand").alias("b_brand")).agg(
+        cround(F.avg("p_retailprice"), 4).alias("b_avg_price")
+    )
+    return (
+        part.join(F.broadcast(dim), part.p_brand == dim.b_brand)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            cround(F.sum("p_retailprice"), 2).alias("sum_price"),
+            cround(F.sum("b_avg_price"), 2).alias("sum_brand_avg"),
+        )
+    )
+
+
+@query(
+    "h2o_join_big",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       (floor(abs(SUM(l_extendedprice)) * 100 + 0.5) / 100e0 *
+        (CASE WHEN (SUM(l_extendedprice)) < 0 THEN -1 ELSE 1 END)) AS sum_l,
+       (floor(abs(SUM(o_totalprice)) * 100 + 0.5) / 100e0 *
+        (CASE WHEN (SUM(o_totalprice)) < 0 THEN -1 ELSE 1 END)) AS sum_o
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+""",
+    doc="h2o join q5 shape: big x big inner on int key — the pure "
+        "shuffle-join stressor (ref benchmarks/db-benchmark/"
+        "join-datafusion.py:156-169). Both sides hash-partition on the "
+        "key; at 100 TB this is a sort-merge join, never a broadcast.",
+)
+def h2o_join_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.queries import cround
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            cround(F.sum("l_extendedprice"), 2).alias("sum_l"),
+            cround(F.sum("o_totalprice"), 2).alias("sum_o"),
+        )
+    )
+
+
+@query(
+    "nyctaxi_fare_by_passenger",
+    """
+SELECT l_linenumber AS passenger_count,
+       MIN(l_extendedprice) AS min_fare,
+       MAX(l_extendedprice) AS max_fare,
+       (floor(abs(SUM(l_extendedprice)) * 100 + 0.5) / 100e0 *
+        (CASE WHEN (SUM(l_extendedprice)) < 0 THEN -1 ELSE 1 END)) AS sum_fare
+FROM lineitem GROUP BY l_linenumber
+""",
+    doc="NYC-taxi micro-bench shape: MIN/MAX/SUM by a low-cardinality "
+        "int key (ref benchmarks/src/bin/nyctaxi.rs:104 — "
+        "fare_amt_by_passenger), mapped onto lineitem/l_linenumber",
+)
+def nyctaxi_fare_by_passenger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.queries import cround
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_linenumber").alias("passenger_count")).agg(
+        F.min("l_extendedprice").alias("min_fare"),
+        F.max("l_extendedprice").alias("max_fare"),
+        cround(F.sum("l_extendedprice"), 2).alias("sum_fare"),
+    )
+
+
+@query(
     "fn_explode_unnest",
     """
 SELECT doc_id, tok

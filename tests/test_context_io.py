@@ -435,3 +435,38 @@ def test_load_table_directory_layout(ctx, tmp_path):
     back = load_table(ctx.spark, str(tmp_path), "events")
     assert back.count() == src.count()
     assert dict(back.dtypes)["ts"] == "timestamp_ntz"
+
+
+def test_package_shipped_to_python_workers(tmp_path):
+    """Python-executed operators (UDTF, Python DataSource, stateful
+    streaming) pickle their functions BY REFERENCE to engine modules; a
+    driver session launched from an arbitrary cwd (the external driver, a
+    real cluster) must still let workers import them.  catalog's
+    _configure_reader ships the package via addPyFile — verify end-to-end
+    from a subprocess whose cwd is NOT the repo root."""
+    import subprocess
+    import sys
+
+    script = tmp_path / "foreign_cwd_driver.py"
+    script.write_text(
+        "import sys\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = (SparkSession.builder.master('local[2]')\n"
+        "         .appName('foreign-cwd').getOrCreate())\n"
+        "from arrow_ballista_spark.queries import load_all\n"
+        "reg = load_all()\n"
+        "out = reg['ext_udtf_word_positions'].spark(spark, '%s')\n"
+        "assert out.count() > 0\n"
+        "print('WORKER_IMPORT_OK')\n" % SF_DIR
+    )
+    proc = subprocess.run(
+        [sys.executable, str(script)],
+        cwd=str(tmp_path),
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "WORKER_IMPORT_OK" in proc.stdout, (
+        f"stdout={proc.stdout[-2000:]}\nstderr={proc.stderr[-2000:]}"
+    )
