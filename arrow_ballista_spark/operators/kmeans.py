@@ -116,6 +116,7 @@ def semantic_dedup_pairs(
     point shuffle).  Deterministic end-to-end (rand()-free init, fixed
     fold order), so the composition is value-exact against an unrolled
     SQL oracle."""
+    from arrow_ballista_spark.operators.caching import tracked_persist
     from arrow_ballista_spark.operators.similarity import (
         cosine_with_norms,
         norm,
@@ -124,7 +125,10 @@ def semantic_dedup_pairs(
     assign = kmeans_assign(
         embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
     )
-    e = (
+    # tracked persist: both sides of the cluster self-join read this —
+    # without it the whole Lloyd assignment (iters scans) runs twice
+    # (release via operators.caching.release_caches()).
+    e = tracked_persist(
         embeddings.select(F.col(id_col), F.col(vec_col).alias("vec"))
         .join(assign, id_col)
         .select(

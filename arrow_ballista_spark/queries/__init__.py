@@ -111,7 +111,10 @@ _HEAD_ROTATION = [
     # stay driver-unwitnessed this round (locally green in pytest +
     # emulation) — promote them next round: ext_funnel,
     # ext_retention_cohorts, ext_dedup_containment, ext_sample_weighted,
-    # ext_quality_percentile_filter.
+    # ext_quality_percentile_filter, ext_dedup_semantic,
+    # ext_embed_quantize, ext_split_train_val_test,
+    # h2o_join_medium_inner/medium_outer/factor/big,
+    # nyctaxi_fare_by_passenger, h2o_groupby_median_sd/range/top2/corr.
 ]
 
 

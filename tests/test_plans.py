@@ -182,3 +182,36 @@ def test_runtime_bloom_filter_join_pruning(spark):
             old_thr,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+
+def test_quantize_and_split_are_map_only(spark):
+    """ext_embed_quantize and ext_split_train_val_test must ride the scan:
+    zero exchanges, zero joins — at 100 TB they are pure map passes."""
+    for name in ("ext_embed_quantize", "ext_split_train_val_test"):
+        rep = _report(spark, name)
+        assert rep["exchanges"] == 0, (name, rep["exchanges"])
+        assert rep["broadcast_joins"] == 0 and rep["sortmerge_joins"] == 0
+
+
+def test_h2o_factor_join_broadcasts_dim(spark):
+    """The 25-row brand dim must broadcast — shuffling the fact side on a
+    string key to meet a tiny dim is the classic scale mistake."""
+    rep = _report(spark, "h2o_join_factor")
+    assert rep["broadcast_joins"] >= 1
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    """The intra-cluster pair stage must be an equi-join on the cluster id
+    (residual id/cosine predicates), never a nested-loop over all pairs;
+    the k-centroid assignment crossJoin IS broadcast (k rows)."""
+    df = REG["ext_dedup_semantic"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # pair stage: a real partitioned join keyed on the cluster id
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # the only nested loops are the k-row centroid broadcasts inside the
+    # (persisted) assignment subtree, printed once per cache reference —
+    # 2 Lloyd iterations x 2 references
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+    # both self-join sides must read the cached assignment, not recompute
+    assert plan.count("InMemoryTableScan") >= 2
