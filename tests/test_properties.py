@@ -338,3 +338,71 @@ def test_kmeans_matches_reference_lloyd(spark, pts):
         for r in kmeans_assign(df, k=k, iters=iters).collect()
     }
     assert got == a
+
+
+def test_split_partitions_complete_and_deterministic(spark):
+    """train/val/test must partition the input exactly (every row in
+    exactly one split), reproduce identically run-to-run, and land within
+    sane distance of the 75/12.5/12.5 target."""
+    from arrow_ballista_spark.catalog import load_table
+    from arrow_ballista_spark.operators.corpus import train_val_test_split
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out1 = train_val_test_split(docs, "doc_id").select("doc_id", "split")
+    counts = {r["split"]: r["n"] for r in
+              out1.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = docs.count()
+    assert sum(counts.values()) == n
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.60 * n <= counts["train"] <= 0.90 * n
+    # determinism: a second run assigns every doc the same split
+    out2 = train_val_test_split(docs, "doc_id").select("doc_id", "split")
+    assert out1.exceptAll(out2).count() == 0
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    """Dequantized values must sit within half a quantization step of the
+    original: |v - q/scale| <= 0.5/scale (scale = 127/max|v|)."""
+    from arrow_ballista_spark.catalog import load_table
+    from arrow_ballista_spark.operators.similarity import quantize_int8
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = quantize_int8(emb, "vec_id", "embedding")
+    joined = q.join(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+        "vec_id",
+    )
+    bad = joined.filter(
+        F.expr(
+            "exists(zip_with(v, q, (x, c) -> "
+            "abs(x - c / scale) > 0.5 / scale + 1e-12), b -> b)"
+        )
+        & (F.col("scale") > 0)
+    ).count()
+    assert bad == 0
+    # int8 range respected
+    overflow = joined.filter(
+        F.expr("exists(q, c -> c > 127 or c < -127)")
+    ).count()
+    assert overflow == 0
+
+
+def test_semantic_dedup_subset_of_exact_pairs(spark):
+    """Every SemDeDup pair must also be an exact embedding-cosine pair at
+    the same threshold (clustering can only REMOVE candidates, never
+    invent similarity), with the identical cosine value."""
+    from arrow_ballista_spark.catalog import load_table
+    from arrow_ballista_spark.operators.kmeans import semantic_dedup_pairs
+    from arrow_ballista_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    sem = semantic_dedup_pairs(emb, k=8, iters=2, tau=0.35).select(
+        "id_a", "id_b", F.round("cos_raw", 9).alias("c")
+    )
+    exact = cosine_near_dup_pairs(emb, "vec_id", "embedding", 0.35).select(
+        "id_a", "id_b", F.round("cos_raw", 9).alias("c")
+    )
+    assert sem.count() > 0
+    assert sem.exceptAll(exact).count() == 0
