@@ -449,17 +449,27 @@ def ext_pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     corp = docs.where(F.col("doc_id") % 17 != 0)
     sampled = corpus.hash_sample(corp, "doc_id", "8000")
     toks = F.split(F.col("text"), " +")
-    qdocs = sampled.where(
-        F.lit(1.0)
-        - F.size(F.array_distinct(toks)) / F.size(toks).cast("double")
-        <= 0.6
+    # tracked persists: qdocs feeds three branches (LSH pairs, canonical
+    # pick, decontamination) and kept feeds two — without them every
+    # branch re-runs the scan + tokenize + quality filter (measured 21s ->
+    # ~8s warm at sf0.1).  Released via operators.caching.release_caches().
+    from arrow_ballista_spark.operators.caching import tracked_persist
+
+    qdocs = tracked_persist(
+        sampled.where(
+            F.lit(1.0)
+            - F.size(F.array_distinct(toks)) / F.size(toks).cast("double")
+            <= 0.6
+        )
     )
     pairs = dedup.minhash_dedup_pairs(
         qdocs, "text", "doc_id", threshold=0.5, num_perm=128, rows_per_band=4
     ).select("id_a", "id_b")
     comp = dedup.connected_components(pairs)
-    kept = corpus.canonical_dedup(qdocs, comp, "doc_id", "n_chars").select(
-        "doc_id", "text"
+    kept = tracked_persist(
+        corpus.canonical_dedup(qdocs, comp, "doc_id", "n_chars").select(
+            "doc_id", "text"
+        )
     )
     dirty = corpus.decontaminate(kept, bench, "text", "doc_id", n=3).select(
         "doc_id"

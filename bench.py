@@ -61,6 +61,8 @@ BENCH_QUERIES = [f"tpch_q{i}" for i in range(1, 23)] + [
     "ext_quality_repetition",
     "ext_merge_upsert",
     "ext_snapshot_diff",
+    "ext_dedup_semantic",
+    "ext_pipeline_corpus_build",
     # h2o db-benchmark + nyctaxi shapes (the reference's other harnesses:
     # benchmarks/db-benchmark/join-datafusion.py, src/bin/nyctaxi.rs)
     "h2o_groupby_highcard",
