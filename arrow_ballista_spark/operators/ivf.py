@@ -20,19 +20,38 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from arrow_ballista_spark.operators.caching import tracked_persist
 from arrow_ballista_spark.operators.similarity import (
     cosine_with_norms,
-    dot,
     norm,
 )
 
 
-def _centroid_literal(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
+def _dlit(x: float) -> str:
+    """Engine-exact double literal for generated SQL: repr() round-trips
+    the binary value and the string-cast parses it back bit-identically
+    (a bare 1.23 in Spark SQL would parse as DECIMAL)."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _sql_array(vec: list[float]) -> str:
+    return "array(" + ", ".join(_dlit(x) for x in vec) + ")"
+
+
+def _sql_dot(vec_col: str, lit_array: str) -> str:
+    """SQL twin of similarity.dot (same zip_with/aggregate fold, same
+    casts) — built as ONE expression string.  Constructing the same tree
+    from nested F.lit/F.array/F.aggregate Column objects costs thousands
+    of Py4J round-trips (n_cells x dim literals ~= seconds of driver time
+    per query build); one expr() string is a single JVM parse."""
+    return (
+        f"aggregate(zip_with({vec_col}, {lit_array}, "
+        f"(x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
 
 
 def choose_centroids(
@@ -63,23 +82,20 @@ def assign_cells(
     centroid literals)."""
     # centroid norms are Python constants; the row norm folds once —
     # one interpreted dot fold per centroid instead of three
-    rn = norm(F.col(vec))
-    sims = F.array(
-        *[
-            dot(F.col(vec), _centroid_literal(c))
-            / F.nullif(
-                rn * F.lit(math.sqrt(sum(x * x for x in c))), F.lit(0.0)
-            )
-            for c in centroids
-        ]
-    )
+    sims_sql = "array(" + ", ".join(
+        f"({_sql_dot(vec, _sql_array(c))} / "
+        f"nullif(__rn * {_dlit(math.sqrt(sum(x * x for x in c)))}, "
+        f"cast(0.0 as double)))"
+        for c in centroids
+    ) + ")"
     best = F.expr(
         f"array_position(cells_sims, array_max(cells_sims)) - 1"
     )
     return (
-        corpus.withColumn("cells_sims", sims)
+        corpus.withColumn("__rn", norm(F.col(vec)))
+        .withColumn("cells_sims", F.expr(sims_sql))
         .withColumn("cell", best.cast("int"))
-        .drop("cells_sims")
+        .drop("cells_sims", "__rn")
     )
 
 
@@ -87,26 +103,19 @@ def probe_cells(
     queries: DataFrame, vec: str, centroids: list[list[float]], nprobe: int
 ) -> DataFrame:
     """Attach the nprobe nearest cell ids to each query row (exploded)."""
-    rn = norm(F.col(vec))
-    sims = F.array(
-        *[
-            F.struct(
-                (
-                    dot(F.col(vec), _centroid_literal(c))
-                    / F.nullif(
-                        rn * F.lit(math.sqrt(sum(x * x for x in c))),
-                        F.lit(0.0),
-                    )
-                ).alias("s"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    sims_sql = "array(" + ", ".join(
+        f"named_struct('s', ({_sql_dot(vec, _sql_array(c))} / "
+        f"nullif(__rn * {_dlit(math.sqrt(sum(x * x for x in c)))}, "
+        f"cast(0.0 as double))), 'cell', {i})"
+        for i, c in enumerate(centroids)
+    ) + ")"
+    top = F.expr(f"slice(reverse(array_sort({sims_sql})), 1, {nprobe})")
+    return (
+        queries.withColumn("__rn", norm(F.col(vec)))
+        .withColumn("cell", F.explode(F.transform(top, lambda x: x["cell"])))
+        .withColumn("cell", F.col("cell").cast("int"))
+        .drop("__rn")
     )
-    top = F.slice(F.reverse(F.array_sort(sims)), 1, nprobe)
-    return queries.withColumn(
-        "cell", F.explode(F.transform(top, lambda x: x["cell"]))
-    ).withColumn("cell", F.col("cell").cast("int"))
 
 
 def ivf_topk(
