@@ -114,7 +114,8 @@ _HEAD_ROTATION = [
     # ext_quality_percentile_filter, ext_dedup_semantic,
     # ext_embed_quantize, ext_split_train_val_test,
     # h2o_join_medium_inner/medium_outer/factor/big,
-    # nyctaxi_fare_by_passenger, h2o_groupby_median_sd/range/top2/corr.
+    # nyctaxi_fare_by_passenger, h2o_groupby_median_sd/range/top2/corr,
+    # ext_sample_diverse, ext_mix_rebalance.
 ]
 
 

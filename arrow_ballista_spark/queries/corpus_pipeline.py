@@ -72,6 +72,63 @@ def ext_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_mix_rebalance",
+    f"""
+WITH stats AS (
+  SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS chars_l
+  FROM documents GROUP BY lang
+), tgt AS (
+  SELECT MIN(chars_l) AS min_chars FROM stats
+), frac AS (
+  SELECT lang, min_chars / chars_l AS keep_frac FROM stats, tgt
+), kept AS (
+  SELECT d.doc_id, d.lang, d.n_chars, f.keep_frac
+  FROM documents d JOIN frac f USING (lang)
+  WHERE CAST(concat('0x', {_sql_hash_bucket('doc_id')}) AS INTEGER)
+          / 65536.0 < f.keep_frac
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+       (floor(abs(MIN(keep_frac)) * 1000000 + 0.5) / 1000000e0 *
+        (CASE WHEN (MIN(keep_frac)) < 0 THEN -1 ELSE 1 END)) AS keep_frac
+FROM kept GROUP BY lang
+""",
+    doc=(
+        "Deterministic corpus-mixture rebalancing: downsample every "
+        "language to the smallest language's character budget "
+        "(keep_frac_l = min_chars / chars_l), applied as a per-language "
+        "md5-fraction filter — the data-mixing step of corpus curation, "
+        "rand()-free so the rebalanced corpus is reproducible.  Scale "
+        "shape: the per-language stats are |langs| rows, broadcast back; "
+        "the keep decision is map-only on the corpus scan."
+    ),
+)
+def ext_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.queries import cround
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(
+        F.sum("n_chars").cast("double").alias("chars_l")
+    )
+    tgt = stats.agg(F.min("chars_l").alias("min_chars"))
+    frac = stats.crossJoin(F.broadcast(tgt)).select(
+        "lang", (F.col("min_chars") / F.col("chars_l")).alias("keep_frac")
+    )
+    hash_frac = (
+        F.conv(corpus.hash_bucket(F.col("doc_id"), 4), 16, 10).cast("double")
+        / 65536.0
+    )
+    kept = docs.join(F.broadcast(frac), "lang").where(
+        hash_frac < F.col("keep_frac")
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_kept"),
+        cround(F.min("keep_frac"), 6).alias("keep_frac"),
+    )
+
+
+@query(
     "ext_sample_stratified",
     f"""
 SELECT doc_id, lang FROM documents

@@ -1307,6 +1307,38 @@ def ext_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_sample_diverse",
+    _KMEANS_CTE
+    + """
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY cid
+             ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8), vec_id)
+           AS rn
+  FROM a1) WHERE rn <= 30
+""",
+    doc=(
+        "Diversity-aware sampling: a uniform per-cluster quota (30) over "
+        "the k-means partition of the embedding space, so one dense "
+        "region cannot dominate the sample (the cluster-quota curation "
+        "pattern).  Composition of kmeans_assign + the skew-safe "
+        "two-level stratified top-k (a hot cluster never serializes "
+        "into one window task); deterministic md5 rank makes it "
+        "value-exact against the unrolled-Lloyd oracle."
+    ),
+)
+def ext_sample_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.operators import corpus
+    from arrow_ballista_spark.operators.kmeans import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_assign(emb, k=_KMEANS_K, iters=2)
+    return corpus.stratified_sample_topk(
+        assign, "cluster", "vec_id", k=30
+    ).select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+
+
+@query(
     "ext_stream_static_join",
     """
 WITH dim AS (
