@@ -1369,6 +1369,43 @@ def ext_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_stream_dedup_vs_index",
+    """
+WITH f AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+             string_split_regex(lower(text), ' +'))), ' ')) AS fp
+  FROM documents
+), idx AS (
+  SELECT fp, MIN(doc_id) AS dup_of FROM f WHERE doc_id % 3 <> 0 GROUP BY fp
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN i.dup_of IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS is_dup,
+       CAST(i.dup_of AS BIGINT) AS dup_of
+FROM f d LEFT JOIN idx i USING (fp)
+WHERE d.doc_id % 3 = 0
+""",
+    doc=(
+        "STREAMING incremental dedup: arriving documents (doc_id % 3 = 0 "
+        "as the new-crawl stream) fingerprint-checked against the static "
+        "stored corpus index — broadcast lookup per micro-batch, no "
+        "stream state, O(batch) per batch (streaming/pipeline.py"
+        ":stream_dedup_vs_index).  On bounded input it must equal the "
+        "batch join, which is the oracle."
+    ),
+)
+def ext_stream_dedup_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    index = docs.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    stream = streaming.documents_stream(spark, sf_dir).where(
+        F.col("doc_id") % 3 == 0
+    )
+    flagged = streaming.stream_dedup_vs_index(stream, index)
+    return streaming.run_available_now(flagged, "append")
+
+
 _BM25_TERMS = ("data", "join", "stream")
 
 @query(

@@ -218,3 +218,63 @@ def sink_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def documents_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the documents parquet — the continuous
+    corpus-ingestion source (new crawl batches arriving as files)."""
+    from arrow_ballista_spark.catalog import _configure_reader
+
+    _configure_reader(spark)
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    r = spark.readStream.schema(raw_schema).option(
+        "pathGlobFilter", "documents.parquet"
+    )
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(sf_dir)
+
+
+def stream_dedup_vs_index(
+    new_docs: DataFrame, index_docs: DataFrame
+) -> DataFrame:
+    """Streaming incremental dedup: each arriving document is checked
+    against a STATIC stored corpus index by collection fingerprint (md5
+    of sorted distinct lowercase tokens — order/duplication-robust, so it
+    catches shuffled near-dups, not just byte-identical texts).
+
+    The index side is batch-aggregated to (fingerprint, dup_of=min id)
+    and broadcast per micro-batch; the stream side is map-only fingerprint
+    + LEFT OUTER lookup — no stream state, no watermark, O(batch) work
+    per batch.  This is the continuous re-crawl pattern: the index is
+    append-only storage, re-clustering the corpus per batch would be
+    O(corpus).  Stream-static ANTI joins are unsupported in Structured
+    Streaming, so dedup is expressed as LEFT OUTER + is_dup flag (the
+    caller filters)."""
+    from arrow_ballista_spark.operators.text import fingerprint
+
+    idx = (
+        index_docs.select(
+            fingerprint("text").alias("fp"), F.col("doc_id")
+        )
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    stream_fp = new_docs.select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+    return (
+        stream_fp.join(F.broadcast(idx), "fp", "left_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("dup_of").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_dup"),
+            F.col("dup_of").cast("long").alias("dup_of"),
+        )
+    )
