@@ -1,0 +1,82 @@
+"""PageRank over a document graph — the third iterative-algorithm family
+next to Lloyd's k-means (operators/kmeans.py) and connected components
+(operators/dedup.py).
+
+Corpus-curation uses: centrality-weighted canonical selection (keep the
+most-central member of a duplicate cluster), host/source quality
+propagation over a link graph, seed expansion.  No reference parity:
+arrow-ballista has no graph operators (SURVEY.md §2 — extension).
+
+Scale shape (per iteration, the standard distributed PageRank):
+- contributions = edges ⋈ ranks on src (shuffle on src), then one
+  two-phase SUM per dst (shuffle on dst) — two bounded shuffles per
+  iteration, each O(|E|);
+- degrees are computed once up front;
+- ranks never collect to the driver; the only driver action is the
+  node-count scalar for the teleport term.
+
+Determinism / oracle-exactness: a fixed iteration count is unrolled into
+a CTE chain on the DuckDB side; per-iteration ranks round to
+``round_digits`` with the engine-portable floor(|x|+0.5)·sign macro, so
+cross-engine float-summation-order noise (≈1e-17) can never flip a value
+at 1e-9 resolution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from arrow_ballista_spark.queries import cround
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "v",
+    d: float = 0.85,
+    iters: int = 3,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Fixed-iteration PageRank; returns ``(node_col, rank)``.
+
+    ``edges`` must be directed (src, dst) — pass both directions for an
+    undirected graph.  Nodes with no out-edges contribute nothing
+    (dangling mass is dropped, identically on both engines); isolated
+    nodes keep the teleport mass (1-d)/N.
+    """
+    from arrow_ballista_spark.operators.caching import tracked_persist
+
+    n = nodes.count()  # planning-time scalar (one action, one number)
+    # tracked persists: every iteration re-references the edge list and
+    # degrees — without them an expensive upstream edge generator (e.g.
+    # the LSH dedup pipeline) re-runs once per iteration per reference
+    # (measured 45s -> 7s at sf0.01).  Released via release_caches().
+    edges = tracked_persist(edges)
+    deg = tracked_persist(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    base = float((1.0 - d) / n)
+    ranks = nodes.select(
+        F.col(node_col).alias("v"), F.lit(float(1.0 / n)).alias("r")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.v)
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("contrib"))
+        )
+        ranks = (
+            nodes.select(F.col(node_col).alias("v"))
+            .join(contrib, F.col("v") == contrib.dst, "left")
+            .select(
+                "v",
+                cround(
+                    F.lit(base)
+                    + F.lit(d) * F.coalesce(F.col("contrib"), F.lit(0.0)),
+                    round_digits,
+                ).alias("r"),
+            )
+        )
+    return ranks.select(F.col("v").alias(node_col), F.col("r").alias("rank"))

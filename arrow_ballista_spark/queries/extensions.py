@@ -1265,6 +1265,69 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_ITER = """
+c{t} AS (
+  SELECT e.dst AS v, SUM(r{p}.r / deg.deg) AS c
+  FROM e JOIN r{p} ON e.src = r{p}.v JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+), r{t} AS (
+  SELECT r{p}.v,
+         (floor(abs(0.15 / nn.n + 0.85 * COALESCE(c{t}.c, 0.0)) * 1000000000
+            + 0.5) / 1000000000e0) AS r
+  FROM r{p} LEFT JOIN c{t} ON r{p}.v = c{t}.v, nn
+)"""
+
+
+@query(
+    "ext_graph_pagerank",
+    f"""
+WITH g AS ({_SQL_WORD_GRAMS}),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))
+          / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+), e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION ALL SELECT id_b, id_a FROM p
+), deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+r0 AS (SELECT doc_id AS v, 1.0 / nn.n AS r FROM documents, nn),
+{_PR_ITER.format(t=1, p=0)},
+{_PR_ITER.format(t=2, p=1)},
+{_PR_ITER.format(t=3, p=2)}
+SELECT v AS doc_id, r AS rank FROM r3
+""",
+    doc=(
+        "PageRank over the near-duplicate graph (word-3-gram Jaccard >= "
+        "0.5 edges, both directions), 3 iterations, d=0.85 — "
+        "centrality-weighted canonical selection / source-quality "
+        "propagation.  Third iterative family next to k-means and "
+        "connected components: two bounded shuffles per iteration "
+        "(edges x ranks on src, SUM per dst), ranks never collect.  "
+        "Value-exact: iterations unrolled into a CTE chain, per-"
+        "iteration ranks rounded at 1e-9 with the portable floor macro "
+        "(operators/pagerank.py)."
+    ),
+)
+def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.operators.pagerank import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "text", "doc_id", threshold=0.5, num_perm=128, rows_per_band=4
+    ).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    nodes = docs.select(F.col("doc_id").alias("v"))
+    return pagerank(nodes, edges, "v", d=0.85, iters=3).select(
+        F.col("v").alias("doc_id"), F.col("rank")
+    )
+
+
 @query(
     "ext_embed_quantize",
     f"""
