@@ -1212,3 +1212,104 @@ def h2o_groupby_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         cround(F.pow(F.corr("user_id", "value"), 2), 4).alias("r2")
     )
+
+
+@query(
+    "h2o_groupby_twokey",
+    """
+SELECT l_returnflag, l_linestatus,
+       (floor(abs(SUM(l_extendedprice)) * 100 + 0.5) / 100e0 *
+        (CASE WHEN (SUM(l_extendedprice)) < 0 THEN -1 ELSE 1 END)) AS sum_v1
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+    doc="h2o groupby q2 shape: sum by two low-cardinality keys (ref "
+        "benchmarks/db-benchmark/groupby-datafusion.py:87-94)",
+)
+def h2o_groupby_twokey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.queries import cround
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        cround(F.sum("l_extendedprice"), 2).alias("sum_v1")
+    )
+
+
+@query(
+    "h2o_groupby_mean3",
+    """
+SELECT l_linenumber,
+       (floor(abs(AVG(l_quantity)) * 10000 + 0.5) / 10000e0 *
+        (CASE WHEN (AVG(l_quantity)) < 0 THEN -1 ELSE 1 END)) AS mean_v1,
+       (floor(abs(AVG(l_extendedprice)) * 10000 + 0.5) / 10000e0 *
+        (CASE WHEN (AVG(l_extendedprice)) < 0 THEN -1 ELSE 1 END)) AS mean_v2,
+       (floor(abs(AVG(l_discount)) * 10000 + 0.5) / 10000e0 *
+        (CASE WHEN (AVG(l_discount)) < 0 THEN -1 ELSE 1 END)) AS mean_v3
+FROM lineitem GROUP BY l_linenumber
+""",
+    doc="h2o groupby q4 shape: mean of three measures by one key (ref "
+        "groupby-datafusion.py:121-128)",
+)
+def h2o_groupby_mean3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.queries import cround
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linenumber").agg(
+        cround(F.avg("l_quantity"), 4).alias("mean_v1"),
+        cround(F.avg("l_extendedprice"), 4).alias("mean_v2"),
+        cround(F.avg("l_discount"), 4).alias("mean_v3"),
+    )
+
+
+@query(
+    "h2o_groupby_sum3_highcard",
+    """
+SELECT l_orderkey,
+       (floor(abs(SUM(l_quantity)) * 100 + 0.5) / 100e0 *
+        (CASE WHEN (SUM(l_quantity)) < 0 THEN -1 ELSE 1 END)) AS sum_v1,
+       (floor(abs(SUM(l_extendedprice)) * 100 + 0.5) / 100e0 *
+        (CASE WHEN (SUM(l_extendedprice)) < 0 THEN -1 ELSE 1 END)) AS sum_v2,
+       (floor(abs(SUM(l_discount)) * 10000 + 0.5) / 10000e0 *
+        (CASE WHEN (SUM(l_discount)) < 0 THEN -1 ELSE 1 END)) AS sum_v3
+FROM lineitem GROUP BY l_orderkey
+""",
+    doc="h2o groupby q5 shape: sum of three measures by the high-"
+        "cardinality key (ref groupby-datafusion.py:138-145)",
+)
+def h2o_groupby_sum3_highcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.queries import cround
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        cround(F.sum("l_quantity"), 2).alias("sum_v1"),
+        cround(F.sum("l_extendedprice"), 2).alias("sum_v2"),
+        cround(F.sum("l_discount"), 4).alias("sum_v3"),
+    )
+
+
+@query(
+    "h2o_groupby_manykey",
+    """
+SELECT l_returnflag, l_linestatus, l_linenumber, l_orderkey, l_partkey,
+       l_suppkey,
+       (floor(abs(SUM(l_extendedprice)) * 100 + 0.5) / 100e0 *
+        (CASE WHEN (SUM(l_extendedprice)) < 0 THEN -1 ELSE 1 END)) AS sum_v3,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus, l_linenumber, l_orderkey, l_partkey,
+         l_suppkey
+""",
+    doc="h2o groupby q10 shape: sum + count by all six keys — the "
+        "many-group (~n groups) stressor (ref groupby-datafusion.py"
+        ":223-230)",
+)
+def h2o_groupby_manykey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.queries import cround
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        "l_returnflag", "l_linestatus", "l_linenumber", "l_orderkey",
+        "l_partkey", "l_suppkey",
+    ).agg(
+        cround(F.sum("l_extendedprice"), 2).alias("sum_v3"),
+        F.count(F.lit(1)).alias("n"),
+    )
