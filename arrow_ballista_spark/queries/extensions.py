@@ -1265,6 +1265,29 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_model_score",
+    """
+SELECT doc_id, (length(text) % 97) / 96.0 AS score
+FROM documents
+""",
+    doc=(
+        "Batched model-inference plumbing: every document scored via "
+        "Arrow-batched mapInPandas (model loads once per worker, "
+        "map-only over the scan — the quality-classifier / perplexity-"
+        "filter / reward-model data path).  The container ships no ML "
+        "runtime, so the scorer is a documented deterministic stub and "
+        "the oracle checks the identical expression end-to-end through "
+        "the real batch plumbing (operators/inference.py)."
+    ),
+)
+def ext_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.operators.inference import model_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return model_score(docs, "doc_id", "text")
+
+
 _PR_ITER = """
 c{t} AS (
   SELECT e.dst AS v, SUM(r{p}.r / deg.deg) AS c
