@@ -66,6 +66,7 @@ BENCH_QUERIES = [f"tpch_q{i}" for i in range(1, 23)] + [
     # h2o db-benchmark + nyctaxi shapes (the reference's other harnesses:
     # benchmarks/db-benchmark/join-datafusion.py, src/bin/nyctaxi.rs)
     "h2o_groupby_highcard",
+    "h2o_groupby_manykey",
     "h2o_join_medium_inner",
     "h2o_join_big",
     "nyctaxi_fare_by_passenger",

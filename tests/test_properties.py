@@ -406,3 +406,66 @@ def test_semantic_dedup_subset_of_exact_pairs(spark):
     )
     assert sem.count() > 0
     assert sem.exceptAll(exact).count() == 0
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1, max_size=30, unique=True,
+    )
+)
+def test_pagerank_matches_reference(spark, edges):
+    """Distributed PageRank must equal a pure-Python reference computing
+    the identical formula (same teleport, same per-iteration rounding)."""
+    import math
+
+    from arrow_ballista_spark.operators.caching import release_caches
+    from arrow_ballista_spark.operators.pagerank import pagerank
+
+    n, d, iters = 12, 0.85, 3
+    nodes = spark.createDataFrame([(v,) for v in range(n)], "v long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["v"]: r["rank"]
+        for r in pagerank(nodes, edf, "v", d=d, iters=iters).collect()
+    }
+    release_caches()
+
+    def rnd(x):
+        return math.floor(abs(x) * 1e9 + 0.5) / 1e9
+
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {v: 1.0 / n for v in range(n)}
+    base = (1.0 - d) / n
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in range(n)}
+        for s, t in edges:
+            contrib[t] += r[s] / deg[s]
+        r = {v: rnd(base + d * contrib[v]) for v in range(n)}
+    assert set(got) == set(r)
+    for v in r:
+        assert abs(got[v] - r[v]) <= 2e-9, (v, got[v], r[v])
+
+
+def test_model_score_pluggable_scorer(spark):
+    """model_score must accept a custom scorer and apply it batch-wise."""
+    from arrow_ballista_spark.catalog import load_table
+    from arrow_ballista_spark.operators.inference import model_score
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = model_score(
+        docs, "doc_id", "text",
+        scorer=lambda s: s.str.count(" ").astype(float) + 1.0,
+    )
+    expect = {
+        r["doc_id"]: float(r["n"]) for r in docs.selectExpr(
+            "doc_id", "size(split(text, ' ')) AS n").collect()
+    }
+    got = {r["doc_id"]: r["score"] for r in out.collect()}
+    assert got == expect
