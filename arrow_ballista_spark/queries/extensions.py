@@ -1352,6 +1352,106 @@ def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_dedup_canonical_central",
+    f"""
+WITH RECURSIVE g AS ({_SQL_WORD_GRAMS}),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))
+          / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+), e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION ALL SELECT id_b, id_a FROM p
+), reach(id, r) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id
+), comp AS (
+  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+), deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+r0 AS (SELECT doc_id AS v, 1.0 / nn.n AS r FROM documents, nn),
+{_PR_ITER.format(t=1, p=0)},
+{_PR_ITER.format(t=2, p=1)},
+{_PR_ITER.format(t=3, p=2)},
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, r3.r
+  FROM documents d
+  LEFT JOIN comp c ON d.doc_id = c.id
+  JOIN r3 ON r3.v = d.doc_id
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(keep_id AS BIGINT) AS keep_id, keep_rank
+FROM (
+  SELECT cluster_id, doc_id AS keep_id, r AS keep_rank,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY r DESC, doc_id) AS rn
+  FROM labeled) WHERE rn = 1
+""",
+    doc=(
+        "Centrality-weighted canonical dedup: LSH pairs -> connected "
+        "components -> PageRank over the same duplicate graph -> keep the "
+        "HIGHEST-CENTRALITY member of each cluster (ties to smallest id) "
+        "instead of the longest — the capstone composition of three "
+        "verified operator families.  Per-iteration 1e-9 rounding makes "
+        "the rank ORDERING engine-identical, so the composed oracle is "
+        "value-exact.  Scale: each stage is the already-audited plan "
+        "(banded LSH, log-diameter CC, two-shuffle PR rounds, per-cluster "
+        "window bounded by clique size)."
+    ),
+)
+def ext_dedup_canonical_central(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from arrow_ballista_spark.operators.caching import tracked_persist
+    from arrow_ballista_spark.operators.pagerank import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = tracked_persist(
+        dedup.minhash_dedup_pairs(
+            docs, "text", "doc_id", threshold=0.5, num_perm=128,
+            rows_per_band=4,
+        ).select("id_a", "id_b")
+    )
+    comp = dedup.connected_components(pairs)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    ranks = pagerank(
+        docs.select(F.col("doc_id").alias("v")), edges, "v", d=0.85, iters=3
+    )
+    labeled = (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+        )
+        .join(ranks, F.col("doc_id") == F.col("v"))
+    )
+    w = Window.partitionBy("cluster_id")
+    wo = w.orderBy(F.col("rank").desc(), F.col("doc_id"))
+    return (
+        labeled.withColumn("n_members", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(wo))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("doc_id").cast("long").alias("keep_id"),
+            F.col("rank").alias("keep_rank"),
+        )
+    )
+
+
+@query(
     "ext_embed_quantize",
     f"""
 WITH e AS (
