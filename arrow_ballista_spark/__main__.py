@@ -24,7 +24,40 @@ def main(argv: list[str] | None = None) -> int:
         help="testdata dir whose parquet tables get registered as views",
     )
     ap.add_argument("--max-rows", type=int, default=20)
+    # convert mode — parity with the reference's `tpch convert`
+    # (benchmarks/src/bin/tpch.rs:731-800): .tbl/csv -> parquet/csv/orc
+    ap.add_argument(
+        "--convert", nargs=2, metavar=("INPUT", "OUTPUT"),
+        help="convert a delimited text dataset to --format and exit",
+    )
+    ap.add_argument("--format", default="parquet",
+                    help="convert output format (parquet/csv/orc/json)")
+    ap.add_argument("--partitions", type=int, default=1)
+    ap.add_argument("--compression", default="snappy")
+    ap.add_argument("--delimiter", default="|")
+    ap.add_argument("--header", action="store_true")
+    ap.add_argument("--columns", default=None,
+                    help="comma-separated column names (drops the "
+                         ".tbl trailing-delimiter artifact column)")
     args = ap.parse_args(argv)
+
+    if args.convert:
+        from arrow_ballista_spark.session import get_session
+        from arrow_ballista_spark.sources.convert import convert_dataset
+
+        n = convert_dataset(
+            get_session(app_name="ballista-convert"),
+            args.convert[0],
+            args.convert[1],
+            file_format=args.format,
+            partitions=args.partitions,
+            compression=args.compression,
+            delimiter=args.delimiter,
+            header=args.header,
+            columns=args.columns.split(",") if args.columns else None,
+        )
+        print(f"converted {n} rows to {args.format} at {args.convert[1]}")
+        return 0
 
     from arrow_ballista_spark.catalog import register_tables
     from arrow_ballista_spark.context import BallistaContext

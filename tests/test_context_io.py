@@ -470,3 +470,47 @@ def test_package_shipped_to_python_workers(tmp_path):
     assert "WORKER_IMPORT_OK" in proc.stdout, (
         f"stdout={proc.stdout[-2000:]}\nstderr={proc.stderr[-2000:]}"
     )
+
+
+def test_convert_tbl_roundtrip(ctx, tmp_path):
+    """tpch-convert parity (tpch.rs:731-800): pipe-delimited .tbl with
+    trailing delimiter -> parquet with named columns, repartitioned."""
+    from arrow_ballista_spark.catalog import load_table
+    from arrow_ballista_spark.sources.convert import convert_dataset
+
+    nat = load_table(ctx.spark, SF_DIR, "nation")
+    rows = nat.collect()
+    tbl = tmp_path / "nation.tbl"
+    with open(tbl, "w") as f:
+        for r in rows:
+            f.write(f"{r.n_nationkey}|{r.n_name}|{r.n_regionkey}|\n")
+    out = str(tmp_path / "nation_parquet")
+    n = convert_dataset(
+        ctx.spark, str(tbl), out,
+        file_format="parquet", partitions=2,
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    assert n == len(rows)
+    back = ctx.spark.read.parquet(out)
+    assert set(back.columns) == {"n_nationkey", "n_name", "n_regionkey"}
+    assert back.count() == len(rows)
+    got = {(r.n_nationkey, r.n_name, r.n_regionkey) for r in back.collect()}
+    want = {(str(r.n_nationkey), r.n_name, str(r.n_regionkey)) for r in rows}
+    assert got == want
+
+
+def test_convert_cli(tmp_path):
+    """The --convert CLI flag end-to-end in a subprocess."""
+    import subprocess
+    import sys
+
+    tbl = tmp_path / "t.tbl"
+    tbl.write_text("1|a|\n2|b|\n")
+    out = str(tmp_path / "t_out")
+    proc = subprocess.run(
+        [sys.executable, "-m", "arrow_ballista_spark",
+         "--convert", str(tbl), out, "--columns", "id,name",
+         "--format", "parquet"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert "converted 2 rows" in proc.stdout, (proc.stdout, proc.stderr[-800:])
