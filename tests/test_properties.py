@@ -469,3 +469,42 @@ def test_model_score_pluggable_scorer(spark):
     }
     got = {r["doc_id"]: r["score"] for r in out.collect()}
     assert got == expect
+
+
+def test_vectorized_kernels_agree_with_exact(spark):
+    """The numpy scale-path kernels (matmul assignment, per-cluster Gram
+    pairwise) must agree with the oracle-exact fold kernels on the driver
+    fixture: identical cluster assignment and identical pair set, with
+    cosines equal to 1e-9."""
+    from arrow_ballista_spark.catalog import load_table
+    from arrow_ballista_spark.operators.caching import release_caches
+    from arrow_ballista_spark.operators.kmeans import (
+        kmeans_assign,
+        semantic_dedup_pairs,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a_exact = {
+        (r["vec_id"], r["cluster"])
+        for r in kmeans_assign(emb, k=8, iters=2).collect()
+    }
+    a_vec = {
+        (r["vec_id"], r["cluster"])
+        for r in kmeans_assign(emb, k=8, iters=2, vectorized=True).collect()
+    }
+    assert a_exact == a_vec
+    p_exact = {
+        (r["id_a"], r["id_b"]): r["cos_raw"]
+        for r in semantic_dedup_pairs(emb, k=8, iters=2, tau=0.35).collect()
+    }
+    release_caches()
+    p_vec = {
+        (r["id_a"], r["id_b"]): r["cos_raw"]
+        for r in semantic_dedup_pairs(
+            emb, k=8, iters=2, tau=0.35, vectorized=True
+        ).collect()
+    }
+    release_caches()
+    assert set(p_exact) == set(p_vec)
+    for key, c in p_exact.items():
+        assert abs(c - p_vec[key]) <= 1e-9
