@@ -63,6 +63,9 @@ BENCH_QUERIES = [f"tpch_q{i}" for i in range(1, 23)] + [
     "ext_snapshot_diff",
     "ext_dedup_semantic",
     "ext_pipeline_corpus_build",
+    "ext_graph_pagerank",
+    "ext_dedup_canonical_central",
+    "ext_mix_rebalance",
     # h2o db-benchmark + nyctaxi shapes (the reference's other harnesses:
     # benchmarks/db-benchmark/join-datafusion.py, src/bin/nyctaxi.rs)
     "h2o_groupby_highcard",
