@@ -107,6 +107,7 @@ def brute_force_topk(
     vec: str = "embedding",
     k: int = 5,
     exclude_self: bool = True,
+    vectorized: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries × streamed corpus.
 
@@ -116,6 +117,16 @@ def brute_force_topk(
     (the usual dedup/recommendation case); pass False when query and
     corpus ids are unrelated namespaces.  ``query_id`` and ``corpus_id``
     must be distinct names (the join output carries both).
+
+    ``vectorized=True`` is the scale path for large corpora: the query
+    batch (small by contract) collects to the driver as a numpy matrix
+    and each corpus Arrow batch scores against it with one matmul,
+    emitting only a per-batch top-(k+margin) candidate set before the
+    global window — corpus-linear with a BLAS constant instead of the
+    interpreted fold.  Values may differ from the fold at ~1e-16; if
+    more than the margin (8) of corpus vectors tie EXACTLY at a query's
+    k-th cosine within one batch, the id tie-break can differ —
+    agreement is pinned by test on the fixtures.
     """
     q = queries.select(
         F.col(query_id),
@@ -127,19 +138,24 @@ def brute_force_topk(
         F.col(vec).alias("cv"),
         norm(F.col(vec)).alias("cn"),
     )
-    scored = F.broadcast(q).crossJoin(c)
-    if exclude_self:
-        scored = scored.filter(F.col(query_id) != F.col(corpus_id))
-    scored = (
-        scored
-        .select(
-            query_id,
-            corpus_id,
-            cosine_with_norms(
-                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
-            ).alias("cos_raw"),
+    if vectorized:
+        scored = _bf_scored_vectorized(q, c, query_id, corpus_id, k)
+        if exclude_self:
+            scored = scored.filter(F.col(query_id) != F.col(corpus_id))
+    else:
+        scored = F.broadcast(q).crossJoin(c)
+        if exclude_self:
+            scored = scored.filter(F.col(query_id) != F.col(corpus_id))
+        scored = (
+            scored
+            .select(
+                query_id,
+                corpus_id,
+                cosine_with_norms(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                ).alias("cos_raw"),
+            )
         )
-    )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos_raw").desc(), F.col(corpus_id)
     )
@@ -380,4 +396,49 @@ def cosine_near_dup_pairs(
             ).alias("cos_raw"),
         )
         .filter(F.col("cos_raw") >= threshold)
+    )
+
+
+def _bf_scored_vectorized(
+    q: DataFrame, c: DataFrame, query_id: str, corpus_id: str, k: int
+) -> DataFrame:
+    """Matmul candidate scorer for brute_force_topk(vectorized=True):
+    per corpus Arrow batch, one (n_q x batch) cosine matrix, keep the
+    per-batch top-(k+margin) per query (margin survives the downstream
+    self-exclusion filter and exact-tie id breaks)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = q.collect()  # query batch — small by contract (top-k search)
+    qids = np.array([r[query_id] for r in rows], dtype="int64")
+    Q = np.array([list(r["qv"]) for r in rows], dtype=np.float64)
+    Qn = np.array([r["qn"] for r in rows], dtype=np.float64)
+    m_keep = k + 8
+
+    def score(batches):
+        for pdf in batches:
+            cn = pdf["cn"].to_numpy(dtype=np.float64)
+            ok = cn > 0
+            if not ok.any():
+                continue
+            ids = pdf[corpus_id].to_numpy()[ok]
+            V = np.array(pdf["cv"][ok].tolist(), dtype=np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = (Q @ V.T) / np.outer(Qn, cn[ok])
+            m = min(m_keep, S.shape[1])
+            part = np.argpartition(-S, m - 1, axis=1)[:, :m]
+            qi = np.repeat(np.arange(len(qids)), m)
+            ci = part.ravel()
+            cos = S[qi, ci]
+            fin = np.isfinite(cos)
+            yield pd.DataFrame(
+                {
+                    query_id: qids[qi[fin]],
+                    corpus_id: ids[ci[fin]].astype("int64"),
+                    "cos_raw": cos[fin],
+                }
+            )
+
+    return c.mapInPandas(
+        score, f"{query_id} long, {corpus_id} long, cos_raw double"
     )
