@@ -114,8 +114,11 @@ _HEAD_ROTATION = [
     # ext_quality_percentile_filter, ext_dedup_semantic,
     # ext_embed_quantize, ext_split_train_val_test,
     # h2o_join_medium_inner/medium_outer/factor/big,
-    # nyctaxi_fare_by_passenger, h2o_groupby_median_sd/range/top2/corr,
-    # ext_sample_diverse, ext_mix_rebalance.
+    # nyctaxi_fare_by_passenger, h2o_groupby_median_sd/range/top2/corr
+    # and the new q2/q4/q5/q10 shapes, ext_sample_diverse,
+    # ext_mix_rebalance, ext_dedup_semantic, ext_embed_quantize,
+    # ext_split_train_val_test, ext_stream_dedup_vs_index,
+    # ext_graph_pagerank, ext_dedup_canonical_central, ext_model_score.
 ]
 
 
