@@ -210,3 +210,42 @@ def bm25_scores(
     )
     term_score = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
     return j.groupBy(id_col).agg(F.sum(term_score).alias("bm25"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size character chunks —
+    the standard preprocessing step before embedding/RAG indexing (each
+    chunk becomes one embedding row; ``chunk_size - stride`` characters
+    of overlap preserve cross-boundary context).
+
+    Map-only explode: ``n_chunks = 1 + ceil(max(0, len - chunk_size) /
+    stride)`` so every character is covered and the tail chunk may run
+    short; empty docs yield one empty chunk.  No shuffle — at 100 TB
+    this rides the scan and multiplies rows by ~len/stride.  Offsets are
+    1-based (`substring` semantics, identical in DuckDB), making the op
+    value-exact cross-engine."""
+    n_extra = F.floor(
+        (F.greatest(F.length(F.col(text_col)) - F.lit(chunk_size), F.lit(0))
+         + F.lit(stride - 1)) / F.lit(stride)
+    ).cast("int")
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(F.sequence(F.lit(0), n_extra)).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx"),
+            (F.col("chunk_idx") * stride + 1).alias("chunk_start"),
+            F.substring(
+                F.col(text_col), F.col("chunk_idx") * stride + 1, chunk_size
+            ).alias("chunk_text"),
+        )
+    )

@@ -1266,6 +1266,37 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_text_chunk",
+    """
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * 150 + 1 AS BIGINT) AS chunk_start,
+       substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200) AS chunk_text
+FROM (SELECT doc_id, text,
+             unnest(generate_series(0,
+               CAST(floor((greatest(length(text) - 200, 0) + 149) / 150)
+                    AS INT))) AS chunk_idx
+      FROM documents)
+""",
+    doc=(
+        "Document chunking for embedding/RAG indexing: overlapping "
+        "200-char chunks at stride 150 (50-char overlap), 1-based "
+        "offsets.  Map-only explode riding the scan — no shuffle at any "
+        "scale; every character covered, tail chunk may run short "
+        "(operators/text.py:chunk_documents)."
+    ),
+)
+def ext_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.chunk_documents(docs, "doc_id", "text", 200, 150)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        "chunk_text",
+    )
+
+
+@query(
     "ext_model_score",
     """
 SELECT doc_id, (length(text) % 97) / 96.0 AS score
