@@ -160,6 +160,54 @@ def pack_shards(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    seq_len: int,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Pack documents into FIXED-LENGTH training sequences (the LLM
+    pretraining layout): documents concatenate in ``id_col`` order and
+    the token stream is cut every ``seq_len`` tokens, so a document can
+    span sequence boundaries.  Returns one row per (document, sequence)
+    overlap with the document's ``[tok_start, tok_end)`` slot inside the
+    sequence — exactly what a sequence writer needs to emit attention-
+    boundary metadata.
+
+    Built on :func:`pack_shards`' two-pass distributed prefix sum (no
+    single-task window at any scale); the explode multiplies rows only by
+    ~weight/seq_len.  Zero-weight docs are dropped (they occupy no slot).
+    Integer-exact end to end — oracle-identical across engines."""
+    p = pack_shards(df, id_col, weight_col, budget=seq_len, n_buckets=n_buckets)
+    first = F.floor(F.col("cum_before") / F.lit(seq_len))
+    last = F.floor(
+        (F.col("cum_before") + F.col(weight_col) - 1) / F.lit(seq_len)
+    )
+    return (
+        p.where(F.col(weight_col) > 0)
+        .select(
+            id_col,
+            weight_col,
+            "cum_before",
+            F.explode(F.sequence(first, last)).alias("seq_id"),
+        )
+        .select(
+            id_col,
+            "seq_id",
+            F.greatest(
+                F.lit(0),
+                F.col("cum_before") - F.col("seq_id") * seq_len,
+            ).cast("long").alias("tok_start"),
+            F.least(
+                F.lit(seq_len).cast("long"),
+                F.col("cum_before") + F.col(weight_col)
+                - F.col("seq_id") * seq_len,
+            ).cast("long").alias("tok_end"),
+        )
+    )
+
+
 def word_ngrams(text_col: str, n: int) -> Column:
     """Distinct word n-grams of the ``text_col`` column (split on runs of
     spaces); documents shorter than n words contribute their whole token

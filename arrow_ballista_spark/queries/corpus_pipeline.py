@@ -72,6 +72,52 @@ def ext_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_pack_sequences",
+    """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_toks
+  FROM documents
+), c AS (
+  SELECT doc_id, n_toks,
+         COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM t
+), s AS (
+  SELECT doc_id, n_toks, cum_before,
+         unnest(generate_series(
+             CAST(floor(cum_before / 1000) AS BIGINT),
+             CAST(floor((cum_before + n_toks - 1) / 1000) AS BIGINT)))
+           AS seq_id
+  FROM c WHERE n_toks > 0
+)
+SELECT doc_id, seq_id,
+       CAST(greatest(0, cum_before - seq_id * 1000) AS BIGINT) AS tok_start,
+       CAST(least(1000, cum_before + n_toks - seq_id * 1000) AS BIGINT)
+         AS tok_end
+FROM s
+""",
+    doc=(
+        "Fixed-length sequence packing (the LLM pretraining layout): "
+        "documents concatenate in id order, the token stream cuts every "
+        "1000 tokens, and each (doc, sequence) overlap row carries the "
+        "doc's [tok_start, tok_end) slot — attention-boundary metadata "
+        "for the sequence writer.  Distributed two-pass prefix sum, "
+        "never a single-task window (operators/corpus.py"
+        ":pack_sequences); integer-exact, oracle = one-window SQL."
+    ),
+)
+def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " +")).cast("long").alias("n_toks"),
+    )
+    return corpus.pack_sequences(toks, "doc_id", "n_toks", seq_len=1000)
+
+
+@query(
     "ext_mix_rebalance",
     f"""
 WITH stats AS (
