@@ -109,12 +109,16 @@ def _ship_package(spark: SparkSession) -> None:
                         rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                         zf.write(full, rel)
         _PKG_ZIP = path
+        import atexit
+
+        atexit.register(lambda: os.path.exists(path) and os.unlink(path))
     try:
-        spark.sparkContext.addPyFile(_PKG_ZIP)
+        sc = spark.sparkContext
     except Exception:
         # Connect-mode sessions have no sparkContext; artifact upload is
         # their equivalent and the local-mode driver never needs it.
-        pass
+        return
+    sc.addPyFile(_PKG_ZIP)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

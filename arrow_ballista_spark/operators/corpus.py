@@ -45,8 +45,8 @@ def hash_sample(df: DataFrame, id_col: str, keep_below: str) -> DataFrame:
 def train_val_test_split(
     df: DataFrame,
     id_col: str,
-    val_below: str = "e000",
     train_below: str = "c000",
+    val_below: str = "e000",
     split_col: str = "split",
 ) -> DataFrame:
     """Deterministic three-way corpus split by md5-of-id hex ranges

@@ -27,8 +27,6 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-SCORE_SCHEMA = "doc_id long, score double"
-
 
 def stub_scorer(texts: pd.Series) -> pd.Series:
     """Deterministic stand-in for a quality/perplexity model: a pure
@@ -57,9 +55,11 @@ def model_score(
         for pdf in batches:
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col].astype("int64"),
                     "score": fn(pdf[text_col]).astype("float64"),
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(run, SCORE_SCHEMA)
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} long, score double"
+    )

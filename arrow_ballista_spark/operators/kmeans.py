@@ -117,6 +117,10 @@ def _assign_vectorized(e: DataFrame, cents: DataFrame, id_col: str) -> DataFrame
     import pandas as pd
 
     rows = cents.orderBy("cid").collect()  # k rows — planning-time action
+    # label by the ACTUAL cid, not the positional argmin index: a cluster
+    # that empties during an update leaves a gap in the cid sequence, and
+    # rows are sorted by cid so argmin positions would shift past it
+    cids = np.array([r["cid"] for r in rows], dtype="int64")
     C = np.array([list(r["cent"]) for r in rows], dtype=np.float64)
     c_sq = (C * C).sum(axis=1)
 
@@ -129,9 +133,10 @@ def _assign_vectorized(e: DataFrame, cents: DataFrame, id_col: str) -> DataFrame
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    # np.argmin returns the FIRST minimum — same smallest-
-                    # cid tie-break as min_by(struct(dist, cid))
-                    "cluster": d.argmin(axis=1).astype("int64"),
+                    # np.argmin returns the FIRST minimum — cids ascend,
+                    # so this is the same smallest-cid tie-break as
+                    # min_by(struct(dist, cid))
+                    "cluster": cids[d.argmin(axis=1)],
                 }
             )
 

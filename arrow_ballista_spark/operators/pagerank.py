@@ -48,6 +48,12 @@ def pagerank(
     from arrow_ballista_spark.operators.caching import tracked_persist
 
     n = nodes.count()  # planning-time scalar (one action, one number)
+    if n == 0:
+        # empty graph: empty result with the declared schema, not a
+        # ZeroDivisionError buried in plan-build
+        return nodes.select(
+            F.col(node_col), F.lit(0.0).alias("rank")
+        ).limit(0)
     # tracked persists: every iteration re-references the edge list and
     # degrees — without them an expensive upstream edge generator (e.g.
     # the LSH dedup pipeline) re-runs once per iteration per reference

@@ -155,6 +155,10 @@ def brute_force_topk(
                     F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
                 ).alias("cos_raw"),
             )
+            # zero-norm vectors have no defined cosine: exclude them
+            # (identically to the vectorized path) rather than letting
+            # NULL rows pad out rnk<=k when candidates run short
+            .filter(F.col("cos_raw").isNotNull())
         )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos_raw").desc(), F.col(corpus_id)

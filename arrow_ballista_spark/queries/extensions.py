@@ -1326,8 +1326,8 @@ c{t} AS (
   GROUP BY e.dst
 ), r{t} AS (
   SELECT r{p}.v,
-         (floor(abs(0.15 / nn.n + 0.85 * COALESCE(c{t}.c, 0.0)) * 1000000000
-            + 0.5) / 1000000000e0) AS r
+         (floor(abs((1.0 - 0.85) / nn.n + 0.85 * COALESCE(c{t}.c, 0.0))
+            * 1000000000 + 0.5) / 1000000000e0) AS r
   FROM r{p} LEFT JOIN c{t} ON r{p}.v = c{t}.v, nn
 )"""
 

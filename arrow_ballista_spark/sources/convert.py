@@ -37,7 +37,15 @@ def read_tbl(
         .csv(path)
     )
     if columns is not None:
-        # trailing-delimiter artifact: more parsed cols than named cols
+        # exactly len(columns) parsed cols, or +1 for the .tbl
+        # trailing-delimiter artifact — anything else means the wrong
+        # delimiter/columns and must fail loudly, not silently truncate
+        if len(df.columns) not in (len(columns), len(columns) + 1):
+            raise ValueError(
+                f"parsed {len(df.columns)} columns but {len(columns)} "
+                f"names given (+1 trailing-delimiter artifact allowed) — "
+                f"wrong delimiter?"
+            )
         old = df.columns[: len(columns)]
         df = df.select(*[df[o].alias(n) for o, n in zip(old, columns)])
     return df

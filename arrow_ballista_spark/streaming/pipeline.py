@@ -47,17 +47,19 @@ def events_stream(
     from arrow_ballista_spark.catalog import _configure_reader
 
     _configure_reader(spark)
-    raw_schema = spark.read.parquet(
-        os.path.join(sf_dir, "events.parquet")
-    ).schema
-    # the file source requires a directory path; glob-filter to the events
-    # file inside the testdata dir
-    r = spark.readStream.schema(raw_schema).option(
-        "pathGlobFilter", "events.parquet"
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    # the file source requires a directory path: single-file driver
+    # layout glob-filters inside the dir; DIRECTORY layout (Spark-written
+    # part files) streams the directory itself — the leaf-name glob would
+    # silently match nothing
+    r = spark.readStream.schema(raw_schema)
+    stream_path = path if os.path.isdir(path) else sf_dir
+    if not os.path.isdir(path):
+        r = r.option("pathGlobFilter", "events.parquet")
     if max_files_per_trigger:
         r = r.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = r.parquet(sf_dir)
+    df = r.parquet(stream_path)
     # ns->us conversion mirrors catalog.load_table, but lands on TIMESTAMP
     # (LTZ): watermarks reject TIMESTAMP_NTZ.  The session runs in UTC, so
     # wall-clock values equal the batch table's NTZ values exactly.
@@ -228,15 +230,18 @@ def documents_stream(
     from arrow_ballista_spark.catalog import _configure_reader
 
     _configure_reader(spark)
-    raw_schema = spark.read.parquet(
-        os.path.join(sf_dir, "documents.parquet")
-    ).schema
-    r = spark.readStream.schema(raw_schema).option(
-        "pathGlobFilter", "documents.parquet"
-    )
+    path = os.path.join(sf_dir, "documents.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    r = spark.readStream.schema(raw_schema)
+    # single-file driver layout: glob-filter inside the dir; DIRECTORY
+    # layout (Spark-written part files): stream the directory itself —
+    # the leaf-name glob would silently match nothing
+    stream_path = path if os.path.isdir(path) else sf_dir
+    if not os.path.isdir(path):
+        r = r.option("pathGlobFilter", "documents.parquet")
     if max_files_per_trigger:
         r = r.option("maxFilesPerTrigger", max_files_per_trigger)
-    return r.parquet(sf_dir)
+    return r.parquet(stream_path)
 
 
 def stream_dedup_vs_index(

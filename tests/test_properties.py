@@ -535,3 +535,27 @@ def test_vectorized_bruteforce_agrees_with_exact(spark):
     assert set(exact) == set(fast)
     for key, c in exact.items():
         assert abs(c - fast[key]) <= 1e-9
+
+
+def test_vectorized_kmeans_labels_survive_empty_cluster(spark):
+    """If a cluster empties during the update, cids become non-contiguous;
+    the vectorized kernel must emit ACTUAL cids (not argmin positions) and
+    stay in agreement with the exact kernel."""
+    from arrow_ballista_spark.operators.kmeans import kmeans_assign
+
+    # 2 identical init vectors (ids 0,1) -> everything ties toward the
+    # smaller cid, cluster 1 empties after the first update
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+            (3, [0.0, 1.1]), (4, [5.0, 5.0]), (5, [5.1, 5.0]),
+            (6, [-3.0, 0.5]), (7, [-3.1, 0.4]), (8, [0.9, 0.1]),
+            (9, [-2.9, 0.6])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["vec_id"], r["cluster"])
+        for r in kmeans_assign(emb, k=4, iters=3).collect()
+    }
+    fast = {
+        (r["vec_id"], r["cluster"])
+        for r in kmeans_assign(emb, k=4, iters=3, vectorized=True).collect()
+    }
+    assert exact == fast

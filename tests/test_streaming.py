@@ -109,3 +109,24 @@ def test_sink_parquet_exactly_once_on_rerun(spark, tmp_path):
             src.select("event_id", "user_id", "ts"), out, ckpt
         )
         assert spark.read.parquet(out).count() == n_src
+
+
+def test_streams_accept_directory_layout(spark, tmp_path):
+    """events_stream/documents_stream must read DIRECTORY-layout parquet
+    (Spark-written part files) — the leaf-name glob filter only applies
+    to the single-file driver layout."""
+    from arrow_ballista_spark.catalog import load_table
+    from arrow_ballista_spark.streaming import pipeline as streaming
+    from tests.conftest import SF_DIR
+
+    for table, mk in (
+        ("events", streaming.events_stream),
+        ("documents", streaming.documents_stream),
+    ):
+        src = load_table(spark, SF_DIR, table)
+        d = str(tmp_path / table) + ".parquet"
+        src.write.parquet(d)
+        got = streaming.run_available_now(
+            mk(spark, str(tmp_path)), "append"
+        ).count()
+        assert got == src.count(), (table, got)

@@ -96,7 +96,8 @@ FROM read_parquet('{SRC}/events.parquet')""")
 build("documents", f"""
 SELECT doc_id + {{i}} * {{d}} AS doc_id,
        replace(text, ' ', '_r{{i}} ') || '_r{{i}}' AS text,
-       lang, source, n_chars
+       lang, source,
+       length(replace(text, ' ', '_r{{i}} ') || '_r{{i}}') AS n_chars
 FROM read_parquet('{SRC}/documents.parquet')""")
 
 build("embeddings", f"""
