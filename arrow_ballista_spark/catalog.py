@@ -142,11 +142,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # of part files (replicas, compaction output, any engine-written table)
     probe = path
     if os.path.isdir(path):
-        parts = sorted(
-            p for p in os.listdir(path)
-            if p.endswith(".parquet") and not p.startswith(("_", "."))
-        )
-        probe = os.path.join(path, parts[0]) if parts else None
+        # walk RECURSIVELY: a partitionBy() layout nests part files under
+        # hive-style subdirs with no top-level *.parquet at all
+        probe = None
+        for root, dirs, files in os.walk(path):
+            dirs[:] = sorted(d for d in dirs if not d.startswith(("_", ".")))
+            parts = sorted(
+                f for f in files
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+            if parts:
+                probe = os.path.join(root, parts[0])
+                break
     ns_cols = (
         {
             f.name

@@ -108,22 +108,17 @@ def minhash_signature(
     ]
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame,
-    id_col: str,
-    num_perm: int = 128,
-    rows_per_band: int = 2,
-) -> DataFrame:
-    """Self-join on LSH bands → distinct candidate pairs (id_a < id_b).
-
-    With r rows/band and b bands, a pair of Jaccard s collides with
-    probability 1-(1-s^r)^b; r=2, b=64 gives ~1-4e-13 recall at s=0.6.
-    """
+def band_hash_array(num_perm: int, rows_per_band: int) -> Column:
+    """One 64-bit xxhash per LSH band over the ``mh_*`` signature columns
+    — the SINGLE definition of the banding key.  A stored LSH index and a
+    fresh batch only collide if both were banded by this exact
+    expression (seed, band salt, column order), so every consumer
+    (:func:`lsh_candidate_pairs`, :func:`incremental_dedup`) must call
+    this rather than re-derive it.  A scalar hash per band beats an
+    array-typed key: cheaper to shuffle and hash-join; hash collisions
+    only add candidates, which the exact-Jaccard verify removes."""
     n_bands = num_perm // rows_per_band
-    # one 64-bit hash per band instead of an array-typed key: cheaper to
-    # shuffle and to hash-join; hash collisions only add candidates, which
-    # the exact-Jaccard verify removes.
-    bands = F.array(
+    return F.array(
         *[
             F.xxhash64(
                 *[
@@ -135,6 +130,20 @@ def lsh_candidate_pairs(
             for band in range(n_bands)
         ]
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    num_perm: int = 128,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Self-join on LSH bands → distinct candidate pairs (id_a < id_b).
+
+    With r rows/band and b bands, a pair of Jaccard s collides with
+    probability 1-(1-s^r)^b; r=2, b=64 gives ~1-4e-13 recall at s=0.6.
+    """
+    bands = band_hash_array(num_perm, rows_per_band)
     # tracked persist: the self-join consumes this twice, and without
     # persistence each side re-runs the whole shingle+signature pipeline
     # (release via operators.caching.release_caches() after the action)
@@ -391,24 +400,22 @@ def connected_components(
         )
         # pointer jump: label <- label(label).  Every label is itself a node
         # id (labels cover all nodes), so the lookup side is `propagated`
-        # re-keyed by id; left+coalesce keeps already-minimal labels.  In
-        # round 1 every label is still its own id, so the jump is an
-        # identity — skip the extra join (near-dup graphs are clique-y and
-        # often converge in 2 rounds; the jump must not tax that case).
-        if rounds == 1:
-            labels = tracked_local_checkpoint(propagated)
-        else:
-            lk = propagated.select(
-                F.col("id").alias("_lid"), F.col("label").alias("_llabel")
+        # re-keyed by id; left+coalesce keeps already-minimal labels.
+        # Jump EVERY round — after round-1 propagation labels are already
+        # non-trivial (on a chain 0-1-2, label(2)=1 and label(1)=0, so
+        # label(label(2))=0), and skipping the first jump costs deep
+        # graphs an extra shuffle round against the log2(diameter) bound.
+        lk = propagated.select(
+            F.col("id").alias("_lid"), F.col("label").alias("_llabel")
+        )
+        labels = tracked_local_checkpoint(
+            propagated.join(lk, propagated.label == lk._lid, "left")
+            .select(
+                F.col("id"),
+                F.coalesce(F.col("_llabel"), F.col("label"))
+                .alias("label"),
             )
-            labels = tracked_local_checkpoint(
-                propagated.join(lk, propagated.label == lk._lid, "left")
-                .select(
-                    F.col("id"),
-                    F.coalesce(F.col("_llabel"), F.col("label"))
-                    .alias("label"),
-                )
-            )
+        )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             break
@@ -467,28 +474,19 @@ def incremental_dedup(
     new_grams, new_sigs = prep(new_docs)
     idx_grams, idx_sigs = prep(index_docs)
 
-    n_bands = num_perm // rows_per_band
-    bands = F.array(
-        *[
-            F.xxhash64(
-                *[
-                    F.col(f"mh_{band * rows_per_band + r}")
-                    for r in range(rows_per_band)
-                ],
-                F.lit(band),
-            )
-            for band in range(n_bands)
-        ]
-    )
+    bands = band_hash_array(num_perm, rows_per_band)
     new_x = tracked_persist(
         new_sigs.select(F.col(id_col), F.explode(bands).alias("band_sig"))
     )
     idx_x = idx_sigs.select(F.col(id_col), F.explode(bands).alias("band_sig"))
 
-    # new x index: broadcast the (small) batch side against the corpus
+    # new x index: broadcast the (small) batch side against the corpus.
+    # The id inequality handles a RE-CRAWLED doc keeping its id in both
+    # inputs: it must not self-match (its signatures trivially collide).
     cand_idx = (
         idx_x.join(F.broadcast(new_x.withColumnRenamed(id_col, "_nid")),
                    "band_sig")
+        .where(F.col("_nid") != F.col(id_col))
         .select(F.col("_nid").alias("id_a"), F.col(id_col).alias("id_b"))
         .distinct()
     )
@@ -506,7 +504,14 @@ def incremental_dedup(
         )
         .distinct()
     )
-    all_grams = new_grams.unionByName(idx_grams)
+    # an id present in BOTH inputs (re-crawl) keeps its NEW text: dedupe
+    # the gram table new-side-first, or the verify joins fan out 2x per
+    # overlapping id and compare against stale index text
+    all_grams = new_grams.unionByName(
+        idx_grams.join(
+            new_grams.select(id_col), id_col, "left_anti"
+        )
+    )
     matches = jaccard_verify(
         cand_idx.unionByName(cand_new), all_grams, id_col, threshold
     ).groupBy("id_a").agg(F.min("id_b").alias("dup_of"))

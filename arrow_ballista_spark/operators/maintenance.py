@@ -68,20 +68,29 @@ def compact_dataset(
     """Rewrite ``path`` so files average ~``target_file_bytes``.
 
     Reads the dataset, repartitions to ``ceil(total_bytes / target)``
-    partitions, writes to ``<path>.__compact_tmp``, then atomically swaps
-    directories (delete old → rename tmp).  Returns the post-compaction
-    stats.  Sizing uses the CURRENT on-disk bytes — compression ratio is
-    already baked into them, so the estimate is close for a same-format
-    rewrite.
+    partitions, writes to ``<path>.__compact_tmp``, then swaps in the
+    crash-safe order: old → ``.__compact_old``, tmp → path, delete old.
+    A crash between steps leaves the data recoverable under one of the
+    two side paths, never deleted-with-tmp-orphaned.  Returns the
+    post-compaction stats.  Sizing uses the CURRENT on-disk bytes —
+    compression ratio is already baked into them, so the estimate is
+    close for a same-format rewrite.
     """
     before = dataset_stats(spark, path)
     n_parts = max(1, math.ceil(before.total_bytes / target_file_bytes))
     df = getattr(spark.read, fmt)(path)
     tmp = path.rstrip("/") + ".__compact_tmp"
+    old = path.rstrip("/") + ".__compact_old"
     getattr(df.repartition(n_parts).write.mode("overwrite"), fmt)(tmp)
     fs, jpath, jvm = _fs_and_path(spark, path)
     jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs.delete(jpath, True)
+    jold = jvm.org.apache.hadoop.fs.Path(old)
+    fs.delete(jold, True)  # clear any leftover from a prior crash
+    if not fs.rename(jpath, jold):
+        raise RuntimeError(f"compaction swap failed: rename {path} -> {old}")
     if not fs.rename(jtmp, jpath):
+        # roll back so readers of `path` still see the original data
+        fs.rename(jold, jpath)
         raise RuntimeError(f"compaction swap failed: rename {tmp} -> {path}")
+    fs.delete(jold, True)
     return dataset_stats(spark, path)

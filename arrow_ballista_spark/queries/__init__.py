@@ -98,15 +98,17 @@ _HEAD_ROTATION = [
     "ext_stream_tumbling_counts", "ext_stream_dedup",
     "ext_stream_stream_join", "ext_stream_stateful_user_counts",
     "ext_stream_static_join",
-    # round-3 additions
+    # canaries (r2-green decimal parity + core TPC-H) so a core
+    # regression is still driver-visible inside the ~50-entry window —
+    # they MUST precede the round-3 block or they land past index 50
+    "tpch_q1_decimal", "tpch_q1", "tpch_q7", "tpch_q21",
+    # round-3 additions (entries past ~index 50 stay driver-unwitnessed
+    # this round; the tail is first in the round-4 promotion note below)
     "ext_quality_repetition", "ext_embed_kmeans", "ext_text_bm25",
     "ext_merge_upsert", "ext_snapshot_diff", "ext_pipeline_corpus_build",
     "ext_profile_table", "ext_corpus_report", "events_rollup_multires",
     "ext_dedup_incremental", "ext_sessionize", "ext_funnel",
     "ext_retention_cohorts",
-    # canaries (r2-green decimal parity + core TPC-H) so a core
-    # regression is still driver-visible inside the 50-entry window
-    "tpch_q1_decimal", "tpch_q1", "tpch_q7", "tpch_q21",
     # NOTE for the round-4 rotation: entries below land past index 50 and
     # stay driver-unwitnessed this round (locally green in pytest +
     # emulation) — promote them next round: ext_funnel,

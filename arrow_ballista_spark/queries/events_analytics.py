@@ -49,11 +49,13 @@ FROM o
 def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # NTZ has no direct long cast; epoch seconds via LTZ (session is UTC)
-    secs = F.col("ts").cast("timestamp_ltz").cast("long")
-    gap = secs - F.lag(secs).over(w)
+    # microsecond epoch (unix_micros via LTZ; session is UTC) — a
+    # whole-second cast would floor sub-second gaps and disagree with the
+    # oracle's full-precision `ts - LAG(ts) > INTERVAL` for 1800.xs gaps
+    micros = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap = micros - F.lag(micros).over(w)
     is_new = F.when(
-        gap.isNull() | (gap > _GAP_MIN * 60), F.lit(1)
+        gap.isNull() | (gap > _GAP_MIN * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return ev.select(

@@ -1127,9 +1127,13 @@ def ext_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = stats.select(
         "doc_id",
         F.explode(
+            # size(ws)=1 guard: Spark's sequence(1, 0) yields a
+            # DESCENDING [1, 0] (two out-of-bounds NULL "bigrams"),
+            # whereas DuckDB generate_series(1, 0) is empty
             F.expr(
-                "transform(sequence(1, size(ws)-1), "
-                "i -> concat(ws[i-1], ' ', ws[i]))"
+                "CASE WHEN size(ws) < 2 THEN array() "
+                "ELSE transform(sequence(1, size(ws)-1), "
+                "i -> concat(ws[i-1], ' ', ws[i])) END"
             )
         ).alias("bigram"),
     )

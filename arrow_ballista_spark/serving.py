@@ -83,8 +83,12 @@ class ConnectServerHandle:
         return connect_url(port=self.port)
 
     def stop(self) -> None:
+        # the Scala signature takes two Option args; py4j maps Python
+        # None to Java null, on which Option.isDefined NPEs — pass real
+        # scala None values so the gRPC server actually shuts down
+        none = self._jvm.scala.Option.empty()
         self._jvm.org.apache.spark.sql.connect.service.SparkConnectService.stop(
-            None, None
+            none, none
         )
 
 

@@ -159,15 +159,23 @@ def main() -> None:
     }
     prev = _load_prev_round(os.path.dirname(os.path.abspath(__file__)))
     if prev:
+        # compare LIKE stats: a prior round that predates the min-stat
+        # protocol published medians in `queries` — diffing our min
+        # against its median would systematically report fake speedups
+        # (min <= median structurally) and mask small real regressions
+        prev_is_min = prev.get("stat") == "min_of_warm_interleaved_samples"
         prev_q = prev.get("queries", {})
+        ours = times if prev_is_min else medians
         deltas = {
-            k: round(v - prev_q[k], 3) for k, v in times.items()
+            k: round(v - prev_q[k], 3) for k, v in ours.items()
             if k in prev_q
         }
         out["prev_round"] = prev["_round"]
         out["delta_vs_prev"] = deltas
+        out["delta_stat"] = "min_vs_min" if prev_is_min else "median_vs_median"
         out["delta_total"] = round(
-            total - sum(v for k, v in prev_q.items() if k.startswith("tpch_")),
+            sum(v for k, v in ours.items() if k.startswith("tpch_"))
+            - sum(v for k, v in prev_q.items() if k.startswith("tpch_")),
             3,
         )
     print(json.dumps(out))

@@ -514,3 +514,32 @@ def test_convert_cli(tmp_path):
         capture_output=True, text=True, timeout=300, cwd="/root/repo",
     )
     assert "converted 2 rows" in proc.stdout, (proc.stdout, proc.stderr[-800:])
+
+
+def test_load_table_partitioned_layout_converts_ns(ctx, tmp_path):
+    """The ns-timestamp probe must find part files nested under
+    hive-style partition dirs (partitionBy layout has no top-level
+    *.parquet) — written with REAL timestamp[ns] columns via pyarrow."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from arrow_ballista_spark.catalog import load_table
+
+    d = tmp_path / "events.parquet"
+    for part in (0, 1):
+        sub = d / f"part={part}"
+        sub.mkdir(parents=True)
+        tbl = pa.table(
+            {
+                "event_id": pa.array([part * 10, part * 10 + 1], pa.int64()),
+                "ts": pa.array(
+                    [1700000000_000000000 + part, 1700000100_000000000],
+                    pa.timestamp("ns"),
+                ),
+            }
+        )
+        papq.write_table(tbl, sub / "data.parquet")
+    back = load_table(ctx.spark, str(tmp_path), "events")
+    assert back.count() == 4
+    # without the recursive probe the ns column stays a raw bigint
+    assert dict(back.dtypes)["ts"] == "timestamp_ntz"

@@ -203,3 +203,27 @@ def test_connected_components_chain_and_clique(spark):
         (i, 10) for i in (10, 11, 12)
     } | {(20, 20), (21, 20)}
     assert got == want
+
+
+def test_incremental_dedup_recrawled_id_not_self_dup(spark):
+    """A re-crawled doc keeping its id in both the new batch and the
+    stored index must not match itself, and its NEW text supersedes the
+    stale index text in verification."""
+    from arrow_ballista_spark.operators.dedup import incremental_dedup
+
+    new = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    index = spark.createDataFrame(
+        [(1, "stale old text for the same id"),
+         (9, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["is_dup"], r["dup_of"])
+           for r in incremental_dedup(new, index, "text", "doc_id",
+                                      threshold=0.5).collect()}
+    # doc 1 duplicates index doc 9 (same NEW text), never itself
+    assert out[1] == (1, 9)
+    assert out[2] == (0, None)
