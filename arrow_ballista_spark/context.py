@@ -293,6 +293,7 @@ class BallistaContext:
         also kept on the context for :meth:`stop_serving`."""
         from arrow_ballista_spark.serving import start_sql_server
 
+        self.stop_serving()  # don't orphan a previous endpoint's handle
         self._sql_server = start_sql_server(self.spark, port)
         return self._sql_server
 

@@ -45,7 +45,7 @@ def strpos(s, sub) -> Column:
     Column via the private ``_jc.toString()`` breaks under Spark Connect,
     and quoting literals via ``repr`` produces invalid SQL for strings
     containing quotes."""
-    return F.instr(_col(s), sub if isinstance(sub, Column) else sub)
+    return F.instr(_col(s), sub)
 
 
 def trunc_numeric(c) -> Column:

@@ -8,9 +8,14 @@ cached blocks accumulate across repeated invocations (a bench loop runs
 every query twice per session) and leak executor storage memory in
 long-lived sessions.
 
-:func:`tracked_persist` registers every such handle (weakly) and
+:func:`tracked_persist` registers every such handle STRONGLY and
 :func:`release_caches` frees them all — call it after the consuming
 action (the bench harness does, per query; tests do, per module).
+Strong references are load-bearing: the operator's local variable is
+usually the only other reference, so a weak registry would drop the
+handle the moment the operator returns and release would free nothing
+(the Python wrapper is a few hundred bytes; the JVM cache it controls is
+the thing that must not leak).
 """
 
 from __future__ import annotations
@@ -19,7 +24,7 @@ import weakref
 
 from pyspark.sql import DataFrame
 
-_TRACKED: "weakref.WeakSet[DataFrame]" = weakref.WeakSet()
+_TRACKED: list[DataFrame] = []
 # (SparkContext, rdd_id) pairs for localCheckpoint RDDs — those are plain
 # RDD-level persists the DataFrame-level tracker can't see
 _TRACKED_RDDS: list[tuple[weakref.ref, int]] = []
@@ -28,7 +33,7 @@ _TRACKED_RDDS: list[tuple[weakref.ref, int]] = []
 def tracked_persist(df: DataFrame) -> DataFrame:
     """persist() + register the handle for a later :func:`release_caches`."""
     df = df.persist()
-    _TRACKED.add(df)
+    _TRACKED.append(df)
     return df
 
 
@@ -63,13 +68,13 @@ def release_caches() -> int:
     """Unpersist every tracked DataFrame + checkpoint RDD; returns how many
     were released.  Non-blocking: executors free blocks asynchronously."""
     n = 0
-    for df in list(_TRACKED):
+    for df in _TRACKED:
         try:
             df.unpersist(blocking=False)
             n += 1
         except Exception:
             pass  # session already stopped — nothing to free
-        _TRACKED.discard(df)
+    _TRACKED.clear()
     for sc_ref, rid in _TRACKED_RDDS:
         sc = sc_ref()
         if sc is None:

@@ -134,6 +134,14 @@ def pack_shards(
     lo, hi = df.agg(
         F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
     ).first()  # 1-row agg: bucket bounds, not data
+    if lo is None:
+        # empty input (e.g. an empty stratum at some SF): empty output
+        # with the declared columns, not a TypeError on int(None)
+        return (
+            df.withColumn("cum_before", F.lit(0).cast("long"))
+            .withColumn("shard_id", F.lit(0).cast("long"))
+            .limit(0)
+        )
     span = max((int(hi) - int(lo)) // n_buckets + 1, 1)
     bucketed = df.withColumn(
         "_bkt", ((F.col(id_col) - F.lit(int(lo))) / F.lit(span)).cast("long")

@@ -420,6 +420,14 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # silent non-convergence would split real clusters (canonical
+        # dedup then keeps several copies of one duplicate group); with
+        # pointer jumping max_iter=25 covers diameter ~2^25, so hitting
+        # this means something is genuinely wrong
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     if stats is not None:
         stats["rounds"] = rounds
     return labels.select("id", F.col("label").alias("cluster_id"))

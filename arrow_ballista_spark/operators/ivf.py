@@ -139,7 +139,11 @@ def ivf_topk(
                 F.col(corpus_id),
                 F.col(vec).alias("cv"),
                 norm(F.col(vec)).alias("cn"),
-            ),
+            )
+            # zero-norm vectors have no cosine to ANY centroid (NULL
+            # sims -> NULL cell): exclude them from the index explicitly
+            # rather than letting them fall out as unjoinable NULL cells
+            .filter(F.col("cn") > 0),
             "cv",
             centroids,
         )

@@ -20,11 +20,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _salt_col(salt_buckets: int) -> Column:
-    """Row-position salt in [0, salt_buckets) — spreads even fully-identical
-    duplicate rows (see salted_join)."""
+def _salt_col(df: DataFrame, salt_buckets: int) -> Column:
+    """DETERMINISTIC content-derived salt in [0, salt_buckets): xxhash64
+    over every column of the row.  A position-derived salt
+    (monotonically_increasing_id / rand) is a nondeterministic shuffle
+    key — the SPARK-23207 class: a stage retry can recompute different
+    salts than the partially-fetched shuffle output, duplicating or
+    dropping rows.  The trade-off: rows identical in EVERY column share a
+    salt and don't spread — that narrow case is an upstream exact-dedup
+    problem, not a join-skew one (hot keys differ in non-key columns)."""
     return F.pmod(
-        F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)
     ).cast("int")
 
 
@@ -48,14 +54,7 @@ def salted_join(
             f"salted_join supports inner/left-preserving joins, not {how!r}"
             " (the replicated right side breaks right/full outer semantics)"
         )
-    # Salt from the row's POSITION, not its content: fully-identical
-    # duplicate rows are the canonical pathological hot key, and a
-    # content-derived salt (xxhash64 of the columns) sends them all to one
-    # bucket — defeating the spread salting exists for.
-    # monotonically_increasing_id embeds (partition id, row-in-partition),
-    # so duplicates land on different salts; the salt only routes rows
-    # (it is dropped before returning), so result determinism is kept.
-    l_salted = left.withColumn("_salt", _salt_col(salt_buckets))
+    l_salted = left.withColumn("_salt", _salt_col(left, salt_buckets))
     r_salted = right.withColumn(
         "_salt",
         F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),

@@ -150,10 +150,14 @@ def rolling_hash(text_col: str, window: int = 8) -> Column:
         f"pmod((acc.h - ascii(substring({t}, i - {w}, 1)) * {pw}L) * {b}L"
         f" + ascii(substring({t}, i, 1)), {p}L)"
     )
+    # let-binding idiom (interpreted HOFs do no CSE): splice `step` / `h0`
+    # into the expression ONCE and bind via a 1-element transform —
+    # referencing the update twice doubles the per-char cost of the fold
     roll = (
         f"aggregate(sequence({w + 1}, length({t})),"
-        f" named_struct('h', {h0}, 'm', {h0}),"
-        f" (acc, i) -> named_struct('h', {step}, 'm', least(acc.m, {step})),"
+        f" transform(array({h0}), s -> named_struct('h', s, 'm', s))[0],"
+        f" (acc, i) -> transform(array({step}),"
+        f"   s -> named_struct('h', s, 'm', least(acc.m, s)))[0],"
         f" acc -> acc.m)"
     )
     # the CASE guard matters: sequence(start, stop) with start > stop

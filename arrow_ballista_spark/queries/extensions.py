@@ -790,7 +790,7 @@ cent AS (SELECT embedding AS ce,
          FROM nz QUALIFY row_number() OVER (ORDER BY {md5_order}) <= {n_cells}),
 cw AS (SELECT cell, ce, sqrt({_sql_dot("ce", "ce")}) AS cen FROM cent),
 c AS (SELECT vec_id AS corpus_id, embedding AS cv,
-             sqrt({_sql_dot("embedding", "embedding")}) AS cn FROM embeddings),
+             sqrt({_sql_dot("embedding", "embedding")}) AS cn FROM nz),
 asg AS (SELECT corpus_id, cv, cn, cell,
                row_number() OVER (PARTITION BY corpus_id
                                   ORDER BY sim DESC, cell ASC) AS r

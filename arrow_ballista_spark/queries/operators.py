@@ -500,12 +500,15 @@ GROUP BY l_returnflag
 """,
     doc="APPROX_DISTINCT (ref datafusion.proto:535) — HLL sketch; sketch "
         "values are engine-specific, so the oracle hash-compares the exact "
-        "count plus an each-engine-within-5%-error property bit",
+        "count plus an each-engine-within-5%-error property bit.  Spark "
+        "runs at rsd=0.01 so the 5%% bound is a 5-sigma property, not a "
+        "1-sigma coin flip (the default rsd IS 0.05 — at dense-HLL "
+        "cardinalities a ~1/3-per-group failure rate)",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     exact = F.count_distinct("l_partkey")
-    approx = F.approx_count_distinct("l_partkey")
+    approx = F.approx_count_distinct("l_partkey", rsd=0.01)
     return li.groupBy("l_returnflag").agg(
         exact.cast("bigint").alias("exact_parts"),
         (F.abs(approx - exact) <= 0.05 * exact).alias("approx_within_5pct"),

@@ -227,3 +227,23 @@ def test_incremental_dedup_recrawled_id_not_self_dup(spark):
     # doc 1 duplicates index doc 9 (same NEW text), never itself
     assert out[1] == (1, 9)
     assert out[2] == (0, None)
+
+
+def test_release_caches_frees_operator_internal_persists(spark):
+    """tracked_persist must hold STRONG references: the operator's local
+    variable is usually the only other ref, so a weak registry would drop
+    the handle at operator return and release_caches() would free
+    nothing (the executor-storage leak the module exists to prevent)."""
+    import gc
+
+    from arrow_ballista_spark.catalog import load_table
+    from arrow_ballista_spark.operators import dedup
+    from arrow_ballista_spark.operators.caching import release_caches
+
+    release_caches()  # start clean
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5)
+    pairs.count()
+    del pairs
+    gc.collect()
+    assert release_caches() >= 1

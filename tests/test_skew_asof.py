@@ -15,18 +15,21 @@ def _ts(h, m=0):
     return dt.datetime(2024, 1, 1, h, m)
 
 
-def test_salted_join_spreads_identical_duplicate_rows(spark):
-    # the canonical pathological hot key: fully-identical duplicate rows.
-    # A content-derived salt maps them all to ONE bucket; the row-position
-    # salt must spread them over >= 2 buckets.
-    left = spark.createDataFrame([("hot", 1)] * 1000, "k string, v int")
-    salts = (
-        left.withColumn("_salt", skew._salt_col(8))
-        .select("_salt")
-        .distinct()
-        .count()
+def test_salted_join_salt_is_deterministic_and_spreads_hot_key(spark):
+    # hot key = many rows sharing the join key but differing elsewhere.
+    # The salt must (a) spread them over multiple buckets and (b) be a
+    # pure function of row content — a position/rand salt is a
+    # nondeterministic shuffle key (SPARK-23207 class: stage retries can
+    # recompute different salts than the fetched shuffle output).
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(1000)], "k string, v int"
     )
-    assert salts >= 2, "identical duplicate rows all landed on one salt"
+    with_salt = left.withColumn("_salt", skew._salt_col(left, 8))
+    assert with_salt.select("_salt").distinct().count() >= 2
+    # determinism: two independent evaluations agree row-for-row
+    a = {(r["v"], r["_salt"]) for r in with_salt.collect()}
+    b = {(r["v"], r["_salt"]) for r in with_salt.collect()}
+    assert a == b
 
 
 def test_salted_join_matches_plain_join(spark):
