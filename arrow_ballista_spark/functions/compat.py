@@ -70,13 +70,17 @@ def date_bin(stride_seconds: int, ts, origin: str = "1970-01-01") -> Column:
 
 
 def digest(c, algorithm) -> Column:
-    """DF digest(expr, algo) — md5/sha224/sha256/sha384/sha512."""
+    """DF digest(expr, algo) — md5/sha224/sha256/sha384/sha512.
+
+    Returns BINARY like DataFusion (Spark's md5/sha2 emit hex STRINGS —
+    unhex restores the reference type so octet_length and binary
+    comparisons match)."""
     algo = algorithm.lower() if isinstance(algorithm, str) else algorithm
     c = _col(c)
     if algo == "md5":
-        return F.md5(c.cast("binary"))
+        return F.unhex(F.md5(c.cast("binary")))
     if algo in ("sha224", "sha256", "sha384", "sha512"):
-        return F.sha2(c.cast("binary"), int(algo[3:]))
+        return F.unhex(F.sha2(c.cast("binary"), int(algo[3:])))
     raise ValueError(f"unsupported digest algorithm: {algorithm}")
 
 
@@ -140,7 +144,13 @@ SCALAR_FUNCTIONS: dict[str, object] = {
     "trim": F.trim,
     "upper": F.upper,
     # regex (proto 477, 510)
-    "regexp_match": lambda s, p: F.regexp_extract_all(_col(s), F.lit(p), 0),
+    # DataFusion regexp_match = capture groups of the FIRST match (whole
+    # match when the pattern has no groups), NULL when unmatched — not
+    # every occurrence in the string
+    "regexp_match": lambda s, p: F.when(
+        _col(s).rlike(p),
+        F.array(F.regexp_extract(_col(s), p, 0)),
+    ),
     "regexp_replace": lambda s, p, r: F.regexp_replace(_col(s), p, r),
     # crypto / misc (proto 495, 515-520, 504)
     "digest": digest,

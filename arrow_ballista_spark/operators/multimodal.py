@@ -108,7 +108,10 @@ def sample_frames(
             ids, idxs, lens, md5s = [], [], [], []
             for did, blob in zip(pdf[id_col], pdf["blob"]):
                 b = bytes(blob)
-                for i in range(0, max(len(b), 1), frame_size):
+                # empty blob -> no frames (the oracle's generate_series
+                # over floor((0-1)/frame) is empty; a zero-length frame
+                # row would be an engine-only extra)
+                for i in range(0, len(b), frame_size):
                     frame = b[i : i + frame_size]
                     ids.append(did)
                     idxs.append(i // frame_size)

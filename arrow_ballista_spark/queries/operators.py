@@ -539,20 +539,33 @@ def agg_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_minmax_by",
     """
 SELECT o_orderstatus,
-       arg_max(o_orderkey, o_totalprice) AS priciest_order,
-       arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+       arg_max(o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                 * 10000000000 + o_orderkey) AS priciest_order,
+       arg_min(o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                 * 10000000000 + o_orderkey) AS cheapest_order,
        (floor(abs(MAX(o_totalprice)) * 100 + 0.5) / 100e0 * (CASE WHEN (MAX(o_totalprice)) < 0 THEN -1 ELSE 1 END)) AS max_price,
        (floor(abs(MIN(o_totalprice)) * 100 + 0.5) / 100e0 * (CASE WHEN (MIN(o_totalprice)) < 0 THEN -1 ELSE 1 END)) AS min_price
 FROM orders
 GROUP BY o_orderstatus
 """,
-    doc="MAX_BY/MIN_BY selector aggregates",
+    doc="MAX_BY/MIN_BY selector aggregates.  The selector metric is a "
+        "composite BIGINT (price-cents * 1e10 + orderkey) so price TIES "
+        "break deterministically by orderkey on both engines — bare "
+        "arg_max/max_by leaves ties engine-arbitrary and the value hash "
+        "would flip whenever two orders share a group maximum",
 )
 def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
+    metric = (
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        * F.lit(10_000_000_000).cast("long")
+        + F.col("o_orderkey")
+    )
     return o.groupBy("o_orderstatus").agg(
-        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
-        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", metric).alias("priciest_order"),
+        F.min_by("o_orderkey", metric).alias("cheapest_order"),
         cround(F.max("o_totalprice"), 2).alias("max_price"),
         cround(F.min("o_totalprice"), 2).alias("min_price"),
     )

@@ -79,7 +79,7 @@ def get_session(
                 else os.environ.get("SPARK_GRAFT_UI", "0") == "1")
             else "false",
         )
-        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.shuffle.spill.compress", "true")
         # the JDBC endpoint (serving.start_sql_server) shares this session's
         # temp-view catalog — static conf, must be set before the JVM starts
         .config("spark.sql.hive.thriftServer.singleSession", "true")

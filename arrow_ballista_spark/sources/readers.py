@@ -38,15 +38,30 @@ def read_csv(
     sep: str = ",",
     **opts: Any,
 ) -> DataFrame:
-    """CSV with reference defaults: header row on, comma delimiter,
-    schema inferred from a bounded sample when not given."""
+    """CSV with reference defaults: header row on, comma delimiter.
+
+    Schema inference when no schema is given: the schema is inferred
+    driver-side from the first ``SCHEMA_INFER_MAX_RECORDS`` lines (the
+    reference's ``schema_infer_max_records`` default,
+    ``python/src/context.rs:95-100``) — Spark's own ``inferSchema``
+    would read the ENTIRE dataset an extra time (``samplingRatio``
+    samples rows but still scans every file), which at the 100 TB target
+    is a full redundant pass."""
     r = spark.read.option("header", header).option("sep", sep)
     if schema is not None:
         r = r.schema(schema)
     else:
-        r = r.option("inferSchema", True).option(
-            "samplingRatio", 1.0
+        sample = (
+            spark.read.option("header", header)
+            .option("sep", sep)
+            .option("inferSchema", True)
+            .options(**_str_opts(opts))
+            .csv(
+                spark.read.text(path).limit(SCHEMA_INFER_MAX_RECORDS)
+                .rdd.map(lambda row: row[0])
+            )
         )
+        r = r.schema(sample.schema)
     return r.options(**_str_opts(opts)).csv(path)
 
 

@@ -181,7 +181,17 @@ def run_available_now(
     )
     q.awaitTermination()
     spark = stream_df.sparkSession
-    return spark.table(name)
+    # detach the result from the memory sink: checkpoint the rows (freed
+    # later by operators.caching.release_caches) and drop the sink's temp
+    # view — otherwise every invocation leaks one result table in driver
+    # memory for the process lifetime
+    from arrow_ballista_spark.operators.caching import (
+        tracked_local_checkpoint,
+    )
+
+    out = tracked_local_checkpoint(spark.table(name))
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:

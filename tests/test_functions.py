@@ -85,7 +85,7 @@ def test_compat_functions_evaluate(spark):
     ).collect()[0]
     assert row.tn == -2.0 and row.tp == 2.0
     assert row.sp == 7
-    assert row.dg.startswith("b94d27b9")  # sha256("hello world")
+    assert bytes(row.dg).startswith(bytes.fromhex("b94d27b9"))  # sha256("hello world"), BINARY like DataFusion
     assert str(row.db) == "2024-01-01 00:30:00"
     assert row.ty == "string"
     assert row.hx == "FF"
