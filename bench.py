@@ -20,11 +20,16 @@ hardening changes measured in round 3:
   execution re-warms the code/data caches, the second measures
   steady-state — otherwise sub-second queries carry a +0.1-0.2s
   cold-cache tax the old back-to-back protocol didn't.
-- **Per-iteration times + session uptime in the output.**  JVM/JIT warmup
+- **Per-iteration times + session uptime in a side file.**  JVM/JIT warmup
   is measurable for the heavyweight iterative entries (ext_dedup_clusters:
   33s cold → 3.2s steady over 4 executions); emitting the raw samples and
-  when they ran makes warmup/accumulation effects visible in-band instead
-  of laundered through a single median.
+  when they ran makes warmup/accumulation effects visible instead of
+  laundered through a single median.  Round 3 lesson: the driver captures
+  only the LAST 2000 chars of stdout, so the raw samples made the final
+  JSON line unparseable (BENCH_r03 `parsed: null`).  The final stdout line
+  is now a compact summary (mins + totals, hard-capped under the capture
+  window); the per-iteration arrays, medians, and per-query deltas go to
+  `BENCH_DETAIL_r{N}.json` in the repo, committed alongside.
 """
 
 from __future__ import annotations
@@ -141,23 +146,32 @@ def main() -> None:
     total = round(
         sum(v for k, v in times.items() if k.startswith("tpch_")), 3
     )
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    # Compact summary on stdout (the driver's tail capture keeps only the
+    # last ~2000 chars — BENCH_r03 learned this the hard way); full
+    # per-iteration detail + deltas to BENCH_DETAIL_r{N}.json.
     out = {
         "metric": "tpch_suite_wall_seconds",
         "value": total,
         "unit": "sec",
         "stat": "min_of_warm_interleaved_samples",
+        "queries": times,
+        "sf": sf,
+    }
+    detail = {
         "iterations": iters,
         "warmup_sweeps": warmups,
         "protocol": "interleaved_sweeps_paired_warm",
-        "queries": times,
+        "queries_min": times,
         "queries_median": medians,
         "queries_iters": {
             n: [round(x, 3) for x in s] for n, s in samples.items()
         },
         "session_uptime_at_sample": at,
         "sf": sf,
+        "tpch_total_min": total,
     }
-    prev = _load_prev_round(os.path.dirname(os.path.abspath(__file__)))
+    prev = _load_prev_round(repo_dir)
     if prev:
         # compare LIKE stats: a prior round that predates the min-stat
         # protocol published medians in `queries` — diffing our min
@@ -170,15 +184,53 @@ def main() -> None:
             k: round(v - prev_q[k], 3) for k, v in ours.items()
             if k in prev_q
         }
-        out["prev_round"] = prev["_round"]
-        out["delta_vs_prev"] = deltas
-        out["delta_stat"] = "min_vs_min" if prev_is_min else "median_vs_median"
-        out["delta_total"] = round(
+        detail["prev_round"] = prev["_round"]
+        detail["delta_vs_prev"] = deltas
+        detail["delta_stat"] = (
+            "min_vs_min" if prev_is_min else "median_vs_median"
+        )
+        delta_total = round(
             sum(v for k, v in ours.items() if k.startswith("tpch_"))
             - sum(v for k, v in prev_q.items() if k.startswith("tpch_")),
             3,
         )
-    print(json.dumps(out))
+        detail["delta_total"] = delta_total
+        out["delta_total"] = delta_total
+        out["prev_round"] = prev["_round"]
+
+    detail_path = os.path.join(
+        repo_dir, f"BENCH_DETAIL_r{_next_round(repo_dir)}.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+        out["detail_file"] = os.path.basename(detail_path)
+    except OSError:
+        pass  # read-only checkout: the stdout summary still stands alone
+
+    line = json.dumps(out)
+    if len(line) > 1900:  # hard cap under the driver's 2000-char tail
+        out.pop("delta_total", None)
+        out.pop("prev_round", None)
+        line = json.dumps(out)
+    if len(line) > 1900:  # still over: keep the comparable TPC-H core
+        out["queries"] = {
+            k: v for k, v in times.items() if k.startswith("tpch_")
+        }
+        out["queries_truncated_to_tpch"] = True
+        line = json.dumps(out)
+    print(line)
+
+
+def _next_round(repo_dir: str) -> int:
+    """1 + the highest BENCH_r{N}.json the driver has recorded — names the
+    detail file for the round currently being benched."""
+    rounds = [
+        int(m.group(1))
+        for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", path))
+    ]
+    return max(rounds, default=0) + 1
 
 
 def _load_prev_round(repo_dir: str) -> dict | None:
