@@ -64,6 +64,33 @@ def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
     return out
 
 
+def reliable_checkpoint(df: DataFrame, checkpoint_dir: str) -> DataFrame:
+    """``df.checkpoint(eager=True)`` into a durable directory.
+
+    localCheckpoint blocks live in executor storage and die with the
+    executor — fine on local[*], fatal for a multi-hour iterative job on
+    a real cluster where executor loss is routine.  A reliable checkpoint
+    writes the round's frame to ``checkpoint_dir`` (HDFS/S3A at cluster
+    scale) so a lost executor recomputes from durable files, not from the
+    start of the job.  Files are removed automatically only when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``; otherwise
+    clean the directory after the job (see DEPLOY.md).
+    """
+    sc = df.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)
+
+
+def checkpointer(checkpoint_dir: str | None):
+    """The per-round checkpoint strategy for iterative operators
+    (connected components, PageRank, k-means): tracked localCheckpoint on
+    a single node — released by :func:`release_caches` — or
+    :func:`reliable_checkpoint` when the caller supplies a durable dir."""
+    if checkpoint_dir:
+        return lambda df: reliable_checkpoint(df, checkpoint_dir)
+    return tracked_local_checkpoint
+
+
 def release_caches() -> int:
     """Unpersist every tracked DataFrame + checkpoint RDD; returns how many
     were released.  Non-blocking: executors free blocks asynchronously."""

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from arrow_ballista_spark.operators.caching import (
+    checkpointer,
     tracked_local_checkpoint,
     tracked_persist,
 )
@@ -336,6 +337,7 @@ def connected_components(
     b_col: str = "id_b",
     max_iter: int = 25,
     stats: dict | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph: returns
     ``(id, cluster_id)`` where ``cluster_id`` is the smallest id reachable
@@ -351,16 +353,34 @@ def connected_components(
     = 1M shuffles); the jump doubles the label's reach each round, so
     rounds scale with **log2(diameter)** — the same shortcutting used by
     the large-star/small-star MapReduce CC algorithm (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC'14).  Each round
-    ends in a TRACKED ``localCheckpoint`` (lineage truncation keeps the
-    plan flat across rounds — per-round persist+lineage was measured far
-    slower here: cache-plan matching across deepening lineages is fragile
-    and a single miss re-runs the whole upstream pipeline once per round);
-    the checkpoint RDDs are registered with ``operators.caching`` so
-    ``release_caches()`` frees them instead of leaking per invocation.
-    The convergence probe is a scalar sum of labels, strictly decreasing
-    until fixpoint.  At cluster scale swap the localCheckpoint for a
-    reliable checkpoint dir.
+    "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    The ROUND-1 jump is skipped: it is not an identity (on a chain 0-1-2
+    it does shortcut), but LSH near-dup graphs — the dominant workload —
+    are clique-y, and round-1 propagation already hands most nodes their
+    cluster minimum, so the round-1 jump join buys nothing there while
+    costing a full shuffle (measured: jump-every-round regressed the
+    sf0.1 bench graph 3.37s → 4.24s; skipping round 1 recovered it).
+    On deep path graphs the skip costs exactly one extra round (48-chain:
+    6 → 7), preserving the ~log2 bound the property test pins.
+
+    Each round ends in a TRACKED ``localCheckpoint`` (lineage truncation
+    keeps the plan flat across rounds — per-round persist+lineage was
+    measured far slower here: cache-plan matching across deepening
+    lineages is fragile and a single miss re-runs the whole upstream
+    pipeline once per round); the checkpoint RDDs are registered with
+    ``operators.caching`` so ``release_caches()`` frees them instead of
+    leaking per invocation.  The convergence probe is a scalar sum of
+    labels, strictly decreasing until fixpoint.
+
+    ``checkpoint_dir``: localCheckpoint blocks die with their executor —
+    at cluster scale a single lost executor would kill a multi-hour CC
+    job mid-iteration.  Passing a reliable directory (HDFS/S3A path)
+    switches every round boundary to ``df.checkpoint()`` so recovery
+    re-reads the last round from durable storage instead of restarting
+    the job (reference analogue: ballista's executor-loss stage rollback,
+    ballista/scheduler/src/planner.rs:259-283 — Spark's rollback equally
+    needs surviving lineage or a durable checkpoint).  See DEPLOY.md.
 
     ``stats`` (optional dict) receives ``{"rounds": N}`` so tests can pin
     the logarithmic round bound on path graphs.
@@ -374,7 +394,8 @@ def connected_components(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
     edges = tracked_persist(edges.distinct())
-    labels = tracked_local_checkpoint(
+    checkpoint = checkpointer(checkpoint_dir)
+    labels = checkpoint(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
@@ -401,21 +422,23 @@ def connected_components(
         # pointer jump: label <- label(label).  Every label is itself a node
         # id (labels cover all nodes), so the lookup side is `propagated`
         # re-keyed by id; left+coalesce keeps already-minimal labels.
-        # Jump EVERY round — after round-1 propagation labels are already
-        # non-trivial (on a chain 0-1-2, label(2)=1 and label(1)=0, so
-        # label(label(2))=0), and skipping the first jump costs deep
-        # graphs an extra shuffle round against the log2(diameter) bound.
-        lk = propagated.select(
-            F.col("id").alias("_lid"), F.col("label").alias("_llabel")
-        )
-        labels = tracked_local_checkpoint(
-            propagated.join(lk, propagated.label == lk._lid, "left")
-            .select(
-                F.col("id"),
-                F.coalesce(F.col("_llabel"), F.col("label"))
-                .alias("label"),
+        # Skipped in round 1 — see the docstring's measured tradeoff
+        # (clique-y LSH graphs pay a wasted shuffle; deep chains pay one
+        # extra round, inside the pinned log bound).
+        if rounds == 1:
+            labels = checkpoint(propagated)
+        else:
+            lk = propagated.select(
+                F.col("id").alias("_lid"), F.col("label").alias("_llabel")
             )
-        )
+            labels = checkpoint(
+                propagated.join(lk, propagated.label == lk._lid, "left")
+                .select(
+                    F.col("id"),
+                    F.coalesce(F.col("_llabel"), F.col("label"))
+                    .alias("label"),
+                )
+            )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             break

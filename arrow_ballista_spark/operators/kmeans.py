@@ -49,11 +49,17 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vectorized: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Run ``iters`` Lloyd iterations; returns ``(id_col, cluster)``.
 
     ``cluster`` is the 0-based index of the nearest centroid after the
     final update, argmin ties broken by smallest cluster id.
+
+    ``checkpoint_dir``: each update deepens the centroid lineage by one
+    aggregation; on long runs a lost executor recomputes every prior
+    iteration.  A durable directory checkpoints the centroid frame
+    (k rows — cheap) per update via ``df.checkpoint()`` (see DEPLOY.md).
 
     Two assignment kernels, same dataflow:
 
@@ -108,6 +114,12 @@ def kmeans_assign(
                     "s -> s.m)"
                 ).alias("cent")
             ).select(F.col("cluster").alias("cid"), "cent")
+            if checkpoint_dir:
+                from arrow_ballista_spark.operators.caching import (
+                    reliable_checkpoint,
+                )
+
+                cents = reliable_checkpoint(cents, checkpoint_dir)
     return assigned.select(id_col, "cluster")
 
 

@@ -37,6 +37,7 @@ def pagerank(
     d: float = 0.85,
     iters: int = 3,
     round_digits: int = 9,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank; returns ``(node_col, rank)``.
 
@@ -44,8 +45,17 @@ def pagerank(
     undirected graph.  Nodes with no out-edges contribute nothing
     (dangling mass is dropped, identically on both engines); isolated
     nodes keep the teleport mass (1-d)/N.
+
+    ``checkpoint_dir``: with many iterations the rank lineage deepens one
+    join per round; a lost executor late in the job otherwise recomputes
+    the whole chain.  Passing a durable directory checkpoints the rank
+    frame (N small rows) each iteration via ``df.checkpoint()`` —
+    recovery restarts from the last round's files (see DEPLOY.md).
     """
-    from arrow_ballista_spark.operators.caching import tracked_persist
+    from arrow_ballista_spark.operators.caching import (
+        reliable_checkpoint,
+        tracked_persist,
+    )
 
     n = nodes.count()  # planning-time scalar (one action, one number)
     if n == 0:
@@ -85,4 +95,6 @@ def pagerank(
                 ).alias("r"),
             )
         )
+        if checkpoint_dir:
+            ranks = reliable_checkpoint(ranks, checkpoint_dir)
     return ranks.select(F.col("v").alias(node_col), F.col("r").alias("rank"))

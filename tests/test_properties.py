@@ -187,6 +187,60 @@ def test_connected_components_path_graph_log_rounds(spark):
     assert stats["rounds"] <= 7, stats
 
 
+def test_iterative_operators_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir= switches the round boundary from localCheckpoint
+    (executor-memory, dies with the executor) to df.checkpoint() into a
+    durable directory — the cluster-scale recovery path (DEPLOY.md).
+    Results must be identical and the directory must actually receive
+    checkpoint files."""
+    from arrow_ballista_spark.operators.dedup import connected_components
+    from arrow_ballista_spark.operators.kmeans import kmeans_assign
+    from arrow_ballista_spark.operators.pagerank import pagerank
+
+    ckpt = str(tmp_path / "ckpt")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(23)] + [(100, 101), (101, 102)],
+        "id_a long, id_b long",
+    )
+    base = {
+        r.id: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    durable = {
+        r.id: r.cluster_id
+        for r in connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert durable == base
+    import glob as _glob
+
+    assert _glob.glob(f"{ckpt}/*/rdd-*"), "no durable checkpoint written"
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "v long")
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )
+    pr_base = {r.v: r["rank"] for r in pagerank(nodes, edges).collect()}
+    pr_dur = {
+        r.v: r["rank"]
+        for r in pagerank(nodes, edges, checkpoint_dir=ckpt).collect()
+    }
+    assert pr_dur == pr_base
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4), float(i % 3)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    km_base = {
+        r.vec_id: r.cluster for r in kmeans_assign(emb, k=3, iters=3).collect()
+    }
+    km_dur = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign(
+            emb, k=3, iters=3, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert km_dur == km_base
+
+
 @given(
     edges=st.lists(
         st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
