@@ -121,8 +121,10 @@ def pack_shards(
        min_id) / span)`` — deterministic, unlike sampled
        ``repartitionByRange`` boundaries);
     2. per-bucket total weights → driver (``n_buckets`` rows, not data);
-       exclusive running totals become per-bucket offsets, broadcast back
-       as a literal CASE map;
+       exclusive running totals become per-bucket offsets, shipped back
+       as a tiny broadcast-joined DataFrame (NOT a chained CASE WHEN —
+       expression depth linear in n_buckets blows the codegen/constant-
+       pool limit around 10^3-10^4 buckets);
     3. within-bucket ``Window.partitionBy(bucket).orderBy(id)`` prefix sum
        + the bucket's offset = the exact global prefix sum, at
        ``n_buckets``-way parallelism.
@@ -155,16 +157,23 @@ def pack_shards(
     for b in sorted(per_bucket):
         offsets[b] = running
         running += per_bucket[b]
-    offset_col = F.lit(0).cast("long")
-    for b, off in offsets.items():
-        offset_col = F.when(F.col("_bkt") == b, F.lit(off)).otherwise(offset_col)
+    # offsets ride back as a broadcast-joined n_buckets-row frame: a
+    # chained F.when would nest one CaseWhen per bucket and overflow the
+    # codegen / class constant pool at 10^3-10^4 buckets
+    offset_df = df.sparkSession.createDataFrame(
+        [(int(b), int(off)) for b, off in offsets.items()],
+        "_bkt long, _bkt_offset long",
+    )
+    bucketed = bucketed.join(F.broadcast(offset_df), "_bkt", "left")
     w = Window.partitionBy("_bkt").orderBy(id_col)
     cum_incl = F.sum(weight_col).over(w)
-    cum_before = (cum_incl - F.col(weight_col) + offset_col).alias("cum_before")
+    cum_before = (
+        cum_incl - F.col(weight_col) + F.coalesce("_bkt_offset", F.lit(0))
+    ).alias("cum_before")
     return (
         bucketed.select("*", cum_before)
         .withColumn("shard_id", F.floor(F.col("cum_before") / F.lit(budget)))
-        .drop("_bkt")
+        .drop("_bkt", "_bkt_offset")
     )
 
 

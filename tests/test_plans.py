@@ -221,3 +221,27 @@ def test_semantic_dedup_no_cartesian(spark):
     # self-join side depending on cache state) — the pair join itself is
     # asserted keyed above, so any count beyond 8 means a real regression
     assert plan.count("BroadcastNestedLoopJoin") <= 8
+
+
+def test_pack_shards_offsets_broadcast_not_casewhen(spark):
+    """The per-bucket prefix-sum offsets must ride a broadcast-joined
+    n_buckets-row frame, NOT a chained CASE WHEN: expression depth linear
+    in n_buckets overflows the codegen constant pool at 10^3-10^4 buckets
+    (the 100 TB configuration)."""
+    from arrow_ballista_spark.operators.corpus import pack_shards
+
+    df = spark.range(0, 3000).selectExpr(
+        "id AS doc_id", "(id % 7) + 1 AS n_tok"
+    )
+    packed = pack_shards(
+        df, "doc_id", "n_tok", budget=100, n_buckets=1000
+    )
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("CASE WHEN") <= 10, "offsets compiled to a CASE chain"
+    assert "BroadcastExchange" in plan
+    # integer-exact global prefix sum must survive the rewrite
+    rows = packed.orderBy("doc_id").collect()
+    run = 0
+    for r in rows:
+        assert r["cum_before"] == run, (r["doc_id"], r["cum_before"], run)
+        run += r["n_tok"]
