@@ -45,6 +45,26 @@ _EXTERNAL_TABLE_RE = re.compile(
 )
 
 
+# CREATE CATALOG / CREATE SCHEMA DDL (reference: CreateCatalogNode /
+# CreateCatalogSchemaNode, datafusion/proto/datafusion.proto:186-203).
+# Spark's in-process session catalog is single-level (databases only), so
+# a DataFusion CATALOG maps to a Spark database of the same name and a
+# two-part `catalog.schema` maps to the database `<catalog>__<schema>`
+# (dots are illegal in Spark database names); single-part CREATE SCHEMA
+# is native Spark SQL and passes straight through.
+_CREATE_CATALOG_RE = re.compile(
+    r"^\s*CREATE\s+CATALOG\s+(?P<if_not_exists>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CREATE_SCHEMA_QUALIFIED_RE = re.compile(
+    r"^\s*CREATE\s+SCHEMA\s+(?P<if_not_exists>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<catalog>[A-Za-z_][A-Za-z0-9_]*)\.(?P<schema>[A-Za-z_][A-Za-z0-9_]*)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
 @dataclass
 class JobHandle:
     """Async query job: submit/status/cancel, mirroring the reference's
@@ -59,11 +79,29 @@ class JobHandle:
     # the submitted plan, kept for the monitoring surface (REST /dot,
     # /metrics need the physical plan after the job completes)
     _df: DataFrame | None = None
+    # wall-clock timing for the Prometheus exposition (monitoring.py):
+    # planning = sql-to-plan build inside submit(); execution = the
+    # collect() span on the job thread
+    _planning_ms: float = 0.0
+    _t_start: float | None = None
+    _t_end: float | None = None
+    _cancel_requested: bool = False
+
+    def duration_seconds(self) -> float | None:
+        if self._t_start is None or self._t_end is None:
+            return None
+        return self._t_end - self._t_start
 
     def status(self) -> str:
+        """RUNNING / SUCCESSFUL / FAILED / CANCELLED — the reference's
+        job-status vocabulary (ballista.proto JobStatus: queued/running/
+        successful/failed, plus the cancelled counter the scheduler's
+        metrics track separately)."""
         if not self._done.is_set():
             return "RUNNING"
-        return "FAILED" if self._error else "SUCCESSFUL"
+        if self._error is None:
+            return "SUCCESSFUL"
+        return "CANCELLED" if self._cancel_requested else "FAILED"
 
     def cancel(self, wait_for_start: float = 30.0) -> bool:
         """Cancel the job group.  cancelJobGroup only reaches *active* jobs,
@@ -75,6 +113,7 @@ class JobHandle:
         planning/listing files) and the caller must retry or abandon."""
         import time
 
+        self._cancel_requested = True
         tracker = self._spark.sparkContext.statusTracker()
         deadline = time.monotonic() + wait_for_start
         delivered = False
@@ -237,7 +276,26 @@ class BallistaContext:
         m = _EXTERNAL_TABLE_RE.match(sql)
         if m:
             return self._create_external_table(m)
+        m = _CREATE_CATALOG_RE.match(sql)
+        if m:
+            return self._create_namespace(
+                m.group("name"), bool(m.group("if_not_exists"))
+            )
+        m = _CREATE_SCHEMA_QUALIFIED_RE.match(sql)
+        if m:
+            # two-part catalog.schema flattens to one Spark database (see
+            # the regex comment); single-part CREATE SCHEMA is native
+            # Spark SQL and never reaches this branch
+            return self._create_namespace(
+                f"{m.group('catalog')}__{m.group('schema')}",
+                bool(m.group("if_not_exists")),
+            )
         return self.spark.sql(sql)
+
+    def _create_namespace(self, db: str, if_not_exists: bool) -> DataFrame:
+        ine = "IF NOT EXISTS " if if_not_exists else ""
+        self.spark.sql(f"CREATE DATABASE {ine}`{db}`")
+        return self.spark.sql("SELECT 1 AS ok")
 
     def _create_external_table(self, m: re.Match) -> DataFrame:
         name = m.group("name")
@@ -313,13 +371,23 @@ class BallistaContext:
         ]
 
     def submit(self, sql_or_df: str | DataFrame) -> JobHandle:
+        import time
+
+        t_plan = time.monotonic()
         df = self.sql(sql_or_df) if isinstance(sql_or_df, str) else sql_or_df
+        planning_ms = (time.monotonic() - t_plan) * 1000.0
         job_id = f"job-{uuid.uuid4().hex[:12]}"
-        handle = JobHandle(job_id=job_id, _spark=self.spark, _df=df)
+        handle = JobHandle(
+            job_id=job_id, _spark=self.spark, _df=df,
+            _planning_ms=planning_ms,
+        )
         self._jobs = getattr(self, "_jobs", [])
         self._jobs.append(handle)
 
         def run() -> None:
+            import time
+
+            handle._t_start = time.monotonic()
             try:
                 self.spark.sparkContext.setJobGroup(
                     job_id, f"ballista {job_id}", interruptOnCancel=True
@@ -328,6 +396,7 @@ class BallistaContext:
             except BaseException as e:  # noqa: BLE001 — surfaced via result()
                 handle._error = e
             finally:
+                handle._t_end = time.monotonic()
                 handle._done.set()
 
         from pyspark import InheritableThread

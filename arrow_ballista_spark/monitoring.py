@@ -75,6 +75,15 @@ class MonitoringServer:
                 if parts == ["api", "jobs"]:
                     return self._json(facade.jobs())
                 if parts == ["api", "metrics"]:
+                    # reference parity: the scheduler's /api/metrics serves
+                    # the Prometheus text exposition when built with the
+                    # prometheus collector (scheduler/src/metrics/
+                    # prometheus.rs:165-180); content-negotiate so JSON
+                    # clients of the rollup surface keep working
+                    if "format=prometheus" in self.path or (
+                        "text/plain" in (self.headers.get("Accept") or "")
+                    ):
+                        return self._text(facade.prometheus_metrics())
                     return self._json(facade.metrics())
                 if len(parts) == 3 and parts[:2] == ["api", "job"]:
                     job = facade.find_job(parts[2])
@@ -177,6 +186,74 @@ class MonitoringServer:
         if job._df is None:
             return "digraph physical_plan {}"
         return plan_dot(job._df, execute=False)
+
+    # the reference collector's histogram buckets, verbatim
+    # (scheduler/src/metrics/prometheus.rs:52-70)
+    _EXEC_BUCKETS = (0.5, 1.0, 5.0, 30.0, 60.0)
+    _PLAN_BUCKETS = (1.0, 5.0, 25.0, 100.0, 500.0)
+
+    def prometheus_metrics(self) -> str:
+        """Prometheus text exposition format (text/plain version 0.0.4) —
+        the same seven metric families the reference's
+        PrometheusMetricsCollector registers
+        (``ballista/scheduler/src/metrics/prometheus.rs:30-120``):
+        job_exec_time_seconds / planning_time_ms histograms,
+        job_{submitted,completed,failed,cancelled}_total counters, and the
+        pending_task_queue_size gauge."""
+        jobs = list(getattr(self.ctx, "_jobs", []))
+        statuses = [h.status() for h in jobs]
+        exec_times = [
+            d for h, s in zip(jobs, statuses)
+            if s == "SUCCESSFUL" and (d := h.duration_seconds()) is not None
+        ]
+        plan_times = [h._planning_ms for h in jobs]
+        sc = self.ctx.spark.sparkContext
+        tracker = sc.statusTracker()
+        pending = 0
+        for jid in tracker.getActiveJobsIds():
+            info = tracker.getJobInfo(jid)
+            for sid in info.stageIds if info else []:
+                st = tracker.getStageInfo(sid)
+                if st:
+                    pending += max(st.numTasks - st.numCompletedTasks, 0)
+
+        def histogram(name: str, help_: str, buckets, values) -> list[str]:
+            lines = [f"# HELP {name} {help_}", f"# TYPE {name} histogram"]
+            for b in buckets:
+                n = sum(1 for v in values if v <= b)
+                lines.append(f'{name}_bucket{{le="{b}"}} {n}')
+            lines.append(f'{name}_bucket{{le="+Inf"}} {len(values)}')
+            lines.append(f"{name}_sum {sum(values)}")
+            lines.append(f"{name}_count {len(values)}")
+            return lines
+
+        def counter(name: str, help_: str, v: int) -> list[str]:
+            return [f"# HELP {name} {help_}", f"# TYPE {name} counter",
+                    f"{name} {v}"]
+
+        out: list[str] = []
+        out += histogram(
+            "job_exec_time_seconds",
+            "Histogram of successful job execution time in seconds",
+            self._EXEC_BUCKETS, exec_times,
+        )
+        out += histogram(
+            "planning_time_ms",
+            "Histogram of job planning time in milliseconds",
+            self._PLAN_BUCKETS, plan_times,
+        )
+        out += counter("job_submitted_total", "Counter of submitted jobs",
+                       len(jobs))
+        out += counter("job_completed_total", "Counter of completed jobs",
+                       statuses.count("SUCCESSFUL"))
+        out += counter("job_failed_total", "Counter of failed jobs",
+                       statuses.count("FAILED"))
+        out += counter("job_cancelled_total", "Counter of cancelled jobs",
+                       statuses.count("CANCELLED"))
+        out += ["# HELP pending_task_queue_size Number of pending tasks",
+                "# TYPE pending_task_queue_size gauge",
+                f"pending_task_queue_size {pending}"]
+        return "\n".join(out) + "\n"
 
     def metrics(self) -> dict:
         """Reference ``get_scheduler_metrics`` — per-job operator rollups

@@ -140,7 +140,7 @@ def test_async_job_cancel(ctx):
     h.cancel()
     with pytest.raises(Exception):
         h.result(timeout=120)
-    assert h.status() == "FAILED"
+    assert h.status() == "CANCELLED"
 
 
 def test_explain_modes(ctx):
@@ -543,3 +543,32 @@ def test_load_table_partitioned_layout_converts_ns(ctx, tmp_path):
     assert back.count() == 4
     # without the recursive probe the ns column stays a raw bigint
     assert dict(back.dtypes)["ts"] == "timestamp_ntz"
+
+
+def test_create_catalog_and_schema_ddl(ctx):
+    """CREATE CATALOG / CREATE SCHEMA round-trip (reference:
+    CreateCatalogNode / CreateCatalogSchemaNode,
+    datafusion/proto/datafusion.proto:186-203).  Spark's session catalog
+    is single-level: a CATALOG maps to a database, `catalog.schema`
+    flattens to `catalog__schema`, single-part CREATE SCHEMA is native."""
+    spark = ctx.spark
+    for db in ("cat4", "cat4__sch", "plainschema4"):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    try:
+        assert ctx.sql("CREATE CATALOG cat4").collect()[0].ok == 1
+        # idempotent with IF NOT EXISTS, error without
+        ctx.sql("CREATE CATALOG IF NOT EXISTS cat4").collect()
+        with pytest.raises(Exception):
+            ctx.sql("CREATE CATALOG cat4").collect()
+        ctx.sql("CREATE SCHEMA IF NOT EXISTS cat4.sch").collect()
+        ctx.sql("CREATE SCHEMA plainschema4").collect()  # native passthrough
+        dbs = {r.namespace for r in spark.sql("SHOW DATABASES").collect()}
+        assert {"cat4", "cat4__sch", "plainschema4"} <= dbs
+        # tables resolve inside the created namespace
+        spark.sql(
+            "CREATE TABLE cat4__sch.t AS SELECT 42 AS answer"
+        )
+        assert ctx.sql("SELECT answer FROM cat4__sch.t").collect()[0][0] == 42
+    finally:
+        for db in ("cat4", "cat4__sch", "plainschema4"):
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

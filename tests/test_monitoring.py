@@ -97,3 +97,42 @@ def test_patch_cancel_finished_job_is_safe(served):
     code, body = _patch(f"{srv.url}/api/job/{h.job_id}")
     assert code == 200
     assert json.loads(body)["status"] == "SUCCESSFUL"
+
+
+def test_api_metrics_prometheus_exposition(served):
+    """?format=prometheus (and Accept: text/plain) serves the text
+    exposition with the reference collector's seven metric families
+    (scheduler/src/metrics/prometheus.rs:30-120): two histograms, four
+    job counters, one gauge — scrape-parseable lines."""
+    import re
+
+    ctx, srv = served
+    h = ctx.submit("SELECT COUNT(*) AS n FROM mon_nation")
+    h.result(timeout=60)
+    code, body = _get(f"{srv.url}/api/metrics?format=prometheus")
+    assert code == 200
+    for fam, typ in [
+        ("job_exec_time_seconds", "histogram"),
+        ("planning_time_ms", "histogram"),
+        ("job_submitted_total", "counter"),
+        ("job_completed_total", "counter"),
+        ("job_failed_total", "counter"),
+        ("job_cancelled_total", "counter"),
+        ("pending_task_queue_size", "gauge"),
+    ]:
+        assert f"# TYPE {fam} {typ}" in body, fam
+    # counters reflect the job registry
+    submitted = int(re.search(r"^job_submitted_total (\d+)", body, re.M)[1])
+    completed = int(re.search(r"^job_completed_total (\d+)", body, re.M)[1])
+    assert submitted >= 1 and 1 <= completed <= submitted
+    # histogram buckets are cumulative and end at +Inf == count
+    buckets = re.findall(
+        r'^job_exec_time_seconds_bucket\{le="([^"]+)"\} (\d+)$', body, re.M
+    )
+    counts = [int(n) for _, n in buckets]
+    assert buckets[-1][0] == "+Inf"
+    assert counts == sorted(counts)
+    count = int(re.search(r"^job_exec_time_seconds_count (\d+)", body, re.M)[1])
+    assert counts[-1] == count == completed
+    # a successful 1-row job lands in a finite-le bucket
+    assert counts[0] >= 0 and count >= 1
