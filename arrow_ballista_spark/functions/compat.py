@@ -69,6 +69,27 @@ def date_bin(stride_seconds: int, ts, origin: str = "1970-01-01") -> Column:
     )
 
 
+def regexp_match(s, p: str) -> Column:
+    """DataFusion/Postgres ``regexp_match``: for the FIRST match, the
+    array of capture-group texts when the pattern has groups, else
+    ``[whole match]``; NULL when unmatched (DataFusion
+    ``regexpmatch.rs``).  The group count comes from compiling the
+    (literal) pattern driver-side; Java-only regex constructs Python
+    can't compile fall back to counting unescaped non-``(?:`` groups."""
+    import re as _re
+
+    try:
+        n_groups = _re.compile(p).groups
+    except _re.error:
+        n_groups = len(_re.findall(r"(?<!\\)\((?!\?)", p))
+    parts = (
+        [F.regexp_extract(_col(s), p, i) for i in range(1, n_groups + 1)]
+        if n_groups
+        else [F.regexp_extract(_col(s), p, 0)]
+    )
+    return F.when(_col(s).rlike(p), F.array(*parts))
+
+
 def digest(c, algorithm) -> Column:
     """DF digest(expr, algo) — md5/sha224/sha256/sha384/sha512.
 
@@ -144,13 +165,7 @@ SCALAR_FUNCTIONS: dict[str, object] = {
     "trim": F.trim,
     "upper": F.upper,
     # regex (proto 477, 510)
-    # DataFusion regexp_match = capture groups of the FIRST match (whole
-    # match when the pattern has no groups), NULL when unmatched — not
-    # every occurrence in the string
-    "regexp_match": lambda s, p: F.when(
-        _col(s).rlike(p),
-        F.array(F.regexp_extract(_col(s), p, 0)),
-    ),
+    "regexp_match": regexp_match,
     "regexp_replace": lambda s, p, r: F.regexp_replace(_col(s), p, r),
     # crypto / misc (proto 495, 515-520, 504)
     "digest": digest,

@@ -1365,7 +1365,15 @@ SELECT v AS doc_id, r AS rank FROM r3
         "(edges x ranks on src, SUM per dst), ranks never collect.  "
         "Value-exact: iterations unrolled into a CTE chain, per-"
         "iteration ranks rounded at 1e-9 with the portable floor macro "
-        "(operators/pagerank.py)."
+        "(operators/pagerank.py).  RECALL CAVEAT: the Spark edge set "
+        "comes from MinHash-LSH banding (r=4, b=32: a pair at Jaccard "
+        "exactly 0.5 collides with prob ~1-(1-0.5^4)^32 ~ 0.87) while "
+        "the oracle computes exact all-pairs Jaccard, so parity relies "
+        "on fixture near-dup pairs sitting comfortably ABOVE the 0.5 "
+        "threshold (at J=0.7, miss prob < 4e-4); a borderline pair "
+        "missed by every band would flip many rank values at once.  "
+        "tests/test_extensions.py pins the candidate set against an "
+        "exact gram join at test SF."
     ),
 )
 def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1435,7 +1443,10 @@ FROM (
         "the rank ORDERING engine-identical, so the composed oracle is "
         "value-exact.  Scale: each stage is the already-audited plan "
         "(banded LSH, log-diameter CC, two-shuffle PR rounds, per-cluster "
-        "window bounded by clique size)."
+        "window bounded by clique size).  Same LSH-vs-exact-Jaccard "
+        "recall caveat as ext_graph_pagerank: parity needs fixture pairs "
+        "comfortably above the 0.5 threshold (see that query's doc and "
+        "the exact-join candidate pin in tests/test_extensions.py)."
     ),
 )
 def ext_dedup_canonical_central(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -539,29 +539,31 @@ def agg_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_minmax_by",
     """
 SELECT o_orderstatus,
-       arg_max(o_orderkey,
-               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-                 * 10000000000 + o_orderkey) AS priciest_order,
-       arg_min(o_orderkey,
-               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-                 * 10000000000 + o_orderkey) AS cheapest_order,
+       first(o_orderkey ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+                                 o_orderkey DESC) AS priciest_order,
+       first(o_orderkey ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ASC,
+                                 o_orderkey ASC) AS cheapest_order,
        (floor(abs(MAX(o_totalprice)) * 100 + 0.5) / 100e0 * (CASE WHEN (MAX(o_totalprice)) < 0 THEN -1 ELSE 1 END)) AS max_price,
        (floor(abs(MIN(o_totalprice)) * 100 + 0.5) / 100e0 * (CASE WHEN (MIN(o_totalprice)) < 0 THEN -1 ELSE 1 END)) AS min_price
 FROM orders
 GROUP BY o_orderstatus
 """,
     doc="MAX_BY/MIN_BY selector aggregates.  The selector metric is a "
-        "composite BIGINT (price-cents * 1e10 + orderkey) so price TIES "
-        "break deterministically by orderkey on both engines — bare "
-        "arg_max/max_by leaves ties engine-arbitrary and the value hash "
-        "would flip whenever two orders share a group maximum",
+        "(price-cents, orderkey) STRUCT, compared lexicographically, so "
+        "price TIES break deterministically by orderkey on both engines "
+        "at ANY key range — bare arg_max/max_by leaves ties "
+        "engine-arbitrary, and the earlier arithmetic composite "
+        "(cents * 1e10 + key) corrupted the price ordering once "
+        "orderkey >= 1e10 (reachable at large TPC-H SFs / key-offset "
+        "replicated fixtures)",
 )
 def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    metric = (
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-        * F.lit(10_000_000_000).cast("long")
-        + F.col("o_orderkey")
+    metric = F.struct(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.col("o_orderkey").alias("k"),
     )
     return o.groupBy("o_orderstatus").agg(
         F.max_by("o_orderkey", metric).alias("priciest_order"),

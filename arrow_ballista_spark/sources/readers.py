@@ -22,9 +22,6 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-# reference default: schema_infer_max_records (python/src/context.rs:95-100)
-SCHEMA_INFER_MAX_RECORDS = 1000
-
 
 def read_parquet(spark: SparkSession, path: str, **opts: Any) -> DataFrame:
     return spark.read.options(**_str_opts(opts)).parquet(path)
@@ -40,26 +37,37 @@ def read_csv(
 ) -> DataFrame:
     """CSV with reference defaults: header row on, comma delimiter.
 
-    Schema inference when no schema is given: the schema is inferred
-    driver-side from the first ``SCHEMA_INFER_MAX_RECORDS`` lines (the
-    reference's ``schema_infer_max_records`` default,
-    ``python/src/context.rs:95-100``) — Spark's own ``inferSchema``
-    would read the ENTIRE dataset an extra time (``samplingRatio``
-    samples rows but still scans every file), which at the 100 TB target
-    is a full redundant pass."""
+    Schema inference when no schema is given: run the CSV reader's own
+    ``inferSchema`` over the FIRST file of the dataset only (mirrors the
+    reference's bounded ``schema_infer_max_records`` intent,
+    ``python/src/context.rs:95-100``) — Spark's ``inferSchema`` over the
+    full path re-reads the ENTIRE dataset (``samplingRatio`` samples rows
+    but still opens every file), which at the 100 TB target is a full
+    redundant pass; one shard bounds the extra scan to one file.
+
+    Going through the csv reader (not ``spark.read.text`` + ``.rdd``)
+    keeps three semantics correct: it works under Spark Connect (no RDD
+    API), it respects per-file header rows (a text-based sample swallows
+    later files' header lines as data, silently downgrading numeric
+    columns to string), and it parses quoted multiline records instead
+    of splitting them mid-record."""
     r = spark.read.option("header", header).option("sep", sep)
     if schema is not None:
         r = r.schema(schema)
     else:
+        files = sorted(
+            spark.read.option("header", header)
+            .option("sep", sep)
+            .options(**_str_opts(opts))
+            .csv(path)
+            .inputFiles()
+        )
         sample = (
             spark.read.option("header", header)
             .option("sep", sep)
             .option("inferSchema", True)
             .options(**_str_opts(opts))
-            .csv(
-                spark.read.text(path).limit(SCHEMA_INFER_MAX_RECORDS)
-                .rdd.map(lambda row: row[0])
-            )
+            .csv(files[0] if files else path)
         )
         r = r.schema(sample.schema)
     return r.options(**_str_opts(opts)).csv(path)

@@ -572,3 +572,31 @@ def test_create_catalog_and_schema_ddl(ctx):
     finally:
         for db in ("cat4", "cat4__sch", "plainschema4"):
             spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_csv_inference_multifile_headers_and_multiline(spark, tmp_path):
+    """Inference must go through the csv reader itself: a text-line sample
+    (a) swallows later files' header rows as data, downgrading numeric
+    columns to string, and (b) splits quoted multiline records.  The
+    reader options (here multiLine — off by default: multiline files are
+    not splittable at scale) must reach the inference sample too."""
+    d = tmp_path / "csvdir"
+    d.mkdir()
+    # the multiline record sits in the FIRST file, the one inference reads
+    (d / "part-0.csv").write_text('n,s\n1,"line one\nline two"\n2,plain\n')
+    (d / "part-1.csv").write_text("n,s\n3,other\n4,more\n")
+    df = readers.read_csv(spark, str(d), multiLine=True)
+    assert dict(df.dtypes)["n"] == "int", df.dtypes
+    rows = {r.n: r.s for r in df.collect()}
+    assert rows[1] == "line one\nline two"
+    assert set(rows) == {1, 2, 3, 4}
+
+    # default options: per-file headers must not land as data rows (the
+    # old text-line sample downgraded n to string past file 0)
+    d2 = tmp_path / "csvdir2"
+    d2.mkdir()
+    for i in range(3):
+        (d2 / f"part-{i}.csv").write_text(f"n,s\n{i},x{i}\n")
+    df2 = readers.read_csv(spark, str(d2))
+    assert dict(df2.dtypes)["n"] == "int", df2.dtypes
+    assert {r.n for r in df2.collect()} == {0, 1, 2}

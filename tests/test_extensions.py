@@ -247,3 +247,47 @@ def test_release_caches_frees_operator_internal_persists(spark):
     del pairs
     gc.collect()
     assert release_caches() >= 1
+
+
+def test_lsh_candidates_cover_exact_jaccard_pairs(spark):
+    """LSH recall pin for the graph queries (ext_graph_pagerank /
+    ext_dedup_canonical_central): their DuckDB oracles compute EXACT
+    all-pairs 3-gram Jaccard while the Spark side edges come from r=4/
+    b=32 banding — a borderline pair (J ~ 0.5, band miss prob ~13%)
+    dropped from one band would flip many PageRank values at once.  This
+    pins that on the shipped fixtures every exact pair >= 0.5 IS found by
+    the banded pipeline (i.e. fixture pairs sit comfortably above the
+    threshold), so the oracle parity is structural at test SF, not luck."""
+    from pyspark.sql import functions as F
+
+    from arrow_ballista_spark.operators import dedup
+
+    docs = load_table(spark, SF_DIR, "documents")
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_dedup_pairs(
+            docs, "text", "doc_id", threshold=0.5
+        ).select("id_a", "id_b").collect()
+    }
+    grams = docs.select(
+        F.col("doc_id"), dedup.word_shingles("text", 3).alias("g")
+    )
+    a = grams.selectExpr("doc_id AS id_a", "g AS ga")
+    b = grams.selectExpr("doc_id AS id_b", "g AS gb")
+    # exact all-pairs is the quadratic ORACLE path — test-SF only
+    exact_df = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "j",
+            F.size(F.array_intersect("ga", "gb"))
+            / F.size(F.array_union("ga", "gb")),
+        )
+        .where(F.col("j") >= 0.5)
+    )
+    exact = {(r.id_a, r.id_b) for r in exact_df.select("id_a", "id_b").collect()}
+    assert exact, "fixture lost its planted near-dup pairs"
+    missed = exact - lsh
+    assert not missed, f"LSH missed exact pairs (borderline fixtures): {missed}"
+    # and no false positives survive the exact-Jaccard verify stage
+    assert lsh <= exact

@@ -107,3 +107,29 @@ def test_agg_window_maps_are_spark_native(spark):
         WINDOW_FUNCTIONS.values()
     ):
         assert hasattr(F, spark_name), spark_name
+
+
+def test_regexp_match_capture_groups(spark):
+    """DataFusion/Postgres regexp_match returns the capture-group texts
+    of the FIRST match when the pattern has groups, [whole match] when it
+    has none, and NULL when unmatched — the grouped case regressed to
+    [group 0] in the first shim."""
+    from pyspark.sql import functions as F
+
+    from arrow_ballista_spark.functions.compat import regexp_match
+
+    df = spark.createDataFrame(
+        [("foobarbequebaz apple12",)], "s string"
+    )
+    row = df.select(
+        regexp_match("s", r"(bar)(beque)").alias("grouped"),
+        regexp_match("s", r"bar").alias("plain"),
+        regexp_match("s", r"([a-z]+)(\d+)").alias("worded"),
+        regexp_match("s", r"(?:foo)(bar)").alias("noncapture"),
+        regexp_match("s", r"nomatch").alias("miss"),
+    ).collect()[0]
+    assert row.grouped == ["bar", "beque"]
+    assert row.plain == ["bar"]
+    assert row.worded == ["apple", "12"]
+    assert row.noncapture == ["bar"]  # (?:...) is not a capture group
+    assert row.miss is None
