@@ -77,6 +77,153 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
     )
 
 
+def token_windows(text_col: str, w: int = 8) -> Column:
+    """All distinct ``w``-token windows (stride 1) of a text column, as
+    space-joined strings — the fingerprint unit of exact-substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": training corpora are full of EXACT repeated spans — license
+    boilerplate, templated pages — that near-dup Jaccard at the document
+    level misses because the surrounding text differs).  Documents with
+    fewer than ``w`` tokens contribute their whole text as one window.
+    Same let-binding idiom and ``' +'`` tokenizer as
+    :func:`word_shingles` so engines and oracles agree."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(array(split({text_col}, ' +')), t -> "
+            f"CASE WHEN size(t) < {w} THEN array(concat_ws(' ', t)) ELSE "
+            f"transform(sequence(1, size(t) - {w - 1}),"
+            f" i -> concat_ws(' ', slice(t, i, {w}))) END)[0]"
+        )
+    )
+
+
+def substring_duplicate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    w: int = 8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing at least one EXACT ``w``-token window:
+    ``(id_a, id_b, shared_windows)`` with ``id_a < id_b`` — the
+    exact-substring dedup modality (fourth next to MinHash-Jaccard,
+    SimHash, and embedding-cosine; see :func:`token_windows`).
+
+    Scale shape: window extraction is map-only (O(tokens) rows per doc,
+    stride 1); the single shuffle is the self-join keyed by the window
+    string, so bucket sizes — not the corpus square — bound the join,
+    same layout as the LSH band join.  ``max_df`` drops windows occurring
+    in more than that many documents BEFORE the pair join: boilerplate
+    windows (license headers, nav chrome) are exactly the hot keys that
+    would otherwise quadratically blow up their buckets, and pairs they
+    generate are rarely wanted (two docs sharing ONLY boilerplate are not
+    duplicates).  AQE skew-join splitting covers the residual skew.  At
+    100 TB, key by ``xxhash64(window)`` instead of the raw string to
+    shrink shuffle bytes ~6x (collisions only add a candidate pair at
+    ~1e-19/pair); the raw-string key here keeps the operator value-exact
+    against the DuckDB oracle."""
+    wins = df.select(
+        F.col(id_col), F.explode(token_windows(text_col, w)).alias("win")
+    )
+    if max_df is not None:
+        keep = (
+            wins.groupBy("win")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("win")
+        )
+        wins = wins.join(keep, "win", "left_semi")
+    # both pair sides read the exploded windows — persist so the
+    # extraction map stage runs once (released via release_caches())
+    wins = tracked_persist(wins)
+    a = wins.select(F.col(id_col).alias("id_a"), "win")
+    b = wins.select(F.col(id_col).alias("id_b"), F.col("win").alias("win_b"))
+    return (
+        a.join(b, (a.win == b.win_b) & (a.id_a < b.id_b))
+        .groupBy("id_a", "id_b")
+        # windows are distinct per doc, so count(*) == shared windows
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    w: int = 8,
+) -> DataFrame:
+    """Repeated-span REMOVAL (the transform in Lee et al. 2022, not just
+    detection): a token in document ``d`` is dropped when it is covered
+    by a ``w``-token window whose exact text also appears in a document
+    with a SMALLER id — the corpus keeps exactly the first occurrence of
+    every duplicated span and strips the rest.  Returns
+    ``(id_col, clean_text, n_tokens_removed)``.
+
+    Deterministic by construction (owner = min doc id per window), so the
+    whole transform is value-exact against a SQL oracle.  A short doc
+    that is a verbatim copy of an earlier one loses ALL its tokens
+    (clean_text = '') — that is the intended outcome for exact dups.
+
+    Scale shape: window extraction and token explode are map-only and
+    linear in corpus tokens; the shuffles are (1) the per-window
+    min-owner aggregation, (2) the window→owner join, (3) the per-doc
+    rebuild aggregation — all keyed, none quadratic.  Boilerplate hot
+    windows skew only the owner AGGREGATION (map-side combined), not a
+    pair join, so this is safe where :func:`substring_duplicate_pairs`
+    needs ``max_df``."""
+    toks = df.select(
+        F.col(id_col), F.expr(f"split({text_col}, ' +')").alias("t")
+    )
+    # (doc, window-start pos, window text) — stride 1, pos 0-based;
+    # docs shorter than w tokens form one whole-text window at pos 0
+    wins = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(t) < {w} THEN array(concat_ws(' ', t)) "
+                f"ELSE transform(sequence(1, size(t) - {w - 1}),"
+                f" i -> concat_ws(' ', slice(t, i, {w}))) END"
+            )
+        ).alias("pos", "win"),
+    )
+    owners = wins.groupBy("win").agg(F.min(id_col).alias("_owner"))
+    dup_spans = (
+        wins.join(owners, "win")
+        .where(F.col(id_col) > F.col("_owner"))
+        .select(
+            F.col(id_col),
+            # the span covers tokens [pos, pos + w) (or the whole short
+            # doc, whose single window always has pos 0 and size(t) toks)
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(w - 1))
+            ).alias("tokpos"),
+        )
+        .distinct()
+    )
+    tok_rows = toks.select(
+        F.col(id_col), F.posexplode("t").alias("tokpos", "tok")
+    )
+    kept = tok_rows.join(dup_spans, [id_col, "tokpos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.expr(
+            "concat_ws(' ', transform(array_sort("
+            "collect_list(struct(tokpos, tok))), s -> s.tok))"
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    n_tok = toks.select(F.col(id_col), F.size("t").alias("_total"))
+    return (
+        n_tok.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("_total") - F.coalesce("_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )
+
+
 def _perm_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [

@@ -95,9 +95,9 @@ _HEAD_ROTATION = [
     "ext_dedup_containment", "ext_split_train_val_test",
     "ext_pack_sequences", "ext_mix_rebalance", "ext_sample_weighted",
     "ext_quality_percentile_filter",
-    # -- round-4 changed-operator canaries --
+    # -- round-4 changed/new-operator canaries --
     "ext_dedup_clusters", "ext_dedup_canonical", "ext_embed_kmeans",
-    "ext_shard_pack",
+    "ext_shard_pack", "ext_dedup_substring", "ext_dedup_span_removal",
     # -- core canaries (regression visibility inside the window) --
     "tpch_q1_decimal", "tpch_q1", "tpch_q8", "tpch_q18", "tpch_q21",
     "ext_stream_tumbling_counts", "ext_pipeline_corpus_build",

@@ -1897,3 +1897,87 @@ def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("containment") >= 0.8)
         .select("id_a", "id_b", cround(F.col("containment"), 4).alias("containment"))
     )
+
+
+@query(
+    "ext_dedup_substring",
+    """
+WITH wins AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(generate_series(1, len(toks) - 7),
+                     i -> array_to_string(toks[i:i+7], ' ')) END)) AS win
+  FROM (SELECT doc_id, string_split_regex(text, ' +') AS toks
+        FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_windows
+FROM wins a JOIN wins b ON a.win = b.win AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+    doc=(
+        "EXACT-substring dedup (Lee et al. 2022): document pairs sharing "
+        "at least one exact 8-token window — catches verbatim repeated "
+        "spans (license boilerplate, templated pages) that document-"
+        "level Jaccard misses when the surrounding text differs.  Fourth "
+        "dedup modality next to MinHash-Jaccard / SimHash / embedding-"
+        "cosine.  Map-only window extraction (stride 1), ONE shuffle "
+        "keyed by the window string; max_df drops boilerplate hot keys "
+        "before the pair join at scale "
+        "(operators/dedup.py:substring_duplicate_pairs)."
+    ),
+)
+def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.substring_duplicate_pairs(docs, "text", "doc_id", w=8)
+
+
+@query(
+    "ext_dedup_span_removal",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents
+), wins AS (
+  SELECT doc_id, i - 1 AS pos,
+         CASE WHEN len(t) < 8 THEN array_to_string(t, ' ')
+              ELSE array_to_string(t[i:i+7], ' ') END AS win
+  FROM toks, unnest(generate_series(1,
+       CASE WHEN len(t) < 8 THEN 1 ELSE len(t) - 7 END)) AS g(i)
+), owners AS (
+  SELECT win, MIN(doc_id) AS owner FROM wins GROUP BY win
+), dup_spans AS (
+  SELECT DISTINCT w.doc_id, p.tokpos
+  FROM wins w JOIN owners o USING (win),
+       unnest(generate_series(w.pos, w.pos + 7)) AS p(tokpos)
+  WHERE w.doc_id > o.owner
+), tok_rows AS (
+  SELECT doc_id, i - 1 AS tokpos, t[i] AS tok
+  FROM toks, unnest(generate_series(1, len(t))) AS g(i)
+), kept AS (
+  SELECT tr.doc_id, tr.tokpos, tr.tok FROM tok_rows tr
+  ANTI JOIN dup_spans d ON tr.doc_id = d.doc_id AND tr.tokpos = d.tokpos
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tokpos) AS clean_text,
+         COUNT(*) AS kept FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(len(t.t) - COALESCE(r.kept, 0) AS BIGINT) AS n_tokens_removed
+FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+""",
+    doc=(
+        "Repeated-span REMOVAL (the Lee et al. 2022 transform, not just "
+        "detection): each token covered by an exact 8-token window whose "
+        "text appears in a smaller-id document is stripped — the corpus "
+        "keeps exactly the first occurrence of every duplicated span.  "
+        "Deterministic (owner = min doc id), so the full rewrite is "
+        "value-exact incl. the reconstructed text.  Map-only extraction, "
+        "keyed aggregations only — no pair join at all, so boilerplate "
+        "hot windows cannot blow up a bucket "
+        "(operators/dedup.py:remove_duplicate_spans)."
+    ),
+)
+def ext_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_spans(docs, "text", "doc_id", w=8)

@@ -52,6 +52,7 @@ BENCH_QUERIES = [f"tpch_q{i}" for i in range(1, 23)] + [
     # headline extension operators (training-data pipeline)
     "ext_dedup_minhash_lsh",
     "ext_dedup_exact",
+    "ext_dedup_substring",
     "ext_dedup_clusters",
     "ext_sim_topk_bruteforce",
     "ext_text_quality_langid",
@@ -95,6 +96,10 @@ def main() -> None:
     spark.sql("SELECT COUNT(*) FROM lineitem").collect()
 
     names = [n for n in BENCH_QUERIES if n in reg]
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if only:  # comma-separated subset, e.g. the 100x headline runs
+        keep = {s.strip() for s in only.split(",")}
+        names = [n for n in names if n in keep]
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "1"))
 

@@ -291,3 +291,35 @@ def test_lsh_candidates_cover_exact_jaccard_pairs(spark):
     assert not missed, f"LSH missed exact pairs (borderline fixtures): {missed}"
     # and no false positives survive the exact-Jaccard verify stage
     assert lsh <= exact
+
+
+def test_substring_dedup_max_df_caps_boilerplate(spark):
+    """substring_duplicate_pairs: pairs require a shared exact w-token
+    window; max_df drops windows occurring in more than max_df docs
+    BEFORE the pair join — the boilerplate hot-key guard that keeps the
+    window-keyed self-join bucket-bounded at corpus scale."""
+    from arrow_ballista_spark.operators import dedup
+
+    boiler = "all rights reserved by the license"
+    rows = [(i, f"{boiler} doc body number {i}") for i in range(5)]
+    rows += [(10, "a very unique shared span here x"),
+             (11, "a very unique shared span here y"),
+             (12, "nothing in common with anything else at all")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = dedup.substring_duplicate_pairs(docs, "text", "doc_id", w=3)
+    got = {(r.id_a, r.id_b): r.shared_windows for r in full.collect()}
+    # the 5 boilerplate docs pair all-ways; 10-11 share their span
+    assert (10, 11) in got
+    assert sum(1 for (a, b) in got if a < 5 and b < 5) == 10
+    assert not any(12 in p for p in got)
+    # shared_windows counts DISTINCT shared windows: "a very unique",
+    # "very unique shared", "unique shared span", "shared span here"
+    assert got[(10, 11)] == 4
+
+    capped = dedup.substring_duplicate_pairs(
+        docs, "text", "doc_id", w=3, max_df=2
+    )
+    got_capped = {(r.id_a, r.id_b) for r in capped.select("id_a", "id_b").collect()}
+    assert (10, 11) in got_capped
+    assert not any(a < 5 and b < 5 for (a, b) in got_capped)
