@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from arrow_ballista_spark.catalog import load_table
-from arrow_ballista_spark.operators import dedup, multimodal, similarity, text
+from arrow_ballista_spark.operators import dedup, layout, multimodal, similarity, text
 from arrow_ballista_spark.queries import R, cround, query
 from arrow_ballista_spark.streaming import pipeline as streaming
 
@@ -1981,3 +1981,25 @@ FROM toks t LEFT JOIN rebuilt r USING (doc_id)
 def ext_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.remove_duplicate_spans(docs, "text", "doc_id", w=8)
+
+
+@query(
+    "ext_zorder_key",
+    layout.zorder_oracle_sql("lineitem", ["l_orderkey", "l_partkey"]),
+    doc=(
+        "Z-order (Morton) clustering key over (l_orderkey, l_partkey): "
+        "min-max scale each column to 16 bits with pure int64 arithmetic "
+        "(one global min/max agg = a 1-row broadcast), then bit-interleave "
+        "— the layout key behind OPTIMIZE ZORDER-style multi-dimensional "
+        "file skipping.  The interleave expression is generated from ONE "
+        "Python helper for both engines, so the key is value-exact "
+        "(operators/layout.py; zorder_write adds the range-partitioned "
+        "sorted rewrite whose per-file min/max tiles bound every indexed "
+        "dimension)."
+    ),
+)
+def ext_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return layout.zorder_key(
+        li.select("l_orderkey", "l_partkey"), ["l_orderkey", "l_partkey"]
+    )

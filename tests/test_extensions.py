@@ -323,3 +323,66 @@ def test_substring_dedup_max_df_caps_boilerplate(spark):
     got_capped = {(r.id_a, r.id_b) for r in capped.select("id_a", "id_b").collect()}
     assert (10, 11) in got_capped
     assert not any(a < 5 and b < 5 for (a, b) in got_capped)
+
+
+def test_zorder_layout_bounds_every_dimension(spark, tmp_path):
+    """zorder_write vs a single-column sort: with a linear (sort-by-x)
+    layout each file spans the FULL y range, so a y-only predicate
+    matches every file's min/max stats; the Z-order layout tiles both
+    dimensions, so the same predicate prunes most files.  This is the
+    file-skipping property the Morton key exists for — asserted on the
+    actual parquet footer stats of the written files."""
+    import pyarrow.parquet as papq
+
+    from arrow_ballista_spark.operators import layout
+
+    n, n_files = 4096, 16
+    df = spark.range(n).selectExpr(
+        "id AS x", "pmod(xxhash64(id), 4096) AS y"
+    )
+
+    lin_dir, z_dir = str(tmp_path / "linear"), str(tmp_path / "zorder")
+    (
+        df.repartitionByRange(n_files, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(lin_dir)
+    )
+    layout.zorder_write(df, ["x", "y"], z_dir, n_files=n_files, bits=16)
+
+    def file_ranges(d):
+        out = []
+        ds = papq.ParquetDataset(d)
+        for frag in ds.fragments:
+            md = frag.metadata
+            mins = {"x": None, "y": None}
+            maxs = {"x": None, "y": None}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if name in mins and col.statistics is not None:
+                        s = col.statistics
+                        mins[name] = s.min if mins[name] is None else min(mins[name], s.min)
+                        maxs[name] = s.max if maxs[name] is None else max(maxs[name], s.max)
+            out.append((mins, maxs))
+        return out
+
+    lo, hi = 1000, 1255  # a 1/16-wide y-only predicate band
+    def matched(ranges):
+        return sum(
+            1 for mn, mx in ranges if mn["y"] <= hi and mx["y"] >= lo
+        )
+
+    lin = file_ranges(lin_dir)
+    zo = file_ranges(z_dir)
+    assert len(lin) == len(zo) == n_files
+    lin_hit, z_hit = matched(lin), matched(zo)
+    # linear layout: y is uniform per x-stripe -> every file overlaps
+    assert lin_hit == n_files
+    # zorder: y is tiled -> most files pruned by footer stats alone
+    assert z_hit <= n_files // 2, (lin_hit, z_hit)
+    # and each zorder file bounds y strictly tighter than the full range
+    full = 4095
+    widths = [mx["y"] - mn["y"] for mn, mx in zo]
+    assert sorted(widths)[len(widths) // 2] < full // 2
