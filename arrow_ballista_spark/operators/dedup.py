@@ -224,6 +224,123 @@ def remove_duplicate_spans(
     )
 
 
+def editdist_duplicate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 2,
+    q: int = 4,
+    prefix_len: int = 40,
+) -> DataFrame:
+    """Fuzzy short-string dedup: pairs whose first ``prefix_len`` chars
+    are within Levenshtein ``max_dist`` — ``(id_a, id_b, dist)``.  The
+    modality for near-identical short fields (titles, product names,
+    normalized URLs) where token-set Jaccard is too coarse.
+
+    EXACT result via lossless ED-Join prefix filtering (Xiao, Wang &
+    Lin, VLDB 2008): two strings within edit distance ``d`` each miss at
+    most ``d*q`` of the other's ``q``-grams, so taking every string's
+    ``d*q + 1`` GLOBALLY RAREST grams (ordered by corpus document
+    frequency) guarantees at least one of them occurs in any qualifying
+    partner — joining only those probe grams against full gram sets can
+    never drop a true pair, and exact ``levenshtein`` verification on
+    the candidates removes every false one.
+
+    Scale shape: gram extraction is map-only; the document-frequency
+    count and the per-doc rarest-gram ranking are keyed shuffles (the
+    ranking window partitions by doc id — never skewed); the candidate
+    join probes with RARE grams only, so boilerplate hot grams ("the ",
+    "tion") are never join keys and bucket sizes stay bounded without
+    any lossy ``max_df`` cap.  Verification is O(prefix_len^2) per
+    candidate, candidates only.
+
+    The gram-prefix guarantee needs ``len >= (d+1)*q`` (shorter strings
+    may share NO gram with a valid partner — "xx" vs "xy" at q=4), so
+    strings below that bound take a second lossless path: a length-band
+    equi-join (|len diff| <= d is necessary for dist <= d).  A short
+    string's partner is at most ``d`` longer, so the two paths together
+    cover every qualifying pair; overlap dedupes on the full row.
+
+    Oracle caveat: Spark's ``levenshtein`` counts Unicode codepoints,
+    DuckDB's counts BYTES — identical on ASCII (the fixtures), divergent
+    on multi-byte text; pin oracles to ASCII columns."""
+    k = max_dist * q + 1
+    min_long = (max_dist + 1) * q  # shortest length the gram proof covers
+    pre = df.select(
+        F.col(id_col), F.substring(F.col(text_col), 1, prefix_len).alias("_pre")
+    )
+    pre = tracked_persist(pre)
+
+    def verify(cand: DataFrame) -> DataFrame:
+        return (
+            cand.distinct()
+            .withColumn("dist", F.levenshtein("_pre_a", "_pre_b").cast("long"))
+            .where(F.col("dist") <= max_dist)
+            .select("id_a", "id_b", "dist")
+        )
+
+    # --- long path: ED-Join rare-gram prefix filtering ---
+    longs = pre.where(F.length("_pre") >= min_long)
+    grams = longs.select(
+        F.col(id_col),
+        F.col("_pre"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length(_pre) - {q - 1}),"
+                    f" i -> substring(_pre, i, {q}))"
+                )
+            )
+        ).alias("_gram"),
+    )
+    grams = tracked_persist(grams)
+    gdf = grams.groupBy("_gram").agg(F.count(F.lit(1)).alias("_df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("_df", "_gram")
+    probe = (
+        grams.join(gdf, "_gram")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(F.col(id_col).alias("id_a"), F.col("_pre").alias("_pre_a"), "_gram")
+    )
+    index = grams.select(
+        F.col(id_col).alias("id_b"), F.col("_pre").alias("_pre_b"),
+        F.col("_gram").alias("_gram_b"),
+    )
+    # prefix(min-id) ∩ grams(max-id) is guaranteed non-empty for a true
+    # long-long pair, so probing with id_a < id_b alone stays lossless
+    long_pairs = verify(
+        probe.join(
+            index, (probe._gram == index._gram_b) & (probe.id_a < index.id_b)
+        ).select("id_a", "id_b", "_pre_a", "_pre_b")
+    )
+
+    # --- short path: length-band join among strings a short one can
+    # reach (len < min_long + d) ---
+    reach = pre.where(F.length("_pre") < min_long + max_dist)
+    bands = reach.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_pre").alias("_pre_a"),
+        F.explode(
+            F.sequence(
+                F.length("_pre") - max_dist, F.length("_pre") + max_dist
+            )
+        ).alias("_len_key"),
+    )
+    other = reach.select(
+        F.col(id_col).alias("id_b"), F.col("_pre").alias("_pre_b"),
+        F.length("_pre").alias("_len_b"),
+    )
+    short_pairs = verify(
+        bands.join(
+            other, (bands._len_key == other._len_b) & (bands.id_a < other.id_b)
+        ).select("id_a", "id_b", "_pre_a", "_pre_b")
+    )
+    # paths overlap for both-sides-in-[min_long, min_long+d) pairs
+    return long_pairs.union(short_pairs).distinct()
+
+
 def _perm_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [

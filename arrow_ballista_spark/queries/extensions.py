@@ -1984,6 +1984,37 @@ def ext_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_dedup_editdist",
+    """
+WITH p AS (SELECT doc_id, text[:40] AS pre FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
+FROM p a JOIN p b
+  ON a.doc_id < b.doc_id AND abs(len(a.pre) - len(b.pre)) <= 2
+WHERE levenshtein(a.pre, b.pre) <= 2
+""",
+    doc=(
+        "Edit-distance dedup (fifth modality: fuzzy short-field matching "
+        "where token Jaccard is too coarse): document pairs whose 40-char "
+        "prefixes are within Levenshtein 2.  EXACT result via lossless "
+        "ED-Join prefix filtering (Xiao et al., VLDB 2008): probe with "
+        "each string's d*q+1 globally RAREST q-grams only — hot "
+        "boilerplate grams are never join keys, so buckets stay bounded "
+        "with no lossy cap — then exact levenshtein verify on candidates "
+        "(operators/dedup.py:editdist_duplicate_pairs).  Oracle is the "
+        "all-pairs filter (the length-band predicate is implied by "
+        "dist<=2, so semantics are identical); ASCII fixture keeps "
+        "Spark codepoint- vs DuckDB byte-levenshtein agreeing."
+    ),
+)
+def ext_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.editdist_duplicate_pairs(
+        docs, "text", "doc_id", max_dist=2, q=4, prefix_len=40
+    )
+
+
+@query(
     "ext_zorder_key",
     layout.zorder_oracle_sql("lineitem", ["l_orderkey", "l_partkey"]),
     doc=(

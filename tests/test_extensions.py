@@ -386,3 +386,48 @@ def test_zorder_layout_bounds_every_dimension(spark, tmp_path):
     full = 4095
     widths = [mx["y"] - mn["y"] for mn, mx in zo]
     assert sorted(widths)[len(widths) // 2] < full // 2
+
+
+def test_editdist_prefix_filter_is_lossless(spark):
+    """editdist_duplicate_pairs must equal the brute-force all-pairs
+    levenshtein filter — the ED-Join rare-gram probe is a lossless
+    blocking, not an approximation.  Fixture plants d=0/1/2 pairs, a
+    d=3 near-miss, and heavy shared boilerplate grams that the rare-gram
+    ordering must route around."""
+    from pyspark.sql import functions as F
+
+    from arrow_ballista_spark.operators import dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the dog"),
+        (2, "the quick brown fox jumps over the dog"),   # d=0 vs 1
+        (3, "the quick brown fox jumps over the dogs"),  # d=1 vs 1/2
+        (4, "the quick brown fax jumps over a dogs"),    # d=3 vs 3
+        (5, "completely different text with no match"),
+        (6, "the the the the boilerplate gram storm"),
+        (7, "xx"),                                        # shorter than q
+        (8, "xy"),                                        # d=1 vs 7
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in dedup.editdist_duplicate_pairs(
+            docs, "text", "doc_id", max_dist=2, q=4, prefix_len=40
+        ).collect()
+    }
+
+    # brute force over all pairs with Spark's own levenshtein
+    p = docs.select("doc_id", F.substring("text", 1, 40).alias("pre"))
+    a = p.select(F.col("doc_id").alias("ia"), F.col("pre").alias("pa"))
+    b = p.select(F.col("doc_id").alias("ib"), F.col("pre").alias("pb"))
+    brute = {
+        (r.ia, r.ib): r.d
+        for r in a.crossJoin(b)
+        .where(F.col("ia") < F.col("ib"))
+        .withColumn("d", F.levenshtein("pa", "pb").cast("long"))
+        .where(F.col("d") <= 2)
+        .collect()
+    }
+    assert got == brute
+    assert got[(1, 2)] == 0 and got[(1, 3)] == 1 and got[(7, 8)] == 1
+    assert (1, 4) not in got  # d=3 excluded
