@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from arrow_ballista_spark.operators.caching import tracked_persist
+
 
 def hash_bucket(col: Column, digits: int = 4) -> Column:
     """Deterministic uniform sampling key: the first ``digits`` hex chars of
@@ -277,6 +279,89 @@ def decontaminate(
             F.count("*").alias("n_contaminated"),
         )
         .select(id_col, "n_grams", "n_contaminated")
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_target: Column,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023): score every document by how much its hashed word-bigram
+    distribution resembles a TARGET slice of the corpus versus the rest
+    — the standard way to up-sample "looks like high-quality reference
+    text" at pretraining scale without a trained classifier.
+
+    Features are bigram OCCURRENCES (not distinct) hashed into
+    ``n_buckets`` via the portable md5-derived hash, exactly the paper's
+    hashed n-gram model.  Per-bucket add-one-smoothed log-likelihood
+    ratio ``ln(p_target[b] / p_raw[b])``; a document's weight is the sum
+    over its gram occurrences.  Returns ``(id_col, n_grams, weight)``
+    for every document (target docs score too — resampling decides).
+
+    Scale shape: gram explode is map-only; the bucket count is ONE keyed
+    aggregation onto ``n_buckets`` rows (map-side combined, never
+    skewed-by-content since the hash spreads hot grams); the per-doc
+    scoring joins that tiny bucket table BROADCAST, then one groupBy
+    doc.  No corpus self-join, nothing driver-side.  Cross-engine
+    exactness: the smoothed ratio is a quotient of exact integer
+    products (alpha=1), so both engines take ``ln`` of the identical
+    double; the per-doc sum is rounded by the caller's ``cround``.
+    """
+    toks = df.select(
+        F.col(id_col),
+        is_target.alias("_tgt"),
+        F.expr(f"split({text_col}, ' +')").alias("_t"),
+    )
+    grams = toks.select(
+        F.col(id_col),
+        "_tgt",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_t) < 2 THEN array(concat_ws(' ', _t)) "
+                "ELSE transform(sequence(1, size(_t) - 1),"
+                " i -> concat(_t[i - 1], ' ', _t[i])) END"
+            )
+        ).alias("_gram"),
+    ).select(
+        F.col(id_col),
+        "_tgt",
+        F.expr(
+            f"pmod(cast(conv(substring(md5(cast(_gram AS BINARY)), 1, 15),"
+            f" 16, 10) AS BIGINT), {n_buckets})"
+        ).alias("_bucket"),
+    )
+    grams = tracked_persist(grams)
+    counts = grams.groupBy("_bucket").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_ct"),
+        F.sum(F.when(F.col("_tgt"), 0).otherwise(1)).alias("_cr"),
+    )
+    totals = counts.agg(
+        F.sum("_ct").alias("_tt"), F.sum("_cr").alias("_tr")
+    )
+    lr = counts.crossJoin(F.broadcast(totals)).select(
+        "_bucket",
+        # factors cast to double BEFORE multiplying: counts are exact
+        # below 2^53 and the IEEE product/quotient round identically in
+        # both engines, while an int64 product would overflow at corpus
+        # scale (gram totals ~1e10 squared)
+        F.log(
+            ((F.col("_ct") + 1).cast("double")
+             * (F.col("_tr") + n_buckets).cast("double"))
+            / ((F.col("_cr") + 1).cast("double")
+               * (F.col("_tt") + n_buckets).cast("double"))
+        ).alias("_lr"),
+    )
+    return (
+        grams.join(F.broadcast(lr), "_bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("_lr").alias("weight"),
+        )
     )
 
 

@@ -1984,6 +1984,61 @@ def ext_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_sample_dsir",
+    f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS tgt, string_split_regex(text, ' +') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, tgt,
+         {_sql_hex15("g")} % 256 AS bucket
+  FROM (
+    SELECT doc_id, tgt,
+           unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(generate_series(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i + 1]) END) AS g
+    FROM toks)
+), counts AS (
+  SELECT bucket,
+         SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+  FROM grams GROUP BY bucket
+), totals AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM counts),
+lr AS (
+  SELECT bucket,
+         ln((CAST(ct + 1 AS DOUBLE) * CAST(tr + 256 AS DOUBLE))
+            / (CAST(cr + 1 AS DOUBLE) * CAST(tt + 256 AS DOUBLE))) AS lr
+  FROM counts, totals
+)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       {R("SUM(lr)", 4)} AS weight
+FROM grams g JOIN lr USING (bucket)
+GROUP BY g.doc_id
+""",
+    doc=(
+        "DSIR importance weights (Xie et al., NeurIPS 2023): score every "
+        "document by the add-one-smoothed log-likelihood ratio of its "
+        "hashed word-bigram occurrences under the TARGET slice "
+        "(lang='en') vs the rest — the classifier-free way to up-sample "
+        "reference-like text at pretraining scale.  One keyed agg onto "
+        "256 bucket rows, bucket table broadcast back, one per-doc "
+        "groupBy; no self-join, nothing driver-side "
+        "(operators/corpus.py:dsir_weights).  The smoothed ratio is a "
+        "quotient of exact-double products, so both engines take ln of "
+        "the identical value."
+    ),
+)
+def ext_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = corpus.dsir_weights(
+        docs, "text", "doc_id", is_target=F.col("lang") == "en", n_buckets=256
+    )
+    return w.select("doc_id", "n_grams", cround("weight", 4).alias("weight"))
+
+
+@query(
     "ext_dedup_editdist",
     """
 WITH p AS (SELECT doc_id, text[:40] AS pre FROM documents)

@@ -431,3 +431,29 @@ def test_editdist_prefix_filter_is_lossless(spark):
     assert got == brute
     assert got[(1, 2)] == 0 and got[(1, 3)] == 1 and got[(7, 8)] == 1
     assert (1, 4) not in got  # d=3 excluded
+
+
+def test_dsir_weights_rank_target_like_text_higher(spark):
+    """DSIR: documents whose bigrams match the target slice's vocabulary
+    must outscore documents drawn from the off-target vocabulary, and an
+    unlabeled doc written in target vocabulary must outscore one written
+    in raw vocabulary — the importance-resampling contract."""
+    from pyspark.sql import functions as F
+
+    from arrow_ballista_spark.operators import corpus
+
+    tgt_vocab = "alpha beta gamma delta epsilon zeta eta theta"
+    raw_vocab = "one two three four five six seven eight"
+    rows = [(i, tgt_vocab, "en") for i in range(10)]
+    rows += [(100 + i, raw_vocab, "de") for i in range(10)]
+    rows += [(200, tgt_vocab, "xx"), (201, raw_vocab, "xx")]  # unlabeled
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    w = {
+        r.doc_id: r.weight
+        for r in corpus.dsir_weights(
+            docs, "text", "doc_id", is_target=F.col("lang") == "en"
+        ).collect()
+    }
+    assert w[200] > w[201]
+    assert min(w[i] for i in range(10)) > max(w[100 + i] for i in range(10))
