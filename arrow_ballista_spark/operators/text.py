@@ -7,8 +7,10 @@ documents.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from arrow_ballista_spark.operators.caching import tracked_persist
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic.  (Deterministic + cheap; a real pipeline would swap in a
@@ -214,6 +216,78 @@ def bm25_scores(
     )
     term_score = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
     return j.groupBy(id_col).agg(F.sum(term_score).alias("bm25"))
+
+
+def lm_cross_entropy(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_train: Column,
+) -> DataFrame:
+    """CCNet-style language-model quality filter (Wenzek et al., LREC
+    2020): score every document by its per-token cross-entropy under an
+    add-one-smoothed bigram LM trained on a reference slice of the
+    corpus — low cross-entropy ≈ "reads like the reference", the
+    standard perplexity-bucket criterion for web-crawl curation (CCNet
+    uses a 5-gram KenLM; the bigram form keeps the operator exact and
+    engine-portable).
+
+    ``P(w2|w1) = (c2(w1,w2) + 1) / (c1(w1) + V)`` with ``V`` the
+    reference vocabulary size; a document's score is
+    ``-mean(ln P)`` over its bigram transitions.  Documents with fewer
+    than 2 tokens have no transitions and are excluded.  Returns
+    ``(id_col, n_transitions, cross_entropy)``.
+
+    Scale shape: the LM "training" is two keyed aggregations over the
+    reference slice (bigram and unigram counts, map-side combined); the
+    scoring side joins those count tables on their natural keys —
+    Catalyst broadcasts them while they fit (vocab tables are MBs-GBs
+    against a 100 TB corpus) and AQE splits the hot-word skew otherwise.
+    The smoothed probability is a quotient of exact-double integer
+    counts, so both engines take ``ln`` of the identical value.
+    """
+    toks = df.select(
+        F.col(id_col),
+        is_train.alias("_train"),
+        F.expr(f"split({text_col}, ' +')").alias("_t"),
+    ).where(F.size("_t") >= 2)
+    bigrams = toks.select(
+        F.col(id_col),
+        "_train",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_t) - 1),"
+                " i -> struct(_t[i - 1] AS w1, _t[i] AS w2))"
+            )
+        ).alias("_bg"),
+    ).select(F.col(id_col), "_train", "_bg.w1", "_bg.w2")
+    bigrams = tracked_persist(bigrams)
+    train_bg = bigrams.where("_train")
+    c2 = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
+    # unigram counts of the CONDITIONING position (w1 occurrences), plus
+    # the vocabulary size over all train tokens
+    c1 = train_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab = (
+        df.where(is_train)
+        .select(F.explode(F.expr(f"split({text_col}, ' +')")).alias("_w"))
+        .agg(F.countDistinct("_w").alias("_v"))
+    )
+    scored = (
+        bigrams.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce("_c2", F.lit(0)) + 1).cast("double")
+                / (F.coalesce("_c1", F.lit(0)) + F.col("_v")).cast("double")
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        (-F.avg("_lp")).alias("cross_entropy"),
+    )
 
 
 def chunk_documents(

@@ -1984,6 +1984,56 @@ def ext_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_quality_lm_perplexity",
+    f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS train, string_split_regex(text, ' +') AS t
+  FROM documents WHERE len(string_split_regex(text, ' +')) >= 2
+), bg AS (
+  SELECT doc_id, train, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE train GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, COUNT(*) AS c1 FROM bg WHERE train GROUP BY w1
+), vocab AS (
+  SELECT COUNT(DISTINCT w) AS v FROM (
+    SELECT unnest(string_split_regex(text, ' +')) AS w
+    FROM documents WHERE lang = 'en')
+)
+SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       {R("-AVG(ln(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)"
+          " / CAST(COALESCE(c1.c1, 0) + vocab.v AS DOUBLE)))", 4)}
+         AS cross_entropy
+FROM bg b
+LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+LEFT JOIN c1 ON b.w1 = c1.w1
+CROSS JOIN vocab
+GROUP BY b.doc_id
+""",
+    doc=(
+        "CCNet-style LM quality filter (Wenzek et al., LREC 2020): "
+        "per-token cross-entropy of every document under an add-one-"
+        "smoothed bigram LM trained on the reference slice (lang='en') — "
+        "low score = reads like the reference, the standard perplexity-"
+        "bucket criterion for web-crawl curation.  LM training is two "
+        "keyed aggs over the slice; scoring joins the count tables "
+        "(broadcast while they fit, AQE skew-split otherwise); smoothed "
+        "probability is a quotient of exact doubles so both engines take "
+        "ln of the identical value (operators/text.py:lm_cross_entropy)."
+    ),
+)
+def ext_quality_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ce = text.lm_cross_entropy(
+        docs, "text", "doc_id", is_train=F.col("lang") == "en"
+    )
+    return ce.select(
+        "doc_id", "n_transitions", cround("cross_entropy", 4).alias("cross_entropy")
+    )
+
+
+@query(
     "ext_sample_dsir",
     f"""
 WITH toks AS (

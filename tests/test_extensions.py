@@ -457,3 +457,31 @@ def test_dsir_weights_rank_target_like_text_higher(spark):
     }
     assert w[200] > w[201]
     assert min(w[i] for i in range(10)) > max(w[100 + i] for i in range(10))
+
+
+def test_lm_cross_entropy_prefers_reference_like_text(spark):
+    """lm_cross_entropy: a document written in the reference slice's
+    vocabulary must score LOWER cross-entropy than one written in
+    out-of-vocabulary words — the perplexity-filter contract.  Also
+    pins the smoothing floor: a fully-OOV doc scores ln(V) per
+    transition (c2 = c1 = 0 -> P = 1/V)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from arrow_ballista_spark.operators import text as t
+
+    ref = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, ref, "en") for i in range(5)]
+    rows += [(100, "the cat sat on the rug", "xx"),     # in-vocab
+             (101, "zq wv xj kp zq wv xj kp", "xx")]    # fully OOV
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: (r.n_transitions, r.cross_entropy)
+        for r in t.lm_cross_entropy(
+            docs, "text", "doc_id", is_train=F.col("lang") == "en"
+        ).collect()
+    }
+    assert got[100][1] < got[101][1]
+    v = len(set(ref.split()))
+    assert abs(got[101][1] - math.log(v)) < 1e-9
