@@ -272,47 +272,64 @@ def editdist_duplicate_pairs(
     pre = tracked_persist(pre)
 
     def verify(cand: DataFrame) -> DataFrame:
+        # threshold-banded levenshtein: O(len*d) per pair instead of
+        # O(len^2); returns -1 above the threshold
         return (
             cand.distinct()
-            .withColumn("dist", F.levenshtein("_pre_a", "_pre_b").cast("long"))
-            .where(F.col("dist") <= max_dist)
+            .withColumn(
+                "dist",
+                F.levenshtein("_pre_a", "_pre_b", max_dist).cast("long"),
+            )
+            .where(F.col("dist") >= 0)
             .select("id_a", "id_b", "dist")
         )
 
     # --- long path: ED-Join rare-gram prefix filtering ---
+    # gram OCCURRENCES with positions: d edits shift any surviving
+    # occurrence by at most d, so a matching gram pair with
+    # |pos_a - pos_b| > d can never witness a true pair — the ED-Join
+    # location filter, which collapses the candidate set on repetitive
+    # text where the same gram recurs at many positions
     longs = pre.where(F.length("_pre") >= min_long)
     grams = longs.select(
         F.col(id_col),
         F.col("_pre"),
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, length(_pre) - {q - 1}),"
-                    f" i -> substring(_pre, i, {q}))"
-                )
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(_pre) - {q - 1}),"
+                f" i -> substring(_pre, i, {q}))"
             )
-        ).alias("_gram"),
+        ).alias("_pos", "_gram"),
     )
     grams = tracked_persist(grams)
     gdf = grams.groupBy("_gram").agg(F.count(F.lit(1)).alias("_df"))
     from pyspark.sql import Window
 
+    # the k rarest DISTINCT gram types per doc (dense_rank), ALL of their
+    # occurrences: a qualifying pair leaves >= 1 of these occurrences
+    # unedited (k types => > d*q occurrences cannot all be destroyed)
     w = Window.partitionBy(id_col).orderBy("_df", "_gram")
     probe = (
         grams.join(gdf, "_gram")
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .select(F.col(id_col).alias("id_a"), F.col("_pre").alias("_pre_a"), "_gram")
+        .withColumn("_rk", F.dense_rank().over(w))
+        .where(F.col("_rk") <= k)
+        .select(
+            F.col(id_col).alias("id_a"), F.col("_pre").alias("_pre_a"),
+            "_gram", F.col("_pos").alias("_pos_a"),
+        )
     )
     index = grams.select(
         F.col(id_col).alias("id_b"), F.col("_pre").alias("_pre_b"),
-        F.col("_gram").alias("_gram_b"),
+        F.col("_gram").alias("_gram_b"), F.col("_pos").alias("_pos_b"),
     )
     # prefix(min-id) ∩ grams(max-id) is guaranteed non-empty for a true
     # long-long pair, so probing with id_a < id_b alone stays lossless
     long_pairs = verify(
         probe.join(
-            index, (probe._gram == index._gram_b) & (probe.id_a < index.id_b)
+            index,
+            (probe._gram == index._gram_b)
+            & (probe.id_a < index.id_b)
+            & (F.abs(probe._pos_a - index._pos_b) <= max_dist),
         ).select("id_a", "id_b", "_pre_a", "_pre_b")
     )
 

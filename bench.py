@@ -53,6 +53,10 @@ BENCH_QUERIES = [f"tpch_q{i}" for i in range(1, 23)] + [
     "ext_dedup_minhash_lsh",
     "ext_dedup_exact",
     "ext_dedup_substring",
+    "ext_dedup_editdist",
+    "ext_sample_dsir",
+    "ext_quality_lm_perplexity",
+    "ext_zorder_key",
     "ext_dedup_clusters",
     "ext_sim_topk_bruteforce",
     "ext_text_quality_langid",
