@@ -251,8 +251,10 @@ def editdist_duplicate_pairs(
     ranking window partitions by doc id — never skewed); the candidate
     join probes with RARE grams only, so boilerplate hot grams ("the ",
     "tion") are never join keys and bucket sizes stay bounded without
-    any lossy ``max_df`` cap.  Verification is O(prefix_len^2) per
-    candidate, candidates only.
+    any lossy ``max_df`` cap; the location filter (|pos shift| <= d)
+    prunes misaligned matches before the pair ever forms.  Verification
+    is threshold-banded levenshtein — O(prefix_len * d) per candidate,
+    candidates only.
 
     The gram-prefix guarantee needs ``len >= (d+1)*q`` (shorter strings
     may share NO gram with a valid partner — "xx" vs "xy" at q=4), so
