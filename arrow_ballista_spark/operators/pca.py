@@ -1,0 +1,170 @@
+"""Distributed PCA / whitening over an embedding column.
+
+The dimensionality-reduction step an embedding pipeline runs before
+clustering, ANN indexing, or SemDeDup-style dedup (centering + rotating
+to the top-k variance directions makes cosine thresholds and IVF cells
+much better behaved).  No reference parity: arrow-ballista has no ML
+operators (SURVEY.md §2 — extension beyond the reference surface).
+
+The classic two-stage layout every distributed ML library uses:
+
+- **Sufficient statistics are one pass, O(d^2) per partition**: an
+  Arrow-batched ``mapInPandas`` accumulates ``(n, sum x, X^T X)`` per
+  batch with one numpy matmul; partials reduce via a keyed elementwise
+  aggregation (d + d^2 rows TOTAL, not per point).  Points are never
+  shuffled and never leave their partition.
+- **Eigendecomposition is driver-side and bounded**: ``numpy.eigh`` on
+  the d×d covariance — O(d^3) with d = embedding width (64-4096),
+  independent of corpus size.  This is the same bounded-driver pattern
+  as IVF's centroid collect (``operators/ivf.py``).
+- **Projection is map-only**: the (k×d) component matrix broadcasts to
+  every task; each batch is one ``(X - mean) @ W.T`` matmul.
+
+Determinism: eigenvector SIGNS are normalized (largest-|coefficient|
+entry made positive) so reruns, retries, and the agreement tests get
+identical projections; ``eigh`` on the identical covariance matrix is
+deterministic within a BLAS build.  Cross-engine float summation order
+differs at ~1e-16, so the covariance registry query rounds (the
+``agg_stats`` precedent) and the projection is property-tested against
+numpy's reference PCA rather than oracle-hashed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sufficient_stats_df(df: DataFrame, vec_col: str) -> DataFrame:
+    """The reduced one-pass statistics as a ``(pos, s)`` DataFrame:
+    position 0 holds n, positions ``1..d`` the per-dimension sums, and
+    ``d+1 ..`` the row-major ``X^T X`` sums.  Partials are one numpy
+    matmul per Arrow batch; the reduce is an elementwise keyed
+    aggregation over d^2 + d + 1 positions — tiny, and points never
+    shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if X.size == 0:
+                continue
+            flat = np.concatenate(
+                ([float(len(X))], X.sum(axis=0), (X.T @ X).ravel())
+            )
+            yield pd.DataFrame({"part": [flat.tolist()]})
+
+    parts = df.select(vec_col).mapInPandas(partials, "part array<double>")
+    return (
+        parts.select(F.posexplode("part").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.sum("val").alias("s"))
+    )
+
+
+def covariance_df(df: DataFrame, vec_col: str, d: int) -> DataFrame:
+    """Upper-triangle biased covariance as a DataFrame ``(i, j, cov)``
+    with ``i <= j`` — the distributed form of :func:`covariance_stats`
+    (d^2-row result, suitable for an oracle check; the eigen step wants
+    the collected matrix instead)."""
+    red = sufficient_stats_df(df, vec_col)
+    nrow = red.where(F.col("pos") == 0).select(F.col("s").alias("_n"))
+    means = red.where((F.col("pos") >= 1) & (F.col("pos") <= d)).select(
+        (F.col("pos") - 1).alias("_mi"), F.col("s").alias("_ms")
+    )
+    prods = red.where(F.col("pos") > d).select(
+        ((F.col("pos") - d - 1) / d).cast("long").alias("i"),
+        ((F.col("pos") - d - 1) % d).alias("j"),
+        F.col("s").alias("_sp"),
+    ).where(F.col("i") <= F.col("j"))
+    ma = means.select(F.col("_mi").alias("i"), F.col("_ms").alias("_sa"))
+    mb = means.select(F.col("_mi").alias("j"), F.col("_ms").alias("_sb"))
+    return (
+        prods.crossJoin(F.broadcast(nrow))
+        .join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.col("_sp") / F.col("_n")
+                - (F.col("_sa") / F.col("_n")) * (F.col("_sb") / F.col("_n"))
+            ).alias("cov"),
+        )
+    )
+
+
+def covariance_stats(
+    df: DataFrame, vec_col: str
+) -> "tuple[int, object, object]":
+    """One-pass sufficient statistics: ``(n, mean[d], cov[d,d])`` with
+    the biased (1/n) covariance.  Only the d^2 + d + 1 reduced sums
+    reach the driver."""
+    import numpy as np
+
+    reduced = sufficient_stats_df(df, vec_col).orderBy("pos").collect()
+    flat = [r["s"] for r in reduced]
+    n = int(flat[0])
+    if n == 0:
+        raise ValueError("covariance_stats: empty input")
+    d = int(round((-1 + (1 + 4 * (len(flat) - 1)) ** 0.5) / 2))
+    mean = np.array(flat[1 : 1 + d]) / n
+    xtx = np.array(flat[1 + d :]).reshape(d, d) / n
+    cov = xtx - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def pca_components(df: DataFrame, vec_col: str, k: int):
+    """Top-``k`` principal components:
+    ``(mean[d], W[k,d], evr[k], eigvals[k])`` with ``evr`` the
+    explained-variance ratios, components ordered by descending
+    eigenvalue and sign-normalized (largest-|coefficient| entry
+    positive) for determinism."""
+    import numpy as np
+
+    _, mean, cov = covariance_stats(df, vec_col)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    W = vecs[:, order].T.copy()
+    for i in range(W.shape[0]):
+        j = int(np.abs(W[i]).argmax())
+        if W[i, j] < 0:
+            W[i] = -W[i]
+    total = float(vals.sum()) or 1.0
+    evr = vals[order] / total
+    return mean, W, evr, vals[order]
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    whiten: bool = False,
+) -> DataFrame:
+    """Project every vector onto the top-``k`` principal components:
+    ``(id_col, proj array<double>)``.  ``whiten=True`` additionally
+    scales each component to unit variance.  The (k×d) component matrix
+    and mean ride the closure (broadcast with the task binary); each
+    batch is a single centered matmul — map-only, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    mean, W, evr, eigvals = pca_components(df, vec_col, k)
+    if whiten:
+        # variance along a unit eigenvector IS its eigenvalue — no
+        # second statistics pass needed
+        W = W / np.sqrt(np.maximum(eigvals, 1e-12))[:, None]
+
+    def project(batches):
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            P = (X - mean[None, :]) @ W.T
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "proj": list(map(list, P))}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        project, f"{id_col} long, proj array<double>"
+    )

@@ -1984,6 +1984,44 @@ def ext_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_embed_covariance",
+    f"""
+WITH dims AS (
+  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS xi
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+), sums AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.xi * b.xi) AS sp, COUNT(*) AS n
+  FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+), means AS (SELECT i, SUM(xi) AS ms, COUNT(*) AS n FROM dims GROUP BY i)
+SELECT s.i, s.j,
+       {R("s.sp / s.n - (ma.ms / ma.n) * (mb.ms / mb.n)", 4)} AS cov
+FROM sums s JOIN means ma ON s.i = ma.i JOIN means mb ON s.j = mb.i
+""",
+    doc=(
+        "Distributed PCA sufficient statistics: the upper-triangle "
+        "covariance of the embedding table, computed as one numpy-matmul "
+        "partial (n, sum x, X^T X) per Arrow batch reduced by a keyed "
+        "elementwise aggregation over d^2+d+1 positions — points never "
+        "shuffle, only the d x d matrix reaches the eigen step "
+        "(operators/pca.py).  Driver-side eigh is O(d^3), corpus-size "
+        "independent; projection/whitening is a map-only broadcast "
+        "matmul, property-tested against numpy reference PCA.  Rounded "
+        "4dp (the agg_stats precedent for cross-engine sum order)."
+    ),
+)
+def ext_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.operators import pca
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    d = emb.select(F.size("v")).first()[0]
+    cov = pca.covariance_df(emb, "v", d)
+    return cov.select("i", "j", cround("cov", 4).alias("cov"))
+
+
+@query(
     "ext_quality_lm_perplexity",
     f"""
 WITH toks AS (

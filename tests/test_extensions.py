@@ -485,3 +485,50 @@ def test_lm_cross_entropy_prefers_reference_like_text(spark):
     assert got[100][1] < got[101][1]
     v = len(set(ref.split()))
     assert abs(got[101][1] - math.log(v)) < 1e-9
+
+
+def test_pca_matches_numpy_reference(spark):
+    """pca_project must agree with numpy's reference PCA (eigh of the
+    driver-computed covariance) up to the documented sign normalization,
+    and projected variances must equal the descending eigenvalues —
+    whitened projections must have ~unit variance."""
+    import numpy as np
+
+    from arrow_ballista_spark.operators import pca
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud so the component order is unambiguous
+    X = rng.randn(300, 6) * np.array([5.0, 3.0, 2.0, 1.0, 0.5, 0.1])
+    X = X @ np.linalg.qr(rng.randn(6, 6))[0]  # rotate
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id long, v array<double>",
+    )
+
+    n, mean, cov = pca.covariance_stats(df, "v")
+    assert n == 300
+    ref_cov = np.cov(X.T, bias=True)
+    assert np.allclose(cov, ref_cov, atol=1e-9)
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-12)
+
+    k = 3
+    proj = pca.pca_project(df, "v", "vec_id", k)
+    P = np.array(
+        [r.proj for r in proj.orderBy("vec_id").collect()], dtype=float
+    )
+    vals, vecs = np.linalg.eigh(ref_cov)
+    order = np.argsort(vals)[::-1][:k]
+    Wref = vecs[:, order].T
+    for i in range(k):  # same sign normalization as pca_components
+        j = int(np.abs(Wref[i]).argmax())
+        if Wref[i, j] < 0:
+            Wref[i] = -Wref[i]
+    Pref = (X - X.mean(axis=0)) @ Wref.T
+    assert np.allclose(P, Pref, atol=1e-8)
+    assert np.allclose(P.var(axis=0), np.sort(vals)[::-1][:k], rtol=1e-6)
+
+    white = pca.pca_project(df, "v", "vec_id", k, whiten=True)
+    Pw = np.array(
+        [r.proj for r in white.orderBy("vec_id").collect()], dtype=float
+    )
+    assert np.allclose(Pw.var(axis=0), 1.0, rtol=1e-6)
