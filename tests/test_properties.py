@@ -613,3 +613,45 @@ def test_vectorized_kmeans_labels_survive_empty_cluster(spark):
         for r in kmeans_assign(emb, k=4, iters=3, vectorized=True).collect()
     }
     assert exact == fast
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=20),
+        min_size=2,
+        max_size=18,
+    ),
+    q=st.sampled_from([2, 3, 4]),
+    d=st.sampled_from([1, 2]),
+)
+@_SLOW
+def test_editdist_pairs_match_bruteforce(spark, texts, q, d):
+    """editdist_duplicate_pairs == brute-force all-pairs levenshtein for
+    random short strings over a tiny alphabet (maximal gram collisions,
+    strings straddling the short/long path boundary, runs of spaces) —
+    the lossless-blocking claim under adversarial inputs."""
+    import pyspark.sql.functions as SF
+
+    from arrow_ballista_spark.operators.dedup import editdist_duplicate_pairs
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in editdist_duplicate_pairs(
+            docs, "text", "doc_id", max_dist=d, q=q, prefix_len=12
+        ).collect()
+    }
+    p = docs.select("doc_id", SF.substring("text", 1, 12).alias("pre"))
+    a = p.select(SF.col("doc_id").alias("ia"), SF.col("pre").alias("pa"))
+    b = p.select(SF.col("doc_id").alias("ib"), SF.col("pre").alias("pb"))
+    brute = {
+        (r.ia, r.ib): r.d
+        for r in a.crossJoin(b)
+        .where(SF.col("ia") < SF.col("ib"))
+        .withColumn("d", SF.levenshtein("pa", "pb").cast("long"))
+        .where(SF.col("d") <= d)
+        .collect()
+    }
+    assert got == brute
