@@ -100,6 +100,7 @@ _HEAD_ROTATION = [
     "ext_shard_pack", "ext_dedup_substring", "ext_dedup_span_removal",
     "ext_zorder_key", "ext_dedup_editdist", "ext_sample_dsir",
     "ext_quality_lm_perplexity", "ext_embed_covariance",
+    "ext_stream_session_counts",
     # -- core canaries (regression visibility inside the window) --
     "tpch_q1_decimal", "tpch_q1", "tpch_q8", "tpch_q18", "tpch_q21",
     "ext_stream_tumbling_counts", "ext_pipeline_corpus_build",

@@ -567,6 +567,51 @@ def ext_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_stream_session_counts",
+    """
+WITH gaps AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+), islands AS (
+    SELECT user_id, ts,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+    FROM gaps
+)
+SELECT MIN(ts) AS sess_start,
+       MAX(ts) + INTERVAL '30 minutes' AS sess_end,
+       user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM islands
+GROUP BY user_id, sid
+""",
+    doc=(
+        "watermarked gap-based SESSION windows per user on the stream "
+        "(session_window + 2h watermark, availableNow, complete mode) — "
+        "the stateful merge-adjacent-activity operator; oracle is the "
+        "batch gaps-and-islands SQL the bounded run must converge to "
+        "(streaming/pipeline.py:session_counts; batch twin "
+        "events_session_window)"
+    ),
+)
+def ext_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = streaming.run_available_now(
+        streaming.session_counts(streaming.events_stream(spark, sf_dir)),
+        "complete",
+    )
+    return out.select(
+        F.col("sess_start").cast("timestamp_ntz").alias("sess_start"),
+        F.col("sess_end").cast("timestamp_ntz").alias("sess_end"),
+        "user_id",
+        "n_events",
+    )
+
+
+@query(
     "ext_stream_stateful_user_counts",
     """
 SELECT user_id, COUNT(*) AS total_events
