@@ -245,3 +245,45 @@ def test_pack_shards_offsets_broadcast_not_casewhen(spark):
     for r in rows:
         assert r["cum_before"] == run, (r["doc_id"], r["cum_before"], run)
         run += r["n_tok"]
+
+
+def test_dsir_scoring_broadcasts_bucket_table(spark):
+    """DSIR: the 256-row log-ratio bucket table must BROADCAST back onto
+    the gram stream (map-side scoring) — shuffling the corpus grams a
+    second time to meet 256 rows is the classic scale mistake — and the
+    whole operator must stay free of cartesian products."""
+    df = REG["ext_sample_dsir"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lm_perplexity_no_cartesian(spark):
+    """LM scoring joins the count tables on their natural keys — keyed
+    joins only; the 1-row vocab total rides a broadcast."""
+    df = REG["ext_quality_lm_perplexity"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_key_single_stats_broadcast(spark):
+    """The Morton key is map-only off a 1-row min/max broadcast: exactly
+    one aggregation exchange (the global stats), no join shuffle of the
+    data side."""
+    rep = _report(spark, "ext_zorder_key")
+    assert rep["sortmerge_joins"] == 0
+    # the only exchanges are the two-phase global min/max aggregation
+    assert rep["exchanges"] <= 1, rep["exchanges"]
+
+
+def test_editdist_candidate_join_is_keyed(spark):
+    """ED-Join candidates come from a gram-keyed equi-join with the
+    position filter as a residual — never a nested loop over pairs."""
+    df = REG["ext_dedup_editdist"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
