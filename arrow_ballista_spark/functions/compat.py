@@ -69,19 +69,76 @@ def date_bin(stride_seconds: int, ts, origin: str = "1970-01-01") -> Column:
     )
 
 
+def _py_pattern(p: str) -> str:
+    """Translate Java/Rust named groups ``(?<name>`` to Python's
+    ``(?P<name>`` (leaving lookbehinds ``(?<=`` / ``(?<!`` intact) so the
+    driver-side compile sees the same group structure the engines do."""
+    import re as _re
+
+    return _re.sub(r"\(\?<(?![=!])", "(?P<", p)
+
+
+def _groups_always_participate(p: str) -> bool:
+    """True when every capture group provably participates in any match:
+    no alternation and no ``)`` followed by a zero-allowing quantifier
+    (``?``, ``*``, ``{0``).  Conservative — a false negative only routes
+    to the exact (slower) path, never to a wrong answer."""
+    import re as _re
+
+    return not _re.search(r"(?<!\\)\||(?<!\\)\)[?*]|(?<!\\)\)\{0", p)
+
+
 def regexp_match(s, p: str) -> Column:
     """DataFusion/Postgres ``regexp_match``: for the FIRST match, the
     array of capture-group texts when the pattern has groups, else
-    ``[whole match]``; NULL when unmatched (DataFusion
-    ``regexpmatch.rs``).  The group count comes from compiling the
-    (literal) pattern driver-side; Java-only regex constructs Python
-    can't compile fall back to counting unescaped non-``(?:`` groups."""
+    ``[whole match]``; NULL when unmatched; NULL per ELEMENT for a
+    non-participating group (e.g. ``(a)|(b)`` on ``'a'`` →
+    ``['a', NULL]``, DataFusion ``regexpmatch.rs``).
+
+    Three paths, chosen driver-side from the literal pattern:
+    1. every group always participates → JVM ``regexp_extract`` per
+       group (codegen fast path; '' and NULL can't diverge here);
+    2. participation is ambiguous (alternation / optional groups) but
+       Python can compile the pattern → Arrow-batched ``pandas_udf``
+       with exact ``Matcher.group(i) is None`` semantics;
+    3. Java-only constructs Python can't compile (possessive
+       quantifiers etc.) → JVM path with the group count read from the
+       raw pattern, counting ``(?<name>`` as capturing; documented ''
+       vs NULL divergence for non-participating groups only."""
     import re as _re
 
+    pp = _py_pattern(p)
     try:
-        n_groups = _re.compile(p).groups
+        compiled = _re.compile(pp)
+        n_groups: int | None = compiled.groups
     except _re.error:
-        n_groups = len(_re.findall(r"(?<!\\)\((?!\?)", p))
+        compiled, n_groups = None, None
+
+    if compiled is not None and not _groups_always_participate(p):
+        # Exact path: per-element NULLs for skipped groups.
+        from pyspark.sql.functions import pandas_udf
+
+        def _match(col):  # pd.Series -> pd.Series (hints omitted: the
+            # module-wide `from __future__ import annotations` turns them
+            # into strings pandas_udf's hint inference can't resolve)
+            rx = _re.compile(pp)
+
+            def one(v):
+                if v is None:
+                    return None
+                m = rx.search(v)
+                if m is None:
+                    return None
+                return list(m.groups()) if rx.groups else [m.group(0)]
+
+            return col.map(one)
+
+        return pandas_udf(_match, "array<string>")(_col(s))
+
+    if n_groups is None:
+        n_groups = len(_re.findall(r"(?<!\\)\((?!\?)", p)) + len(
+            _re.findall(r"\(\?<(?![=!])", p)
+        )
     parts = (
         [F.regexp_extract(_col(s), p, i) for i in range(1, n_groups + 1)]
         if n_groups

@@ -20,6 +20,7 @@ the thing that must not leak).
 
 from __future__ import annotations
 
+import threading
 import weakref
 
 from pyspark.sql import DataFrame
@@ -64,6 +65,36 @@ def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
     return out
 
 
+_CKPT_LOCK = threading.Lock()
+# SparkContext id -> (dir last set, reliable checkpoints currently in flight)
+_CKPT_STATE: dict[int, list] = {}
+# (sc weakref, hadoop path string) of every rdd-* checkpoint dir we wrote
+_TRACKED_CKPT_PATHS: list[tuple[weakref.ref, str]] = []
+
+
+def _hadoop_fs(sc, dir_str: str):
+    jvm = sc._jvm
+    p = jvm.org.apache.hadoop.fs.Path(dir_str)
+    return p.getFileSystem(sc._jsc.hadoopConfiguration()), p, jvm
+
+
+def _list_rdd_ckpt_dirs(sc, base: str) -> set[str]:
+    """Every ``{base}/{uuid}/rdd-*`` directory currently on disk (the
+    layout ``SparkContext.setCheckpointDir`` creates)."""
+    fs, p, jvm = _hadoop_fs(sc, base)
+    out: set[str] = set()
+    if not fs.exists(p):
+        return out
+    for uuid_st in fs.listStatus(p):
+        if not uuid_st.isDirectory():
+            continue
+        for rdd_st in fs.listStatus(uuid_st.getPath()):
+            name = rdd_st.getPath().getName()
+            if name.startswith("rdd-"):
+                out.add(rdd_st.getPath().toString())
+    return out
+
+
 def reliable_checkpoint(df: DataFrame, checkpoint_dir: str) -> DataFrame:
     """``df.checkpoint(eager=True)`` into a durable directory.
 
@@ -72,13 +103,65 @@ def reliable_checkpoint(df: DataFrame, checkpoint_dir: str) -> DataFrame:
     a real cluster where executor loss is routine.  A reliable checkpoint
     writes the round's frame to ``checkpoint_dir`` (HDFS/S3A at cluster
     scale) so a lost executor recomputes from durable files, not from the
-    start of the job.  Files are removed automatically only when
-    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``; otherwise
-    clean the directory after the job (see DEPLOY.md).
+    start of the job.
+
+    ``setCheckpointDir`` is SESSION-GLOBAL, so two concurrent iterative
+    jobs given different dirs would race and checkpoint into each other's
+    directory.  The guard below makes that an error instead of silent
+    cross-writes: switching the dir is allowed only while no other
+    reliable checkpoint is in flight on the same SparkContext.  Written
+    ``rdd-*`` directories are recorded so :func:`release_checkpoints`
+    can delete them (Spark only auto-removes them when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``; see
+    DEPLOY.md).
     """
     sc = df.sparkSession.sparkContext
-    sc.setCheckpointDir(checkpoint_dir)
-    return df.checkpoint(eager=True)
+    key = id(sc)
+    with _CKPT_LOCK:
+        state = _CKPT_STATE.setdefault(key, [None, 0])
+        if state[0] != checkpoint_dir:
+            if state[1] > 0:
+                raise RuntimeError(
+                    "reliable_checkpoint: another iterative job is mid-"
+                    f"checkpoint into {state[0]!r}; the checkpoint dir is "
+                    "session-global, so concurrent jobs must share one "
+                    f"dir (requested {checkpoint_dir!r})"
+                )
+            sc.setCheckpointDir(checkpoint_dir)
+            state[0] = checkpoint_dir
+        state[1] += 1
+    try:
+        before = _list_rdd_ckpt_dirs(sc, checkpoint_dir)
+        out = df.checkpoint(eager=True)
+        for path in _list_rdd_ckpt_dirs(sc, checkpoint_dir) - before:
+            _TRACKED_CKPT_PATHS.append((weakref.ref(sc), path))
+        return out
+    finally:
+        with _CKPT_LOCK:
+            _CKPT_STATE[key][1] -= 1
+
+
+def release_checkpoints() -> int:
+    """Delete every durable checkpoint directory written through
+    :func:`reliable_checkpoint`; returns how many were removed.
+
+    Like releasing a localCheckpoint, this breaks re-execution of the
+    frames that depended on those files — call only after the consuming
+    job has finished (bench does, per query; long-lived services after
+    each maintenance cycle)."""
+    n = 0
+    for sc_ref, path in _TRACKED_CKPT_PATHS:
+        sc = sc_ref()
+        if sc is None:
+            continue
+        try:
+            fs, p, _ = _hadoop_fs(sc, path)
+            if fs.exists(p) and fs.delete(p, True):
+                n += 1
+        except Exception:
+            pass  # session stopped / already cleaned
+    _TRACKED_CKPT_PATHS.clear()
+    return n
 
 
 def checkpointer(checkpoint_dir: str | None):

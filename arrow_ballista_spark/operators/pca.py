@@ -159,6 +159,10 @@ def pca_project(
 
     def project(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                # an empty Arrow batch yields X of shape (0,), which
+                # would break the centered-matmul broadcasting below
+                continue
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             P = (X - mean[None, :]) @ W.T
             yield pd.DataFrame(

@@ -2067,6 +2067,95 @@ def ext_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_embed_pca_project",
+    f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, len(embedding) AS d
+  FROM embeddings
+), dims AS (
+  SELECT vec_id, d, i, v[i] AS xi
+  FROM e, UNNEST(generate_series(1, len(v))) AS t(i)
+), m AS (SELECT i, avg(xi) AS mi FROM dims GROUP BY i)
+SELECT dims.vec_id, CAST(dims.d AS INT) AS k,
+       {R("SUM((dims.xi - m.mi) * (dims.xi - m.mi))", 4)} AS proj_sqnorm
+FROM dims JOIN m USING (i)
+GROUP BY dims.vec_id, dims.d
+""",
+    doc=(
+        "Full-rank PCA projection (k = d) with a Parseval value oracle: "
+        "the component matrix is orthonormal, so every projected "
+        "vector's squared norm must equal its CENTERED squared norm — a "
+        "quantity plain SQL can compute at any scale factor, unlike the "
+        "eigenvectors themselves (no eigh in SQL; a literal-W oracle "
+        "would pin one SF's data).  This drives the whole distributed "
+        "pipeline end-to-end — sufficient-statistics reduce, driver "
+        "eigh, broadcast-matmul projection (operators/pca.py) — and "
+        "any error in the mean, in orthonormality, or in the batch "
+        "matmul breaks the equality.  Component ORDER and eigenvalue "
+        "correctness are pinned by the numpy-reference property test "
+        "(tests/test_extensions.py:test_pca_matches_numpy_reference).  "
+        "Scale shape: one d^2+d+1-row stats reduce + a map-only "
+        "projection; points never shuffle."
+    ),
+)
+def ext_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.operators import pca
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    d = emb.select(F.size("v")).first()[0]
+    proj = pca.pca_project(emb, "v", "vec_id", k=d)
+    sqnorm = F.aggregate(
+        "proj", F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return proj.select(
+        "vec_id",
+        F.lit(d).cast("int").alias("k"),
+        cround(sqnorm, 4).alias("proj_sqnorm"),
+    )
+
+
+@query(
+    "ext_dedup_semantic_whitened",
+    None,
+    doc=(
+        "SemDeDup over WHITENED embeddings — the composition the SemDeDup "
+        "paper's ablations motivate: project onto the top-8 principal "
+        "components scaled to unit variance (operators/pca.py), then "
+        "k-means-cluster the whitened vectors and keep within-cluster "
+        "pairs with whitened cosine >= tau.  Whitening equalizes "
+        "per-direction variance so clustering isn't dominated by one "
+        "high-variance axis.  No SQL oracle: the whitened values depend "
+        "on the eigendecomposition, which SQL cannot express (driver "
+        "records the rows-only check); exact agreement with a numpy "
+        "brute-force recomputation is pinned locally in "
+        "tests/test_extensions.py:test_semantic_whitened_matches_numpy.  "
+        "Scale shape: stats reduce + map-only whitening, then the "
+        "SemDeDup per-cluster Gram — quadratic work confined per "
+        "cluster, one shuffle on cluster id."
+    ),
+)
+def ext_dedup_semantic_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.operators import pca
+    from arrow_ballista_spark.operators.kmeans import semantic_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    white = pca.pca_project(emb, "v", "vec_id", k=8, whiten=True).select(
+        "vec_id", F.col("proj").alias("embedding")
+    )
+    out = semantic_dedup_pairs(white, k=8, iters=2, tau=0.5)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("cluster").cast("long").alias("cluster"),
+        cround(F.col("cos_raw"), 6).alias("cosine"),
+    )
+
+
+@query(
     "ext_quality_lm_perplexity",
     f"""
 WITH toks AS (

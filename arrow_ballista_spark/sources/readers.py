@@ -62,13 +62,29 @@ def read_csv(
             .csv(path)
             .inputFiles()
         )
-        sample = (
-            spark.read.option("header", header)
-            .option("sep", sep)
-            .option("inferSchema", True)
-            .options(**_str_opts(opts))
-            .csv(files[0] if files else path)
-        )
+
+        def _infer(target):
+            return spark.read.option("header", header).option(
+                "sep", sep
+            ).option("inferSchema", True).options(**_str_opts(opts)).csv(
+                target
+            )
+
+        # Empty part files (part-00000 with only a header, or zero bytes)
+        # are common in shuffle outputs; inferring from one makes every
+        # column string for the whole dataset.  Walk the sorted listing
+        # until a file yields at least one data row, bounded at a few
+        # probes so a pathological all-empty prefix doesn't turn
+        # inference back into a full-dataset scan; fall back to the
+        # whole path only if every probed file is empty.
+        sample = None
+        for f in files[:8]:
+            cand = _infer(f)
+            if cand.limit(1).count() > 0:
+                sample = cand
+                break
+        if sample is None:
+            sample = _infer(files[0] if files else path)
         r = r.schema(sample.schema)
     return r.options(**_str_opts(opts)).csv(path)
 

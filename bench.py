@@ -85,6 +85,54 @@ BENCH_QUERIES = [f"tpch_q{i}" for i in range(1, 23)] + [
     "nyctaxi_fare_by_passenger",
 ]
 
+#: Queries whose result is O(n) rows: their plain bench time is dominated
+#: by driver-side materialization (Arrow transfer + len(collect())), not
+#: by the distributed core.  Each gets an extra ``<name>__cs`` sample
+#: that reduces the same plan to one (count, bit_xor(xxhash64)) row
+#: before collect — the db-benchmark convention (the reference's
+#: ``benchmarks/db-benchmark/groupby-datafusion.py`` reduces result
+#: frames to checksums) — so scaling ratios separate "join core got
+#: slower" from "result set got bigger".
+CHECKSUM_VARIANTS = [
+    "ext_merge_upsert",
+    "h2o_groupby_manykey",
+    "ext_zorder_key",
+]
+
+
+def _bench_frame(reg, name, spark, sf_dir):
+    """Build the DataFrame a bench sample times; ``__cs`` variants wrap
+    the base query in the checksum sink."""
+    if name.endswith("__cs"):
+        from pyspark.sql import functions as F
+
+        base = reg[name[: -len("__cs")]].spark(spark, sf_dir)
+        return base.select(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "bit_xor(xxhash64(struct(*)))"
+            ).alias("checksum"),  # order-insensitive, no sum overflow
+        )
+    return reg[name].spark(spark, sf_dir)
+
+
+def summary_line(out: dict, times: dict) -> str:
+    """The ONE stdout JSON line, hard-capped under the driver's 2000-char
+    tail capture with staged fallbacks (drop deltas, then truncate the
+    queries dict to the TPC-H core)."""
+    line = json.dumps(out)
+    if len(line) > 1900:
+        out.pop("delta_total", None)
+        out.pop("prev_round", None)
+        line = json.dumps(out)
+    if len(line) > 1900:  # still over: keep the comparable TPC-H core
+        out["queries"] = {
+            k: v for k, v in times.items() if k.startswith("tpch_")
+        }
+        out["queries_truncated_to_tpch"] = True
+        line = json.dumps(out)
+    return line
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -100,10 +148,14 @@ def main() -> None:
     spark.sql("SELECT COUNT(*) FROM lineitem").collect()
 
     names = [n for n in BENCH_QUERIES if n in reg]
+    for cs in CHECKSUM_VARIANTS:
+        if cs in reg:
+            names.insert(names.index(cs) + 1 if cs in names else len(names),
+                         cs + "__cs")
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if only:  # comma-separated subset, e.g. the 100x headline runs
         keep = {s.strip() for s in only.split(",")}
-        names = [n for n in names if n in keep]
+        names = [n for n in names if n in keep or n.removesuffix("__cs") in keep]
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "1"))
 
@@ -113,7 +165,7 @@ def main() -> None:
     # re-warms per sweep, so one initial sweep suffices.)
     for w in range(warmups):
         for name in names:
-            reg[name].spark(spark, sf_dir).collect()
+            _bench_frame(reg, name, spark, sf_dir).collect()
             release_caches()
 
     samples: dict[str, list[float]] = {n: [] for n in names}
@@ -122,10 +174,10 @@ def main() -> None:
         for name in names:
             # pair: first execution re-warms caches after the ~30 other
             # queries of this sweep; the second is the timed sample
-            reg[name].spark(spark, sf_dir).collect()
+            _bench_frame(reg, name, spark, sf_dir).collect()
             release_caches()
             t0 = time.monotonic()
-            df = reg[name].spark(spark, sf_dir)
+            df = _bench_frame(reg, name, spark, sf_dir)
             n_rows = len(df.collect())
             samples[name].append(time.monotonic() - t0)
             at[name].append(round(time.monotonic() - t_session, 1))
@@ -217,18 +269,7 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout: the stdout summary still stands alone
 
-    line = json.dumps(out)
-    if len(line) > 1900:  # hard cap under the driver's 2000-char tail
-        out.pop("delta_total", None)
-        out.pop("prev_round", None)
-        line = json.dumps(out)
-    if len(line) > 1900:  # still over: keep the comparable TPC-H core
-        out["queries"] = {
-            k: v for k, v in times.items() if k.startswith("tpch_")
-        }
-        out["queries_truncated_to_tpch"] = True
-        line = json.dumps(out)
-    print(line)
+    print(summary_line(out, times))
 
 
 def _next_round(repo_dir: str) -> int:

@@ -600,3 +600,16 @@ def test_csv_inference_multifile_headers_and_multiline(spark, tmp_path):
     df2 = readers.read_csv(spark, str(d2))
     assert dict(df2.dtypes)["n"] == "int", df2.dtypes
     assert {r.n for r in df2.collect()} == {0, 1, 2}
+
+
+def test_csv_inference_skips_empty_first_file(spark, tmp_path):
+    """Shuffle outputs routinely produce a header-only part-00000; if the
+    inference sample stops there, every column infers as string for the
+    whole dataset.  Inference must walk to the first file with data."""
+    d = tmp_path / "csvdir3"
+    d.mkdir()
+    (d / "part-00000.csv").write_text("n,s\n")  # header only, no rows
+    (d / "part-00001.csv").write_text("n,s\n7,seven\n8,eight\n")
+    df = readers.read_csv(spark, str(d))
+    assert dict(df.dtypes)["n"] == "int", df.dtypes
+    assert {r.n for r in df.collect()} == {7, 8}

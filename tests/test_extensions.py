@@ -532,3 +532,87 @@ def test_pca_matches_numpy_reference(spark):
         [r.proj for r in white.orderBy("vec_id").collect()], dtype=float
     )
     assert np.allclose(Pw.var(axis=0), 1.0, rtol=1e-6)
+
+
+def test_semantic_whitened_matches_numpy(spark):
+    """ext_dedup_semantic_whitened has no SQL oracle (eigh is not SQL-
+    expressible), so its value check lives here: an independent numpy
+    recomputation of the whole composition — biased covariance → eigh →
+    top-8 sign-normalized whitened projection → deterministic Lloyd
+    (smallest-id init, 6dp centroid rounding, smallest-cid ties) →
+    within-cluster cosine pairs at tau=0.5 — must agree pair-for-pair."""
+    import numpy as np
+
+    from arrow_ballista_spark.queries import load_all
+
+    out = (
+        load_all()["ext_dedup_semantic_whitened"]
+        .spark(spark, SF_DIR)
+        .collect()
+    )
+    got = {(r.id_a, r.id_b): (r.cluster, r.cosine) for r in out}
+
+    rows = sorted(
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    ids = np.array([r[0] for r in rows])
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    mean = X.mean(axis=0)
+    cov = np.cov(X.T, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:8]
+    W = vecs[:, order].T.copy()
+    for i in range(8):
+        j = int(np.abs(W[i]).argmax())
+        if W[i, j] < 0:
+            W[i] = -W[i]
+    W = W / np.sqrt(np.maximum(vals[order], 1e-12))[:, None]
+    P = (X - mean) @ W.T
+
+    cents = P[:8].copy()  # ids are sorted: smallest-id init
+    for it in range(2):
+        d = ((P[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # first min == smallest-cid tie-break
+        if it < 1:
+            cents = np.array(
+                [
+                    np.round(P[assign == c].mean(axis=0), 6)
+                    for c in range(8)
+                ]
+            )
+    norms = np.linalg.norm(P, axis=1)
+    expect = {}
+    for c in range(8):
+        members = np.where(assign == c)[0]
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                a, b = members[ai], members[bi]
+                cos = float(
+                    P[a] @ P[b] / max(norms[a] * norms[b], 1e-300)
+                )
+                if cos >= 0.5:
+                    ia, ib = int(ids[a]), int(ids[b])
+                    if ia > ib:
+                        ia, ib = ib, ia
+                    expect[(ia, ib)] = (c, cos)
+
+    assert set(got) == set(expect)
+    for pair, (cl, cos) in got.items():
+        assert expect[pair][0] == cl
+        assert abs(expect[pair][1] - cos) < 1e-5
+
+
+def test_pca_project_survives_empty_partitions(spark):
+    """mapInPandas receives an empty batch for every empty partition; the
+    projection body must skip it rather than raise on a (0,)-shaped
+    ndarray (2 rows over 16 partitions → 14 empty batches)."""
+    from arrow_ballista_spark.operators import pca
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [4.0, 5.0, 6.0])] * 3,
+        "vec_id long, v array<double>",
+    ).repartition(16)
+    rows = pca.pca_project(df, "v", "vec_id", k=2).collect()
+    assert len(rows) == 6 and all(len(r.proj) == 2 for r in rows)

@@ -133,3 +133,25 @@ def test_regexp_match_capture_groups(spark):
     assert row.worded == ["apple", "12"]
     assert row.noncapture == ["bar"]  # (?:...) is not a capture group
     assert row.miss is None
+
+
+def test_regexp_match_nonparticipating_and_named_groups(spark):
+    """DataFusion/Postgres yield NULL for a capture group that did not
+    participate in the match — '(a)|(b)' on 'a' is ['a', NULL], not
+    ['a', ''] — and '(?<name>...)' named groups capture like numbered
+    ones.  An empty-but-participating group stays '' (not NULL)."""
+    from arrow_ballista_spark.functions.compat import regexp_match
+
+    df = spark.createDataFrame([("a", "xy")], "s string, t string")
+    row = df.select(
+        regexp_match("s", r"(a)|(b)").alias("alt"),
+        regexp_match("s", r"(a)(b?)").alias("empty_part"),
+        regexp_match("t", r"(?<first>x)(?<second>y)").alias("named"),
+        regexp_match("s", r"(q)|(a)").alias("alt2"),
+        regexp_match("s", r"(b)?(a)").alias("opt"),
+    ).collect()[0]
+    assert row.alt == ["a", None]
+    assert row.empty_part == ["a", ""]  # participated, matched empty
+    assert row.named == ["x", "y"]
+    assert row.alt2 == [None, "a"]
+    assert row.opt == [None, "a"]

@@ -241,6 +241,57 @@ def test_iterative_operators_reliable_checkpoint_dir(spark, tmp_path):
     assert km_dur == km_base
 
 
+def test_reliable_checkpoint_tracked_and_released(spark, tmp_path):
+    """Written rdd-* checkpoint dirs are recorded and
+    release_checkpoints() deletes them — Spark only auto-cleans when
+    spark.cleaner.referenceTracking.cleanCheckpoints is set, so a
+    multi-hour pipeline without this helper accumulates one frame per
+    round on durable storage."""
+    import glob as _glob
+
+    from arrow_ballista_spark.operators.caching import (
+        release_checkpoints,
+        reliable_checkpoint,
+    )
+
+    ckpt = str(tmp_path / "ckpt_rel")
+    df = spark.range(100)
+    out = reliable_checkpoint(df, ckpt)
+    assert out.count() == 100
+    written = _glob.glob(f"{ckpt}/*/rdd-*")
+    assert written, "no durable checkpoint written"
+    assert release_checkpoints() >= 1
+    assert not _glob.glob(f"{ckpt}/*/rdd-*"), "checkpoint files not deleted"
+    assert release_checkpoints() == 0  # idempotent
+
+
+def test_reliable_checkpoint_concurrent_dir_conflict(spark, tmp_path):
+    """setCheckpointDir is session-global: switching the dir while
+    another reliable checkpoint is in flight must raise instead of
+    silently checkpointing into the other job's directory."""
+    import pytest as _pytest
+
+    from arrow_ballista_spark.operators import caching
+
+    df = spark.range(10)
+    sc = spark.sparkContext
+    dir_a, dir_b = str(tmp_path / "a"), str(tmp_path / "b")
+    # simulate job A mid-checkpoint into dir_a
+    with caching._CKPT_LOCK:
+        state = caching._CKPT_STATE.setdefault(id(sc), [None, 0])
+        state[0], state[1] = dir_a, state[1] + 1
+    try:
+        with _pytest.raises(RuntimeError, match="session-global"):
+            caching.reliable_checkpoint(df, dir_b)
+        # same dir is fine while in flight
+        sc.setCheckpointDir(dir_a)
+        assert caching.reliable_checkpoint(df, dir_a).count() == 10
+    finally:
+        with caching._CKPT_LOCK:
+            caching._CKPT_STATE[id(sc)][1] -= 1
+        caching.release_checkpoints()
+
+
 @given(
     edges=st.lists(
         st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
