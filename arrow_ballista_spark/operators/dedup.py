@@ -224,12 +224,67 @@ def remove_duplicate_spans(
     )
 
 
+def _auto_gram_length(
+    pre: DataFrame,
+    max_dist: int,
+    prefix_len: int,
+    sample_rows: int = 2000,
+) -> int:
+    """Pick the ED-Join gram length from a bounded corpus sample.
+
+    The prefix-filter guarantee is lossless for ANY ``q`` (results are
+    identical), but candidate-join cost is not: on text with a
+    repetitive CHARACTER vocabulary, short grams stop being rare and the
+    probe join quietly goes quadratic (measured 74s vs 9.7s at 10x data
+    for q=4 vs q=12 — SCALING.md round 4).  This replays the r4 manual
+    retune automatically: scan q ascending and take the smallest q whose
+    PROBE grams (each doc's d*q+1 rarest types — the actual join keys)
+    have median sample document-frequency under ``max(4, 0.005*n)``,
+    falling back to the largest q the proof admits
+    ((d+1)*q <= prefix_len).  Smallest passing q wins because k and the
+    short-path population both grow with q.
+
+    Driver cost is bounded and corpus-size independent: one
+    ``limit(sample_rows)`` collect (<= sample_rows * prefix_len chars)
+    plus pure-Python counting; at cluster scale the limit reads a
+    handful of input splits.  Sample composition only tunes performance,
+    never results."""
+    from collections import Counter
+
+    texts = [
+        (r[0] or "")[:prefix_len]
+        for r in pre.limit(sample_rows).collect()
+    ]
+    n = len(texts)
+    bound = max(4.0, 0.005 * n)
+    q_max = max(2, prefix_len // (max_dist + 1))
+    for q in range(2, q_max + 1):
+        dfc: Counter = Counter()
+        doc_grams = []
+        for t in texts:
+            gs = {t[i : i + q] for i in range(max(len(t) - q + 1, 0))}
+            doc_grams.append(gs)
+            dfc.update(gs)
+        k = max_dist * q + 1
+        probe_dfs = []
+        for gs in doc_grams:
+            if not gs:
+                continue
+            rare = sorted(gs, key=lambda g: (dfc[g], g))[:k]
+            probe_dfs.extend(dfc[g] for g in rare)
+        if probe_dfs:
+            probe_dfs.sort()
+            if probe_dfs[len(probe_dfs) // 2] <= bound:
+                return q
+    return q_max
+
+
 def editdist_duplicate_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     max_dist: int = 2,
-    q: int = 4,
+    q: int | str = 4,
     prefix_len: int = 40,
 ) -> DataFrame:
     """Fuzzy short-string dedup: pairs whose first ``prefix_len`` chars
@@ -266,12 +321,17 @@ def editdist_duplicate_pairs(
     Oracle caveat: Spark's ``levenshtein`` counts Unicode codepoints,
     DuckDB's counts BYTES — identical on ASCII (the fixtures), divergent
     on multi-byte text; pin oracles to ASCII columns."""
-    k = max_dist * q + 1
-    min_long = (max_dist + 1) * q  # shortest length the gram proof covers
     pre = df.select(
         F.col(id_col), F.substring(F.col(text_col), 1, prefix_len).alias("_pre")
     )
     pre = tracked_persist(pre)
+    if q == "auto":
+        # per-run retune from a bounded sample — see _auto_gram_length
+        q = _auto_gram_length(
+            pre.select(F.col("_pre")), max_dist, prefix_len
+        )
+    k = max_dist * q + 1
+    min_long = (max_dist + 1) * q  # shortest length the gram proof covers
 
     def verify(cand: DataFrame) -> DataFrame:
         # threshold-banded levenshtein: O(len*d) per pair instead of

@@ -2287,12 +2287,14 @@ WHERE levenshtein(a.pre, b.pre) <= 2
 def ext_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # q is engine-internal (the oracle is the all-pairs definition, so
-    # any q gives identical results); the documents fixture is long-text,
-    # so use the maximal gram length with (d+1)*q <= prefix_len — longer
-    # grams are rarer, and rarer probe grams shrink candidate buckets
-    # (measured 74s -> 9.7s at 10x data, q=4 -> q=12, same 2600 pairs)
+    # any q gives identical results) and auto-tuned per run from a
+    # bounded corpus sample: the smallest gram length whose probe grams
+    # are rare enough to keep candidate buckets bounded (the r4 manual
+    # 74s -> 9.7s q=4 -> q=12 retune at 10x data, now derived so a
+    # repetitive character vocabulary can't recreate the cliff —
+    # operators/dedup.py:_auto_gram_length)
     return dedup.editdist_duplicate_pairs(
-        docs, "text", "doc_id", max_dist=2, q=12, prefix_len=40
+        docs, "text", "doc_id", max_dist=2, q="auto", prefix_len=40
     )
 
 

@@ -100,9 +100,42 @@ CHECKSUM_VARIANTS = [
 ]
 
 
+def _semantic_scaledk(spark, sf_dir):
+    """SemDeDup with the documented k ~ sqrt(n) policy + the vectorized
+    scale kernels — the configuration a 100 TB run would use, vs the
+    oracle entry's pinned k=8 (deterministic but quadratic-per-cluster
+    as data grows: 10x data at fixed k is 100x pairs per cluster).
+    Benched so SCALING.md's ratio reflects the policy, not the pin."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from arrow_ballista_spark.catalog import load_table
+    from arrow_ballista_spark.operators.kmeans import semantic_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = max(8, int(math.sqrt(emb.count())))
+    out = semantic_dedup_pairs(emb, k=k, iters=2, tau=0.35, vectorized=True)
+    # checksum sink: the pair count shrinks as k grows (tighter clusters),
+    # so reduce to one row and keep the timing about the compute
+    return out.select(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("bit_xor(xxhash64(id_a, id_b))").alias("checksum"),
+    )
+
+
+#: Bench-only variants that aren't registry entries (no oracle — they
+#: re-run a registry operator under its documented scale configuration).
+EXTRA_VARIANTS = {
+    "ext_dedup_semantic__scaledk": _semantic_scaledk,
+}
+
+
 def _bench_frame(reg, name, spark, sf_dir):
     """Build the DataFrame a bench sample times; ``__cs`` variants wrap
     the base query in the checksum sink."""
+    if name in EXTRA_VARIANTS:
+        return EXTRA_VARIANTS[name](spark, sf_dir)
     if name.endswith("__cs"):
         from pyspark.sql import functions as F
 
@@ -152,10 +185,15 @@ def main() -> None:
         if cs in reg:
             names.insert(names.index(cs) + 1 if cs in names else len(names),
                          cs + "__cs")
+    for extra in EXTRA_VARIANTS:
+        base = extra.split("__")[0]
+        names.insert(
+            names.index(base) + 1 if base in names else len(names), extra
+        )
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if only:  # comma-separated subset, e.g. the 100x headline runs
         keep = {s.strip() for s in only.split(",")}
-        names = [n for n in names if n in keep or n.removesuffix("__cs") in keep]
+        names = [n for n in names if n in keep or n.split("__")[0] in keep]
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "1"))
 

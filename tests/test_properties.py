@@ -241,6 +241,107 @@ def test_iterative_operators_reliable_checkpoint_dir(spark, tmp_path):
     assert km_dur == km_base
 
 
+def test_cc_survives_source_deletion_after_checkpoint(spark, tmp_path):
+    """The durable-checkpoint claim, exercised: after one materializing
+    action, a connected_components frame built with checkpoint_dir= must
+    recompute from the checkpoint FILES — proven by deleting the source
+    parquet and every tracked cache, then re-collecting the same frame.
+    Without truncation-at-checkpoint the re-collect would die scanning
+    the deleted source (executor-loss recovery at cluster scale is the
+    same recomputation path)."""
+    import shutil
+
+    from arrow_ballista_spark.operators.caching import (
+        release_caches,
+        release_checkpoints,
+    )
+    from arrow_ballista_spark.operators.dedup import connected_components
+
+    src = str(tmp_path / "pairs_src")
+    spark.createDataFrame(
+        [(i, i + 1) for i in range(30)] + [(50, 51)],
+        "id_a long, id_b long",
+    ).write.parquet(src)
+    ckpt = str(tmp_path / "ckpt_durable")
+    out = connected_components(
+        spark.read.parquet(src), checkpoint_dir=ckpt
+    )
+    first = {r.id: r.cluster_id for r in out.collect()}
+    shutil.rmtree(src)
+    release_caches()  # drop the tracked persists so nothing masks
+    second = {r.id: r.cluster_id for r in out.collect()}
+    assert second == first
+    assert set(first.values()) == {0, 50}
+    release_checkpoints()
+
+
+def test_cc_completes_through_injected_task_failure(tmp_path):
+    """Failure injection end-to-end: a once-failing mapper in the CC
+    input (fails every task until a flag file exists) under
+    master=local[4,2] — task retries are only enabled via the second
+    local[] argument — must complete and produce correct clusters with
+    durable checkpoints on.  Runs in a subprocess: the shared test
+    session's master can't be changed in-JVM.  (Reference analogue:
+    executor-loss stage rollback, ballista/scheduler/src/planner.rs:
+    259-283.)"""
+    import subprocess
+    import sys
+
+    script = tmp_path / "inject.py"
+    flag = tmp_path / "failed_once.flag"
+    ckpt = tmp_path / "ckpt"
+    script.write_text(
+        f"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[4,2]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("cc-failure-injection")
+    .getOrCreate()
+)
+from arrow_ballista_spark.operators.dedup import connected_components
+
+pairs = spark.createDataFrame(
+    [(i, i + 1) for i in range(20)] + [(100, 101)],
+    "id_a long, id_b long",
+)
+
+def fail_once(batches):
+    import os
+    flag = {str(flag)!r}
+    for pdf in batches:
+        if not os.path.exists(flag):
+            open(flag, "w").write("x")
+            raise RuntimeError("injected task failure")
+        yield pdf
+
+flaky = pairs.mapInPandas(fail_once, pairs.schema)
+out = connected_components(flaky, checkpoint_dir={str(ckpt)!r})
+got = sorted((r.id, r.cluster_id) for r in out.collect())
+clusters = set(c for _, c in got)
+assert clusters == {{0, 100}}, clusters
+assert len(got) == 23, got
+print("INJECTION_RECOVERED")
+"""
+    )
+    proc = subprocess.run(
+        [sys.executable, str(script)],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=str(tmp_path),
+    )
+    assert "INJECTION_RECOVERED" in proc.stdout, (
+        proc.stdout[-2000:],
+        proc.stderr[-2000:],
+    )
+    assert flag.exists()  # the failure really fired
+
+
 def test_reliable_checkpoint_tracked_and_released(spark, tmp_path):
     """Written rdd-* checkpoint dirs are recorded and
     release_checkpoints() deletes them — Spark only auto-cleans when
@@ -672,7 +773,7 @@ def test_vectorized_kmeans_labels_survive_empty_cluster(spark):
         min_size=2,
         max_size=18,
     ),
-    q=st.sampled_from([2, 3, 4]),
+    q=st.sampled_from([2, 3, 4, "auto"]),
     d=st.sampled_from([1, 2]),
 )
 @_SLOW
@@ -680,7 +781,8 @@ def test_editdist_pairs_match_bruteforce(spark, texts, q, d):
     """editdist_duplicate_pairs == brute-force all-pairs levenshtein for
     random short strings over a tiny alphabet (maximal gram collisions,
     strings straddling the short/long path boundary, runs of spaces) —
-    the lossless-blocking claim under adversarial inputs."""
+    the lossless-blocking claim under adversarial inputs, including the
+    q='auto' per-run gram-length derivation."""
     import pyspark.sql.functions as SF
 
     from arrow_ballista_spark.operators.dedup import editdist_duplicate_pairs
