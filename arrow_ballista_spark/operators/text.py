@@ -327,3 +327,125 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+# The Gopher rules' stopword probe (Rae et al. 2021 §A1.1: "must contain
+# at least 2 of the, be, to, of, and, that, have, with").
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, "Scaling Language
+    Models: ... Gopher", appendix A1.1 — the public rule set MassiveWeb
+    used; also the backbone of RefinedWeb/FineWeb filtering): per-doc
+    metrics plus one ``keep`` flag:
+
+    - ``n_words`` in [50, 100_000]
+    - ``mean_word_len`` in [3, 10]
+    - ``hash_ellipsis_ratio`` (# + "..." occurrences per word) <= 0.1
+    - ``bullet_line_frac`` (lines starting with a bullet) <= 0.9
+    - ``ellipsis_line_frac`` (lines ending in "...") <= 0.3
+    - ``alpha_word_frac`` (words containing a letter) >= 0.8
+    - ``stopword_hits`` (distinct Gopher stopwords present) >= 2
+
+    Pure JVM column expressions (split/size/regexp over token and line
+    arrays) — map-only, scan-speed at 100 TB, and every metric is
+    SQL-expressible so the whole rule set value-oracles in DuckDB.
+    Thresholds are the paper's; they are parameters of the PLAN (change
+    them per corpus), not of the operator."""
+    t = F.col(text_col)
+    words = F.split(t, " +")
+    n_words = F.size(F.filter(words, lambda w: w != ""))
+    mean_wl = F.aggregate(
+        F.filter(words, lambda w: w != ""),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w),
+    ) / F.nullif(n_words, F.lit(0))
+    n_hash = F.size(F.split(t, "#", -1)) - 1
+    n_ellipsis = F.size(F.split(t, r"\.\.\.", -1)) - 1
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"^\s*([*•-])\s"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"\.\.\.\s*$"))
+    )
+    alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(
+                F.transform(words, lambda w: F.lower(w))
+            ),
+            F.array([F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    m = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        ((n_hash + n_ellipsis) / F.nullif(n_words, F.lit(0))).alias(
+            "hash_ellipsis_ratio"
+        ),
+        (bullet_lines / F.nullif(n_lines, F.lit(0))).alias(
+            "bullet_line_frac"
+        ),
+        (ellipsis_lines / F.nullif(n_lines, F.lit(0))).alias(
+            "ellipsis_line_frac"
+        ),
+        (alpha_words / F.nullif(n_words, F.lit(0))).alias(
+            "alpha_word_frac"
+        ),
+        stop_hits.alias("stopword_hits"),
+    )
+    keep = (
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.coalesce(F.col("hash_ellipsis_ratio"), F.lit(1.0)) <= 0.1)
+        & (F.coalesce(F.col("bullet_line_frac"), F.lit(1.0)) <= 0.9)
+        & (F.coalesce(F.col("ellipsis_line_frac"), F.lit(1.0)) <= 0.3)
+        & (F.coalesce(F.col("alpha_word_frac"), F.lit(0.0)) >= 0.8)
+        & (F.col("stopword_hits") >= 2)
+    )
+    return m.withColumn("keep", keep.cast("int"))
+
+
+def c4_clean(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2 — the
+    public heuristics behind the Colossal Clean Crawled Corpus):
+
+    - keep only lines that end in terminal punctuation (. ! ? ")
+      and contain at least 3 whitespace words;
+    - drop lines containing the token "javascript" (case-insensitive);
+    - doc-level flags: ``has_lorem_ipsum`` and ``has_curly_brace``
+      (C4 drops such docs outright);
+    - ``clean_text`` is the surviving lines re-joined with newlines,
+      ``kept_lines`` / ``total_lines`` the audit counts.
+
+    Everything is JVM array expressions over ``split(text, '\\n')`` —
+    map-only, no shuffle, scan-speed at 100 TB; the line predicate and
+    the re-join are SQL-expressible so the operator value-oracles in
+    DuckDB.  Deduplication of repeated three-sentence spans (C4's other
+    rule) is the GLOBAL pass — see remove_duplicate_spans."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    keep_line = (
+        lambda ln: ln.rlike(r'[.!?"]\s*$')
+        & (F.size(F.split(F.trim(ln), " +")) >= 3)
+        & ~F.lower(ln).contains("javascript")
+    )
+    kept = F.filter(lines, keep_line)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(kept).alias("kept_lines"),
+        F.size(lines).alias("total_lines"),
+        F.lower(t).contains("lorem ipsum").cast("int").alias(
+            "has_lorem_ipsum"
+        ),
+        t.contains("{").cast("int").alias("has_curly_brace"),
+    )

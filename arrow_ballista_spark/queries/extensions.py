@@ -2156,6 +2156,130 @@ def ext_dedup_semantic_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_quality_c4_clean",
+    """
+WITH base AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents
+), k AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines, ln ->
+           regexp_matches(ln, '[.!?"]\\s*$')
+           AND len(list_filter(string_split_regex(trim(ln), ' +'),
+                               w -> w <> '')) >= 3
+           AND NOT contains(lower(ln), 'javascript')) AS kept
+  FROM base
+)
+SELECT doc_id,
+       list_aggregate(kept, 'string_agg', chr(10)) AS clean_text,
+       CAST(len(kept) AS INT) AS kept_lines,
+       CAST(len(lines) AS INT) AS total_lines,
+       CAST(contains(lower(text), 'lorem ipsum') AS INT) AS has_lorem_ipsum,
+       CAST(contains(text, '{') AS INT) AS has_curly_brace
+FROM k
+""",
+    doc=(
+        "C4 line-level cleaning (Raffel et al. 2020 §2.2, the public "
+        "Colossal-Clean-Crawled-Corpus heuristics): keep lines ending in "
+        "terminal punctuation with >= 3 words and no 'javascript', "
+        "re-join the survivors, and flag lorem-ipsum / curly-brace docs "
+        "for doc-level drops (operators/text.py:c4_clean).  Map-only "
+        "array expressions, no shuffle; value-oracled incl. the "
+        "reconstructed clean_text."
+    ),
+)
+def ext_quality_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.c4_clean(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        # array_join of an empty array is '' while DuckDB string_agg over
+        # an empty list is NULL — normalize the empty case to NULL
+        F.when(F.col("kept_lines") > 0, F.col("clean_text")).alias(
+            "clean_text"
+        ),
+        F.col("kept_lines").cast("int").alias("kept_lines"),
+        F.col("total_lines").cast("int").alias("total_lines"),
+        "has_lorem_ipsum",
+        "has_curly_brace",
+    )
+
+
+@query(
+    "ext_quality_gopher_rules",
+    f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, ' +'), w -> w <> '') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    CAST(list_sum(list_transform(words, w -> len(w))) AS DOUBLE)
+      / nullif(len(words), 0) AS mean_word_len,
+    CAST(len(text) - len(replace(text, '#', ''))
+         + (len(text) - len(replace(text, '...', ''))) / 3 AS DOUBLE)
+      / nullif(len(words), 0) AS hash_ellipsis_ratio,
+    CAST(len(list_filter(lines,
+         ln -> regexp_matches(ln, '^\\s*[*•-]\\s'))) AS DOUBLE)
+      / nullif(len(lines), 0) AS bullet_line_frac,
+    CAST(len(list_filter(lines,
+         ln -> regexp_matches(ln, '\\.\\.\\.\\s*$'))) AS DOUBLE)
+      / nullif(len(lines), 0) AS ellipsis_line_frac,
+    CAST(len(list_filter(words,
+         w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+      / nullif(len(words), 0) AS alpha_word_frac,
+    len(list_intersect(
+        list_distinct(list_transform(words, w -> lower(w))),
+        ['the','be','to','of','and','that','have','with'])) AS stopword_hits
+  FROM base
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       {R("mean_word_len", 4)} AS mean_word_len,
+       {R("hash_ellipsis_ratio", 4)} AS hash_ellipsis_ratio,
+       {R("bullet_line_frac", 4)} AS bullet_line_frac,
+       {R("ellipsis_line_frac", 4)} AS ellipsis_line_frac,
+       {R("alpha_word_frac", 4)} AS alpha_word_frac,
+       CAST(stopword_hits AS INT) AS stopword_hits,
+       CASE WHEN n_words BETWEEN 50 AND 100000
+             AND mean_word_len BETWEEN 3 AND 10
+             AND coalesce(hash_ellipsis_ratio, 1.0) <= 0.1
+             AND coalesce(bullet_line_frac, 1.0) <= 0.9
+             AND coalesce(ellipsis_line_frac, 1.0) <= 0.3
+             AND coalesce(alpha_word_frac, 0.0) >= 0.8
+             AND stopword_hits >= 2
+            THEN 1 ELSE 0 END AS keep
+FROM m
+""",
+    doc=(
+        "Gopher document-quality rules (Rae et al. 2021 appendix A1.1 — "
+        "the public MassiveWeb filter set, reused by RefinedWeb/FineWeb): "
+        "word-count band, mean word length, #/ellipsis density, bullet "
+        "and ellipsis line fractions, alphabetic-word fraction, and the "
+        "2-of-8 stopword probe, composed into one keep flag "
+        "(operators/text.py:gopher_quality).  Pure JVM column "
+        "expressions over token/line arrays — map-only, scan-speed; "
+        "every metric value-oracled in DuckDB with the R() portable "
+        "rounding."
+    ),
+)
+def ext_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = text.gopher_quality(docs, "text", "doc_id")
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        cround("mean_word_len", 4).alias("mean_word_len"),
+        cround("hash_ellipsis_ratio", 4).alias("hash_ellipsis_ratio"),
+        cround("bullet_line_frac", 4).alias("bullet_line_frac"),
+        cround("ellipsis_line_frac", 4).alias("ellipsis_line_frac"),
+        cround("alpha_word_frac", 4).alias("alpha_word_frac"),
+        F.col("stopword_hits").cast("int").alias("stopword_hits"),
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
+@query(
     "ext_quality_lm_perplexity",
     f"""
 WITH toks AS (

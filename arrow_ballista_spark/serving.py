@@ -125,3 +125,102 @@ def start_connect_server(
             "endpoint, ballista/scheduler/src/flight_sql.rs:485-870)."
         ) from e
     return ConnectServerHandle(jvm, port)
+
+
+class FlightSQLHandle:
+    """Handle for :func:`start_flight_server` — gRPC location + stop()."""
+
+    def __init__(self, server, port: int):
+        self._server = server
+        self.port = port
+
+    @property
+    def location(self) -> str:
+        return f"grpc://localhost:{self.port}"
+
+    def stop(self) -> None:
+        self._server.shutdown()
+
+
+def start_flight_server(spark: SparkSession, port: int = 0) -> FlightSQLHandle:
+    """Serve this session's SQL surface over ARROW FLIGHT — the same wire
+    protocol the reference's embedded endpoint speaks
+    (``ballista/scheduler/src/flight_sql.rs:485-870``): gRPC transport,
+    Arrow record-batch result streams, get_flight_info/do_get handshake.
+
+    Protocol (the Flight SQL statement-query shape, minus the protobuf
+    command envelope — any ``pyarrow.flight`` client can drive it):
+
+    - ``get_flight_info(descriptor)``: the descriptor ``command`` bytes
+      (or path[0]) are a SQL string; returns a FlightInfo whose single
+      endpoint's ticket replays that SQL.
+    - ``do_get(ticket)``: executes the SQL on the SparkSession and
+      streams the result as Arrow batches (``DataFrame.toArrow`` — the
+      Arrow IPC conversion is Spark's, zero re-encoding here).
+    - ``list_flights``: one entry per catalog table/temp view.
+    - ``get_schema``: result schema without executing (``spark.sql``
+      analysis only, no job).
+
+    The server thread pool executes each do_get as a normal Spark action
+    — concurrency, scheduling, and memory limits are the session's.
+    Results materialize on the driver before streaming (a serving
+    endpoint's contract); large extracts should go through the parquet
+    sinks instead.  ``port=0`` binds an OS-assigned free port (tests).
+    """
+    try:
+        import pyarrow.flight as flight
+    except Exception as e:  # pragma: no cover — stripped pyarrow builds
+        raise RuntimeError(
+            "pyarrow.flight unavailable — cannot serve Arrow Flight "
+            "(reference analogue: flight_sql.rs)."
+        ) from e
+
+    class _Server(flight.FlightServerBase):
+        def __init__(self, location):
+            super().__init__(location)
+            self._spark = spark
+
+        def _sql_from_descriptor(self, descriptor) -> str:
+            if descriptor.command:
+                return descriptor.command.decode("utf-8")
+            if descriptor.path:
+                return descriptor.path[0].decode("utf-8")
+            raise flight.FlightServerError("empty flight descriptor")
+
+        def get_flight_info(self, context, descriptor):
+            sql = self._sql_from_descriptor(descriptor)
+            schema = self._spark.sql(sql).schema  # analysis only, no job
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            endpoint = flight.FlightEndpoint(
+                sql.encode("utf-8"),
+                [flight.Location.for_grpc_tcp("localhost", self.port)],
+            )
+            return flight.FlightInfo(
+                to_arrow_schema(schema), descriptor, [endpoint], -1, -1
+            )
+
+        def get_schema(self, context, descriptor):
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            sql = self._sql_from_descriptor(descriptor)
+            return flight.SchemaResult(
+                to_arrow_schema(self._spark.sql(sql).schema)
+            )
+
+        def do_get(self, context, ticket):
+            sql = ticket.ticket.decode("utf-8")
+            table = self._spark.sql(sql).toArrow()
+            return flight.RecordBatchStream(table)
+
+        def list_flights(self, context, criteria):
+            for row in self._spark.sql("SHOW TABLES").collect():
+                name = row.tableName
+                sql = f"SELECT * FROM {name}"
+                desc = flight.FlightDescriptor.for_command(
+                    sql.encode("utf-8")
+                )
+                yield self.get_flight_info(context, desc)
+
+    server = _Server(f"grpc://0.0.0.0:{port}")
+    return FlightSQLHandle(server, server.port)

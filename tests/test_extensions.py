@@ -616,3 +616,55 @@ def test_pca_project_survives_empty_partitions(spark):
     ).repartition(16)
     rows = pca.pca_project(df, "v", "vec_id", k=2).collect()
     assert len(rows) == 6 and all(len(r.proj) == 2 for r in rows)
+
+
+def test_gopher_quality_edge_cases(spark):
+    """Each Gopher rule must fire on its planted violation and the clean
+    long doc must pass — plus the empty-text row must survive (keep=0,
+    no division error under ANSI mode)."""
+    from arrow_ballista_spark.operators.text import gopher_quality
+
+    good = ("the data pipeline processes documents with care and that "
+            "makes results have quality " * 5) + "extra words appended here"
+    rows = [
+        (1, good),                                  # passes all rules
+        (2, "short text"),                          # word count < 50
+        (3, "#" * 30 + " " + ("the of and that have with be to " * 8)),  # hash ratio
+        (4, "\n".join(f"- bullet {i} the of and" for i in range(20))),   # bullets
+        (5, ""),                                    # empty
+        (6, ("123 456 789 " * 30) + "the of"),      # alpha frac + stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_quality(df, "text", "doc_id").collect()}
+    assert got[1].keep == 1, got[1]
+    assert got[2].keep == 0 and got[2].n_words < 50
+    assert got[3].keep == 0 and got[3].hash_ellipsis_ratio > 0.1
+    assert got[4].keep == 0 and got[4].bullet_line_frac > 0.9
+    assert got[5].keep == 0 and got[5].n_words == 0
+    assert got[6].keep == 0 and got[6].alpha_word_frac < 0.8
+
+
+def test_c4_clean_line_rules(spark):
+    """Planted lines: terminal-punctuation keep, short-line drop,
+    javascript drop, lorem-ipsum/brace flags, empty-survivor doc."""
+    from arrow_ballista_spark.operators.text import c4_clean
+
+    doc1 = ("This sentence survives the filter.\n"
+            "too short.\n"
+            "No terminal punctuation here\n"
+            "Enable javascript to view this page.\n"
+            'He said "stop right there."\n')
+    rows = [
+        (1, doc1),
+        (2, "lorem ipsum dolor sit amet.\nvar x = {a: 1}"),
+        (3, "no lines qualify here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_clean(df, "text", "doc_id").collect()}
+    assert got[1].kept_lines == 2
+    assert got[1].clean_text.splitlines() == [
+        "This sentence survives the filter.",
+        'He said "stop right there."',
+    ]
+    assert got[2].has_lorem_ipsum == 1 and got[2].has_curly_brace == 1
+    assert got[3].kept_lines == 0

@@ -89,3 +89,42 @@ def test_connect_server_starts_and_listens(spark):
             handle.stop()
         except Exception:
             pass
+
+
+def test_flight_server_roundtrip(spark):
+    """Arrow Flight endpoint (the reference's actual wire protocol,
+    flight_sql.rs:485-870): full client round-trip with pyarrow.flight —
+    get_flight_info for the schema + endpoint, do_get streaming the
+    result as Arrow batches, list_flights enumerating the catalog."""
+    import pyarrow.flight as flight
+
+    from arrow_ballista_spark import serving
+
+    spark.createDataFrame(
+        [(0, "AFRICA"), (1, "AMERICA"), (2, "ASIA")],
+        "r_regionkey long, r_name string",
+    ).createOrReplaceTempView("flight_region")
+    handle = serving.start_flight_server(spark, port=0)
+    try:
+        client = flight.connect(handle.location)
+        desc = flight.FlightDescriptor.for_command(
+            b"SELECT r_regionkey, upper(r_name) AS r_name "
+            b"FROM flight_region WHERE r_regionkey < 2 ORDER BY 1"
+        )
+        info = client.get_flight_info(desc)
+        assert [f.name for f in info.schema] == ["r_regionkey", "r_name"]
+        table = client.do_get(info.endpoints[0].ticket).read_all()
+        assert table.column("r_name").to_pylist() == ["AFRICA", "AMERICA"]
+        assert table.column("r_regionkey").to_pylist() == [0, 1]
+        # schema-only path runs no job
+        sch = client.get_schema(desc).schema
+        assert sch.names == ["r_regionkey", "r_name"]
+        # catalog enumeration includes the temp view
+        cmds = [
+            fi.descriptor.command.decode()
+            for fi in client.list_flights()
+        ]
+        assert any("flight_region" in c for c in cmds)
+    finally:
+        spark.catalog.dropTempView("flight_region")
+        handle.stop()
