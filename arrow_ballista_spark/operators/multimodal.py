@@ -36,15 +36,132 @@ FEATURE_SCHEMA = (
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_len int, frame_md5 string"
 
 
-def decode_image(blob: bytes) -> object:
-    """REAL image decode — intentionally stubbed.
+def decode_ppm(blob: bytes):
+    """Decode binary PPM (P6) — pure numpy, no codec library.
 
-    The container has no image/audio libraries (no PIL / cv2 / soundfile).
-    In production this body is ``PIL.Image.open(io.BytesIO(blob))``; here
-    any caller that needs true pixel data must inject its own decoder.
-    """
+    Returns an (h, w, 3) uint8 array.  PPM is the uncompressed
+    interchange format every image toolchain can emit; supporting it
+    natively means the decode path is REAL end-to-end for raw imagery
+    and only compressed codecs (PNG/JPEG) stay environment-gated."""
+    import numpy as np
+
+    if not blob.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    fields: list[bytes] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(blob) and blob[i : i + 1].isspace():
+            i += 1
+        if blob[i : i + 1] == b"#":  # comment to end of line
+            while i < len(blob) and blob[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(blob) and not blob[j : j + 1].isspace():
+            j += 1
+        fields.append(blob[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = (int(f) for f in fields)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    px = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=i)
+    return px.reshape(h, w, 3).copy()
+
+
+def decode_bmp(blob: bytes):
+    """Decode uncompressed 24-bit BI_RGB BMP — pure struct/numpy.
+
+    Returns an (h, w, 3) uint8 RGB array (BMP stores BGR bottom-up with
+    rows padded to 4 bytes; both are undone here)."""
+    import struct
+
+    import numpy as np
+
+    if not blob.startswith(b"BM"):
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", blob, 10)[0]
+    w, h = struct.unpack_from("<ii", blob, 18)
+    bpp = struct.unpack_from("<H", blob, 28)[0]
+    compression = struct.unpack_from("<I", blob, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP is library-free (got bpp={bpp},"
+            f" compression={compression})"
+        )
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        blob, dtype=np.uint8, count=stride * abs(h), offset=data_off
+    ).reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+    if h > 0:  # bottom-up storage
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def decode_wav(blob: bytes):
+    """Decode RIFF/WAVE PCM (8/16/32-bit int) — pure struct/numpy.
+
+    Returns ``(samples, sample_rate)`` with samples shaped
+    (n_frames, n_channels) as float64 in [-1, 1]."""
+    import struct
+
+    import numpy as np
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(blob):
+        cid, size = blob[i : i + 4], struct.unpack_from("<I", blob, i + 4)[0]
+        body = blob[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_ch, rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"only PCM WAV is library-free (format tag {audio_format})"
+        )
+    dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+    raw = np.frombuffer(data, dtype=dtype)
+    raw = raw[: (len(raw) // n_ch) * n_ch].reshape(-1, n_ch)
+    if bits == 8:  # unsigned, offset binary
+        samples = (raw.astype(np.float64) - 128.0) / 128.0
+    else:
+        samples = raw.astype(np.float64) / float(2 ** (bits - 1))
+    return samples, rate
+
+
+def resize_nearest(img, out_w: int, out_h: int):
+    """Nearest-neighbor resize of an (h, w, c) array — pure numpy index
+    math, the classic pre-augmentation thumbnail step."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+def decode_image(blob: bytes) -> object:
+    """Image decode: REAL for library-free raw formats (P6 PPM,
+    uncompressed 24-bit BMP); compressed codecs stay environment-gated.
+
+    The container has no image codec libraries (no PIL / cv2), so
+    PNG/JPEG/WebP raise ``NotImplementedError`` — in production that
+    branch is ``PIL.Image.open(io.BytesIO(blob))``.  The raw-format
+    paths are fully tested (round-trip vs numpy references)."""
+    if blob.startswith(b"P6"):
+        return decode_ppm(blob)
+    if blob.startswith(b"BM"):
+        return decode_bmp(blob)
     raise NotImplementedError(
-        "image/audio codecs are not installed in this environment; "
+        "compressed image codecs (PNG/JPEG/...) are not installed in "
+        "this environment; raw P6 PPM / 24-bit BMP decode natively, or "
         "use fake_decode_meta() for deterministic plumbing tests"
     )
 
@@ -127,3 +244,95 @@ def sample_frames(
             )
 
     return df.select(id_col, "blob").mapInPandas(fs, FRAME_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, "
+    "mean_r double, mean_g double, mean_b double, thumb_md5 string"
+)
+AUDIO_STATS_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_frames bigint, n_channels int, "
+    "duration_s double, rms double, peak double"
+)
+
+
+def image_stats(
+    df: DataFrame, id_col: str = "doc_id", thumb: int = 8
+) -> DataFrame:
+    """Decode + feature-extract raw images (PPM/BMP blobs) per Arrow
+    batch: dimensions, per-channel means, and the md5 of a ``thumb`` x
+    ``thumb`` nearest-neighbor thumbnail (the dedup fingerprint step of
+    an image pipeline).  Undecodable blobs yield a NULL-width row rather
+    than failing the batch — at 100 TB a corrupt shard must degrade, not
+    abort.  Map-only; blobs never leave the executor."""
+    import numpy as np
+
+    def fe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf["blob"]):
+                try:
+                    img = decode_image(bytes(blob))
+                    t = resize_nearest(img, thumb, thumb)
+                    rows.append(
+                        (
+                            did, img.shape[1], img.shape[0], img.shape[2],
+                            float(img[:, :, 0].mean()),
+                            float(img[:, :, 1].mean()),
+                            float(img[:, :, 2].mean()),
+                            hashlib.md5(
+                                np.ascontiguousarray(t).tobytes()
+                            ).hexdigest(),
+                        )
+                    )
+                except (NotImplementedError, ValueError, KeyError):
+                    rows.append(
+                        (did, None, None, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels",
+                    "mean_r", "mean_g", "mean_b", "thumb_md5",
+                ],
+            )
+
+    return df.select(id_col, "blob").mapInPandas(fe, IMAGE_STATS_SCHEMA)
+
+
+def audio_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode + feature-extract PCM WAV blobs per Arrow batch: sample
+    rate, frame/channel counts, duration, RMS, and peak amplitude — the
+    silence/clipping screens an audio-corpus pipeline runs before
+    transcription.  Undecodable blobs degrade to NULL rows."""
+    import numpy as np
+
+    def fe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf["blob"]):
+                try:
+                    samples, rate = decode_wav(bytes(blob))
+                    rows.append(
+                        (
+                            did, rate, samples.shape[0], samples.shape[1],
+                            samples.shape[0] / rate if rate else None,
+                            float(np.sqrt((samples**2).mean()))
+                            if samples.size
+                            else 0.0,
+                            float(np.abs(samples).max())
+                            if samples.size
+                            else 0.0,
+                        )
+                    )
+                except (NotImplementedError, ValueError, KeyError):
+                    rows.append((did, None, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_frames", "n_channels",
+                    "duration_s", "rms", "peak",
+                ],
+            )
+
+    return df.select(id_col, "blob").mapInPandas(fe, AUDIO_STATS_SCHEMA)

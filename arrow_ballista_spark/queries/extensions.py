@@ -531,6 +531,65 @@ def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(docs, frame_size=256)
 
 
+@query(
+    "ext_multimodal_image_stats",
+    f"""
+WITH px AS (
+  SELECT doc_id, i,
+         ascii(substring(rpad(text, 192, ' '), i, 1)) AS code
+  FROM documents, unnest(generate_series(1, 192)) AS g(i)
+)
+SELECT doc_id,
+       CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       {R("avg(CASE WHEN (i - 1) % 3 = 0 THEN CAST(code AS DOUBLE) END)", 4)}
+         AS mean_r,
+       {R("avg(CASE WHEN (i - 1) % 3 = 1 THEN CAST(code AS DOUBLE) END)", 4)}
+         AS mean_g,
+       {R("avg(CASE WHEN (i - 1) % 3 = 2 THEN CAST(code AS DOUBLE) END)", 4)}
+         AS mean_b
+FROM px GROUP BY doc_id
+""",
+    doc=(
+        "REAL image decode, driver-witnessable: build an 8x8 P6 PPM blob "
+        "per document from its first 192 text bytes (ASCII fixture: byte "
+        "== codepoint), run it through the actual library-free decoder + "
+        "per-channel statistics (operators/multimodal.py:decode_ppm / "
+        "image_stats — header parse, reshape, channel split all real), "
+        "and check against an INDEPENDENT byte-level SQL computation of "
+        "the same channel means.  Compressed codecs (PNG/JPEG) remain "
+        "env-gated; raw PPM/BMP/WAV decode natively.  Map-only Arrow "
+        "batches; blobs never leave the executor."
+    ),
+)
+def ext_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def mk(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "blob": [
+                        b"P6\n8 8\n255\n"
+                        + t.encode("utf-8").ljust(192, b" ")[:192]
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    blobs = docs.mapInPandas(mk, "doc_id bigint, blob binary")
+    out = multimodal.image_stats(blobs, thumb=4)
+    return out.select(
+        "doc_id", "width", "height", "channels",
+        cround("mean_r", 4).alias("mean_r"),
+        cround("mean_g", 4).alias("mean_g"),
+        cround("mean_b", 4).alias("mean_b"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming (Spark-side extension; reference is batch-only,
 # SURVEY.md §2.B.10).  Each runs the incremental plan over all available

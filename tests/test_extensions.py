@@ -668,3 +668,105 @@ def test_c4_clean_line_rules(spark):
     ]
     assert got[2].has_lorem_ipsum == 1 and got[2].has_curly_brace == 1
     assert got[3].kept_lines == 0
+
+
+def _make_ppm(w, h, seed):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, (h, w, 3), dtype="uint8")
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes(), px
+
+
+def _make_bmp(px):
+    """Minimal uncompressed 24-bit BMP from an (h, w, 3) RGB array."""
+    import struct
+
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    for row in px[::-1]:  # bottom-up, BGR, padded
+        body += row[:, ::-1].tobytes() + b"\x00" * (stride - w * 3)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    return header + body
+
+
+def _make_wav(samples16, rate=8000, n_ch=1):
+    import struct
+
+    data = samples16.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_raw_image_decoders_roundtrip():
+    """PPM and BMP decode must reproduce the source pixel array exactly,
+    and resize_nearest must match direct numpy indexing."""
+    import numpy as np
+
+    blob, px = _make_ppm(13, 7, seed=3)
+    out = multimodal.decode_image(blob)
+    assert np.array_equal(out, px)
+    bmp = _make_bmp(px)
+    assert np.array_equal(multimodal.decode_image(bmp), px)
+    small = multimodal.resize_nearest(px, 4, 4)
+    ys = (np.arange(4) * 7 // 4).clip(0, 6)
+    xs = (np.arange(4) * 13 // 4).clip(0, 12)
+    assert np.array_equal(small, px[ys[:, None], xs[None, :]])
+    # compressed codecs remain gated
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_wav_decoder_and_audio_stats(spark):
+    """WAV PCM decode must invert the synthesis (16-bit scaling, frame/
+    channel shape), and the distributed audio_stats stage must agree
+    with the driver-side numpy computation per blob."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = []
+    expect = {}
+    for did in range(3):
+        n = 800 + did * 400
+        s16 = (rng.randn(n) * 8000).clip(-32768, 32767).astype("int16")
+        blob = _make_wav(s16, rate=8000)
+        rows.append((did, bytearray(blob)))
+        f = s16.astype("float64") / 32768.0
+        expect[did] = (n, float(np.sqrt((f**2).mean())), float(np.abs(f).max()))
+    rows.append((99, bytearray(b"not audio at all")))
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r.doc_id: r for r in multimodal.audio_stats(df).collect()}
+    for did, (n, rms, peak) in expect.items():
+        r = got[did]
+        assert (r.sample_rate, r.n_frames, r.n_channels) == (8000, n, 1)
+        assert abs(r.duration_s - n / 8000) < 1e-12
+        assert abs(r.rms - rms) < 1e-12 and abs(r.peak - peak) < 1e-12
+    assert got[99].sample_rate is None  # corrupt blob degrades, not aborts
+
+
+def test_image_stats_distributed(spark):
+    """image_stats over a mixed PPM/BMP/corrupt column: dimensions and
+    channel means must match numpy; identical pixels under different
+    containers (PPM vs BMP) must produce the SAME thumbnail fingerprint
+    (the cross-format dedup property)."""
+    import numpy as np
+
+    blob_a, px = _make_ppm(16, 9, seed=11)
+    rows = [
+        (0, bytearray(blob_a)),
+        (1, bytearray(_make_bmp(px))),   # same pixels, different container
+        (2, bytearray(b"corrupt bytes")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary").repartition(3)
+    got = {r.doc_id: r for r in multimodal.image_stats(df).collect()}
+    assert (got[0].width, got[0].height, got[0].channels) == (16, 9, 3)
+    assert abs(got[0].mean_r - float(px[:, :, 0].mean())) < 1e-9
+    assert got[0].thumb_md5 == got[1].thumb_md5  # cross-format dedup
+    assert got[2].width is None
