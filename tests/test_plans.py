@@ -287,3 +287,28 @@ def test_editdist_candidate_join_is_keyed(spark):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     )
+
+
+def test_quality_filters_are_map_only(spark):
+    """Gopher rules and C4 cleaning are pure per-row column expressions:
+    zero exchanges, zero joins — at 100 TB they run at scan speed."""
+    for name in ("ext_quality_gopher_rules", "ext_quality_c4_clean"):
+        rep = _report(spark, name)
+        assert rep["exchanges"] == 0, (name, rep["exchanges"])
+        assert rep["sortmerge_joins"] == 0, name
+
+
+def test_multimodal_image_stats_map_only(spark):
+    """Blob build + decode + stats are chained mapInPandas stages with no
+    shuffle; blobs never move between executors."""
+    rep = _report(spark, "ext_multimodal_image_stats")
+    assert rep["exchanges"] == 0, rep["exchanges"]
+
+
+def test_pca_project_single_reduce_then_map(spark):
+    """ext_embed_pca_project: the only shuffle is the d^2+d+1-row
+    sufficient-statistics reduce; projection itself is map-only (no join
+    of the point set against anything)."""
+    rep = _report(spark, "ext_embed_pca_project")
+    assert rep["sortmerge_joins"] == 0
+    assert rep["exchanges"] <= 1, rep["exchanges"]
