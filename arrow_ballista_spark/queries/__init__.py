@@ -91,7 +91,7 @@ _HEAD_ROTATION = [
     # -- round-5 changed/new-operator canaries --
     "ext_embed_pca_project", "ext_dedup_semantic_whitened",
     "ext_quality_gopher_rules", "ext_quality_c4_clean",
-    "ext_multimodal_image_stats",
+    "ext_multimodal_image_stats", "ext_multimodal_audio_stats",
     "fn_regex", "ext_dedup_editdist", "ext_dedup_semantic",
     "ext_merge_upsert", "ext_dedup_clusters", "ext_dedup_canonical",
     "ext_embed_covariance", "ext_zorder_key",

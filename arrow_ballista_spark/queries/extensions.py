@@ -590,6 +590,71 @@ def ext_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_multimodal_audio_stats",
+    f"""
+WITH smp AS (
+  SELECT doc_id, j,
+         (ascii(substring(rpad(text, 192, ' '), 2 * j - 1, 1))
+          + 256 * ascii(substring(rpad(text, 192, ' '), 2 * j, 1)))
+           AS raw
+  FROM documents, unnest(generate_series(1, 96)) AS g(j)
+), f AS (
+  SELECT doc_id,
+         CAST(CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END
+              AS DOUBLE) / 32768.0 AS s
+  FROM smp
+)
+SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+       CAST(96 AS BIGINT) AS n_frames, CAST(1 AS INT) AS n_channels,
+       {R("sqrt(avg(s * s))", 6)} AS rms,
+       {R("max(abs(s))", 6)} AS peak
+FROM f GROUP BY doc_id
+""",
+    doc=(
+        "REAL audio decode, driver-witnessable (the WAV twin of "
+        "ext_multimodal_image_stats): synthesize a PCM-16 mono 8 kHz WAV "
+        "blob per document from its first 192 text bytes, decode it with "
+        "the library-free RIFF parser (operators/multimodal.py:"
+        "decode_wav — chunk walk, int16 scaling, channel reshape all "
+        "real) into duration/RMS/peak via the distributed audio_stats "
+        "stage, and check against an independent little-endian int16 "
+        "reconstruction in SQL.  Map-only Arrow batches."
+    ),
+)
+def ext_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def mk(batches):
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        for pdf in batches:
+            blobs = []
+            for t in pdf["text"]:
+                data = t.encode("utf-8").ljust(192, b" ")[:192]
+                blobs.append(
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "blob": blobs}
+            )
+
+    blobs = docs.mapInPandas(mk, "doc_id bigint, blob binary")
+    out = multimodal.audio_stats(blobs)
+    return out.select(
+        "doc_id", "sample_rate", "n_frames", "n_channels",
+        cround("rms", 6).alias("rms"),
+        cround("peak", 6).alias("peak"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming (Spark-side extension; reference is batch-only,
 # SURVEY.md §2.B.10).  Each runs the incremental plan over all available
