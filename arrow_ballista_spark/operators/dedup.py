@@ -228,7 +228,7 @@ def _auto_gram_length(
     pre: DataFrame,
     max_dist: int,
     prefix_len: int,
-    sample_rows: int = 2000,
+    sample_rows: int = 600,
 ) -> int:
     """Pick the ED-Join gram length from a bounded corpus sample.
 
@@ -246,9 +246,12 @@ def _auto_gram_length(
 
     Driver cost is bounded and corpus-size independent: one
     ``limit(sample_rows)`` collect (<= sample_rows * prefix_len chars)
-    plus pure-Python counting; at cluster scale the limit reads a
-    handful of input splits.  Sample composition only tunes performance,
-    never results."""
+    plus pure-Python counting over a SMALL candidate grid — measured
+    ~2s at the original 2000-row/every-q setting (it dominated the
+    sf0.1 bench time of the whole operator), ~0.2s at 600 rows x 5
+    candidates; at cluster scale the limit reads a handful of input
+    splits.  Sample composition only tunes performance, never
+    results."""
     from collections import Counter
 
     texts = [
@@ -258,7 +261,13 @@ def _auto_gram_length(
     n = len(texts)
     bound = max(4.0, 0.005 * n)
     q_max = max(2, prefix_len // (max_dist + 1))
-    for q in range(2, q_max + 1):
+    # candidate grid, smallest first: even steps cover the useful range;
+    # q_max is always a candidate so the fallback stays reachable
+    if q_max <= 4:
+        grid = list(range(2, q_max + 1))
+    else:
+        grid = sorted({q for q in (4, 6, 8, 10, 12) if q < q_max} | {q_max})
+    for q in grid:
         dfc: Counter = Counter()
         doc_grams = []
         for t in texts:
