@@ -203,24 +203,40 @@ def main() -> None:
     # re-warms per sweep, so one initial sweep suffices.)
     for w in range(warmups):
         for name in names:
-            _bench_frame(reg, name, spark, sf_dir).collect()
+            try:
+                _bench_frame(reg, name, spark, sf_dir).collect()
+            except Exception:  # the timed loop records the failure
+                pass
             release_caches()
 
     samples: dict[str, list[float]] = {n: [] for n in names}
     at: dict[str, list[float]] = {n: [] for n in names}
+    failed: dict[str, str] = {}
     for _ in range(iters):
         for name in names:
+            if name in failed:
+                continue
             # pair: first execution re-warms caches after the ~30 other
-            # queries of this sweep; the second is the timed sample
-            _bench_frame(reg, name, spark, sf_dir).collect()
-            release_caches()
-            t0 = time.monotonic()
-            df = _bench_frame(reg, name, spark, sf_dir)
-            n_rows = len(df.collect())
+            # queries of this sweep; the second is the timed sample.
+            # A single failing query (e.g. an O(n)-result collect
+            # busting spark.driver.maxResultSize at a big SF) must not
+            # abort the whole run — record it and keep sweeping.
+            try:
+                _bench_frame(reg, name, spark, sf_dir).collect()
+                release_caches()
+                t0 = time.monotonic()
+                df = _bench_frame(reg, name, spark, sf_dir)
+                n_rows = len(df.collect())
+                del n_rows
+            except Exception as e:  # noqa: BLE001 — record + continue
+                failed[name] = f"{type(e).__name__}: {e}"[:300]
+                release_caches()
+                print(f"# FAILED {name}: {failed[name]}", file=sys.stderr)
+                continue
             samples[name].append(time.monotonic() - t0)
             at[name].append(round(time.monotonic() - t_session, 1))
             release_caches()  # free operator-internal persist()s
-            del n_rows
+    names = [n for n in names if samples[n]]
 
     # Headline per-query stat: MIN of the warm samples.  This host shows
     # random ~40s contention bursts (CPU steal visible in /proc/stat) that
@@ -230,8 +246,10 @@ def main() -> None:
     # median flips round-to-round with burst luck (the BENCH_r01->r02
     # "regression" on byte-identical SQL).  Medians + raw samples ride
     # along for the full picture.
-    times = {n: round(min(s), 3) for n, s in samples.items()}
-    medians = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    times = {n: round(min(s), 3) for n, s in samples.items() if s}
+    medians = {
+        n: round(statistics.median(s), 3) for n, s in samples.items() if s
+    }
     for name in names:
         s = samples[name]
         print(
@@ -260,6 +278,7 @@ def main() -> None:
     detail = {
         "iterations": iters,
         "warmup_sweeps": warmups,
+        "failed": failed,
         "protocol": "interleaved_sweeps_paired_warm",
         "queries_min": times,
         "queries_median": medians,
