@@ -233,59 +233,71 @@ def _auto_gram_length(
     """Pick the ED-Join gram length from a bounded corpus sample.
 
     The prefix-filter guarantee is lossless for ANY ``q`` (results are
-    identical), but candidate-join cost is not: on text with a
-    repetitive CHARACTER vocabulary, short grams stop being rare and the
-    probe join quietly goes quadratic (measured 74s vs 9.7s at 10x data
-    for q=4 vs q=12 — SCALING.md round 4).  This replays the r4 manual
-    retune automatically: scan q ascending and take the smallest q whose
-    PROBE grams (each doc's d*q+1 rarest types — the actual join keys)
-    have median sample document-frequency under ``max(4, 0.005*n)``,
-    falling back to the largest q the proof admits
-    ((d+1)*q <= prefix_len).  Smallest passing q wins because k and the
-    short-path population both grow with q.
+    identical), but candidate-join cost is not, in BOTH directions: on
+    text with a repetitive CHARACTER vocabulary, short grams stop being
+    rare and the probe join goes quadratic (74s vs 9.7s at 10x data for
+    q=4 vs q=12, SCALING.md round 4); and at the other end, q near
+    ``prefix_len/(d+1)`` pushes ``min_long`` up to the prefix length so
+    nearly every string routes to the length-band SHORT path, which
+    self-joins whole length bands (q=13 measured 12.4s vs q=12's 2.1s
+    at sf0.1 — a threshold-on-rarity rule cannot see this cliff).  So
+    the choice is a direct cost model over the sample: for each
+    candidate q, estimate
+    - long-path candidates: sum over long docs of the sample document
+      frequencies of their d*q+1 rarest gram types (the actual join
+      keys), and
+    - short-path candidates: for each doc below ``(d+1)*q + d``, the
+      number of sample docs within +-d of its length (the band
+      self-join size),
+    and take the q minimizing their sum.  Both terms are sample pair
+    counts, so they compose without weighting.
 
     Driver cost is bounded and corpus-size independent: one
     ``limit(sample_rows)`` collect (<= sample_rows * prefix_len chars)
-    plus pure-Python counting over a SMALL candidate grid — measured
-    ~2s at the original 2000-row/every-q setting (it dominated the
-    sf0.1 bench time of the whole operator), ~0.2s at 600 rows x 5
-    candidates; at cluster scale the limit reads a handful of input
-    splits.  Sample composition only tunes performance, never
-    results."""
+    plus pure-Python counting over a ~6-value grid; at cluster scale
+    the limit reads a handful of input splits.  Sample composition only
+    tunes performance, never results."""
     from collections import Counter
 
     texts = [
         (r[0] or "")[:prefix_len]
         for r in pre.limit(sample_rows).collect()
     ]
-    n = len(texts)
-    bound = max(4.0, 0.005 * n)
+    len_hist = Counter(len(t) for t in texts)
     q_max = max(2, prefix_len // (max_dist + 1))
-    # candidate grid, smallest first: even steps cover the useful range;
-    # q_max is always a candidate so the fallback stays reachable
     if q_max <= 4:
         grid = list(range(2, q_max + 1))
     else:
         grid = sorted({q for q in (4, 6, 8, 10, 12) if q < q_max} | {q_max})
+    best_q, best_cost = grid[-1], None
     for q in grid:
+        min_long = (max_dist + 1) * q
+        k = max_dist * q + 1
         dfc: Counter = Counter()
         doc_grams = []
         for t in texts:
-            gs = {t[i : i + q] for i in range(max(len(t) - q + 1, 0))}
+            if len(t) < min_long:
+                continue
+            gs = {t[i : i + q] for i in range(len(t) - q + 1)}
             doc_grams.append(gs)
             dfc.update(gs)
-        k = max_dist * q + 1
-        probe_dfs = []
+        est_long = 0
         for gs in doc_grams:
-            if not gs:
-                continue
             rare = sorted(gs, key=lambda g: (dfc[g], g))[:k]
-            probe_dfs.extend(dfc[g] for g in rare)
-        if probe_dfs:
-            probe_dfs.sort()
-            if probe_dfs[len(probe_dfs) // 2] <= bound:
-                return q
-    return q_max
+            est_long += sum(dfc[g] - 1 for g in rare)
+        est_short = sum(
+            cnt
+            * sum(
+                len_hist.get(ln + d, 0)
+                for d in range(-max_dist, max_dist + 1)
+            )
+            for ln, cnt in len_hist.items()
+            if ln < min_long + max_dist
+        )
+        cost = est_long + est_short
+        if best_cost is None or cost < best_cost:
+            best_q, best_cost = q, cost
+    return best_q
 
 
 def editdist_duplicate_pairs(
