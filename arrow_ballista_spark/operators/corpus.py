@@ -451,3 +451,59 @@ def bucketed_interval_join(
         .where((F.col(left_val) >= F.col(lo_col)) & (F.col(left_val) < F.col(hi_col)))
         .drop("_bkt")
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.3,
+    budget: int = 1000,
+) -> DataFrame:
+    """Temperature-scaled mixture weights for multi-source/multilingual
+    sampling (mT5, Xue et al., NAACL 2021 §3.1; XLM-R, Conneau et al.,
+    ACL 2020 §3.1): sampling proportionally to corpus share starves
+    low-resource groups, uniform sampling overfits them — so sample
+    group ``i`` with probability ``q_i ∝ p_i^alpha`` where ``p_i`` is
+    its corpus share and ``alpha`` (0.3 here, mT5's final choice) is the
+    temperature.
+
+    Returns one row per group:
+    ``(group_col, n_docs, p, q, expected_docs, sample_rate)`` where
+    ``expected_docs = q * budget`` and ``sample_rate`` is the per-doc
+    keep probability (capped at 1.0) that realizes the mixture — feed it
+    to :func:`hash_sample` for a deterministic materialization.
+
+    ``p^alpha`` is written as ``exp(alpha * ln(p))`` in BOTH engines so
+    the oracle sees bit-identical doubles (the ln/exp portability
+    contract every LM-scoring operator here relies on).
+
+    Scale shape: one map-side-combined groupBy to k group rows, then two
+    1-row/k-row broadcast totals — the corpus is scanned once and never
+    shuffled; output size is k (languages/domains), not n.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("_n_total"))
+    q_raw = counts.crossJoin(F.broadcast(total)).select(
+        F.col(group_col),
+        F.col("n_docs"),
+        (F.col("n_docs").cast("double") / F.col("_n_total")).alias("p"),
+        F.exp(
+            F.lit(float(alpha))
+            * F.log(F.col("n_docs").cast("double") / F.col("_n_total"))
+        ).alias("_q_raw"),
+    )
+    z = q_raw.agg(F.sum("_q_raw").alias("_z"))
+    return q_raw.crossJoin(F.broadcast(z)).select(
+        F.col(group_col),
+        F.col("n_docs"),
+        F.col("p"),
+        (F.col("_q_raw") / F.col("_z")).alias("q"),
+        (F.col("_q_raw") / F.col("_z") * F.lit(float(budget))).alias(
+            "expected_docs"
+        ),
+        F.least(
+            F.col("_q_raw") / F.col("_z") * F.lit(float(budget))
+            / F.col("n_docs"),
+            F.lit(1.0),
+        ).alias("sample_rate"),
+    )

@@ -919,3 +919,100 @@ def incremental_dedup(
             "dup_of",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership dedup (Dolma-style "BFF")
+# --------------------------------------------------------------------------
+
+def bloom_positions(text_col: str, m: int, k: int) -> Column:
+    """The ``k`` Bloom-filter bit positions of a text value in an
+    ``m``-bit filter, as a distinct-sorted int array (map-only, JVM-side).
+
+    Kirsch–Mitzenmacher double hashing: ``pos_i = (h1 + i*h2) mod m``
+    from two independent md5-derived 60-bit hashes (the engine-portable
+    hash family used by every fingerprint operator here — DuckDB oracles
+    emit the identical arithmetic, so positions are integer-exact across
+    engines).  ``h2`` is folded into ``[1, m-1]`` so the stride is never
+    zero.  Positions are deduplicated and sorted so downstream counts
+    are well-defined when the k probes collide.
+    """
+    h1 = (
+        F.conv(F.substring(F.md5(F.col(text_col).cast("binary")), 1, 15), 16, 10)
+        .cast("long") % m
+    )
+    h2 = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bff:"), F.col(text_col)).cast("binary")),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % (m - 1)
+    ) + 1
+    return F.array_sort(
+        F.array_distinct(F.array(*[(h1 + i * h2) % m for i in range(k)]))
+    )
+
+
+def bloom_filter_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_index: Column,
+    m: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom-filter batch-vs-corpus dedup — the memory-bounded membership
+    test Dolma's deduper ships as "BFF" (Bloom Filter Filter; Soldaini et
+    al., ACL 2024 §2.2): the corpus side is reduced to an m-bit filter,
+    so probing a new batch costs O(batch), not O(corpus), and the filter
+    size is a *choice* (m), independent of corpus size — the property
+    that lets a 100 TB index fit in executor memory where the MinHash
+    band index (operators/dedup.py:incremental_dedup) would not.
+
+    The filter is represented relationally as the distinct set of SET bit
+    positions (<= m rows, usually far fewer) rather than a driver-side
+    bitmap: building it is one map + distinct over the index slice, and
+    probing is a position-keyed join — broadcast while ``m`` is small
+    (a 2^16..2^22-bit filter is KBs..MBs), an ordinary shuffled join for
+    the multi-GB filters a web-scale corpus wants.  Nothing ever
+    collects to the driver.
+
+    Returns one row per BATCH doc (``is_index`` false):
+    ``(id_col, n_probes, n_hit, flagged)`` — ``flagged = 1`` iff every
+    probe position is set, i.e. the doc is an exact-text duplicate of
+    some index doc *or* a deterministic false positive (the documented
+    Bloom trade-off; FP rate ~ (set_bits/m)^k, tunable via m).  Both
+    engines compute identical positions, so false positives are
+    value-reproducible, not noise.
+    """
+    pos = df.select(
+        F.col(id_col),
+        is_index.alias("_idx"),
+        bloom_positions(text_col, m, k).alias("_pos"),
+    )
+    bits = (
+        pos.where(F.col("_idx"))
+        .select(F.explode("_pos").alias("bit"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if m <= (1 << 22):
+        bits = F.broadcast(bits)
+    probes = (
+        pos.where(~F.col("_idx"))
+        .select(F.col(id_col), F.explode("_pos").alias("bit"))
+    )
+    return (
+        probes.join(bits, "bit", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_probes"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("int").alias("n_hit"),
+        )
+        .withColumn(
+            "flagged",
+            (F.col("n_hit") == F.col("n_probes")).cast("int"),
+        )
+    )

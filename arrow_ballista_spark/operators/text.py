@@ -223,6 +223,7 @@ def lm_cross_entropy(
     text_col: str,
     id_col: str,
     is_train: Column,
+    group_col: str | None = None,
 ) -> DataFrame:
     """CCNet-style language-model quality filter (Wenzek et al., LREC
     2020): score every document by its per-token cross-entropy under an
@@ -245,14 +246,22 @@ def lm_cross_entropy(
     against a 100 TB corpus) and AQE splits the hot-word skew otherwise.
     The smoothed probability is a quotient of exact-double integer
     counts, so both engines take ``ln`` of the identical value.
+
+    With ``group_col`` (CCNet's actual layout: one LM per language), the
+    count tables and vocabulary are additionally keyed by the group, and
+    every document is scored under ITS group's LM — same plan shape, the
+    group key just rides every aggregation/join key.
     """
+    grp = [group_col] if group_col else []
     toks = df.select(
         F.col(id_col),
+        *[F.col(g) for g in grp],
         is_train.alias("_train"),
         F.expr(f"split({text_col}, ' +')").alias("_t"),
     ).where(F.size("_t") >= 2)
     bigrams = toks.select(
         F.col(id_col),
+        *[F.col(g) for g in grp],
         "_train",
         F.explode(
             F.expr(
@@ -260,22 +269,37 @@ def lm_cross_entropy(
                 " i -> struct(_t[i - 1] AS w1, _t[i] AS w2))"
             )
         ).alias("_bg"),
-    ).select(F.col(id_col), "_train", "_bg.w1", "_bg.w2")
+    ).select(F.col(id_col), *grp, "_train", "_bg.w1", "_bg.w2")
     bigrams = tracked_persist(bigrams)
     train_bg = bigrams.where("_train")
-    c2 = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
+    c2 = train_bg.groupBy(*grp, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("_c2")
+    )
     # unigram counts of the CONDITIONING position (w1 occurrences), plus
     # the vocabulary size over all train tokens
-    c1 = train_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
-    vocab = (
-        df.where(is_train)
-        .select(F.explode(F.expr(f"split({text_col}, ' +')")).alias("_w"))
-        .agg(F.countDistinct("_w").alias("_v"))
+    c1 = train_bg.groupBy(*grp, "w1").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab_src = df.where(is_train).select(
+        *[F.col(g) for g in grp],
+        F.explode(F.expr(f"split({text_col}, ' +')")).alias("_w"),
     )
+    if grp:
+        vocab = vocab_src.groupBy(*grp).agg(
+            F.countDistinct("_w").alias("_v")
+        )
+        joined = (
+            bigrams.join(c2, [*grp, "w1", "w2"], "left")
+            .join(c1, [*grp, "w1"], "left")
+            .join(F.broadcast(vocab), grp, "left")
+        )
+    else:
+        vocab = vocab_src.agg(F.countDistinct("_w").alias("_v"))
+        joined = (
+            bigrams.join(c2, ["w1", "w2"], "left")
+            .join(c1, "w1", "left")
+            .crossJoin(F.broadcast(vocab))
+        )
     scored = (
-        bigrams.join(c2, ["w1", "w2"], "left")
-        .join(c1, "w1", "left")
-        .crossJoin(F.broadcast(vocab))
+        joined
         .select(
             F.col(id_col),
             F.log(
@@ -448,4 +472,74 @@ def c4_clean(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             "has_lorem_ipsum"
         ),
         t.contains("{").cast("int").alias("has_curly_brace"),
+    )
+
+
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+    is_train: Column,
+    digits: int = 4,
+) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al., LREC 2020
+    §4.3): within each language, rank documents by LM perplexity and cut
+    at the terciles — "head" (lowest perplexity third) is what CCNet
+    ships as high-quality pretraining data.  Composes
+    :func:`lm_cross_entropy` in its per-group form (one bigram LM per
+    language, trained on that language's ``is_train`` slice — CCNet's
+    actual per-language KenLM layout) with per-language tercile cutoffs.
+
+    Determinism contract: cross-entropy is first rounded with the
+    portable half-away-from-zero floor formula (``digits`` places, the
+    same macro the oracle layer uses) so BOTH engines compute cutoffs
+    over identical doubles; the interpolated tercile then either equals
+    a grid value exactly (zero-fraction case, same on both sides) or
+    falls strictly between two adjacent grid values (where a 1-ulp
+    engine difference cannot reclassify any document).
+
+    Returns ``(id_col, lang_col, n_transitions, cross_entropy, bucket,
+    bucket_label)`` with bucket 1/2/3 = head/middle/tail.
+
+    Scale shape: scoring is the lm_cross_entropy shape (two keyed aggs +
+    broadcast count tables); cutoffs are one per-language EXACT
+    percentile aggregation (k languages × 2 doubles, broadcast back;
+    exact percentile gathers each language's scores on one reducer — at
+    true 100 TB swap ``percentile`` for the mergeable t-digest
+    ``approx_percentile``, same plan shape, documented trade); labeling
+    is map-only.
+    """
+    s = float(10 ** digits)
+
+    def _pround(col: Column) -> Column:
+        sign = F.when(col < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+        return F.floor(F.abs(col) * s + F.lit(0.5)) / F.lit(s) * sign
+
+    ce = lm_cross_entropy(
+        df, text_col, id_col, is_train, group_col=lang_col
+    ).select(
+        F.col(id_col),
+        "n_transitions",
+        _pround(F.col("cross_entropy")).alias("cross_entropy"),
+    )
+    scored = ce.join(df.select(F.col(id_col), F.col(lang_col)), id_col)
+    p1, p2 = repr(1 / 3), repr(2 / 3)
+    cuts = scored.groupBy(lang_col).agg(
+        F.expr(f"percentile(cross_entropy, {p1})").alias("_c33"),
+        F.expr(f"percentile(cross_entropy, {p2})").alias("_c66"),
+    )
+    return scored.join(F.broadcast(cuts), lang_col).select(
+        F.col(id_col),
+        F.col(lang_col),
+        "n_transitions",
+        "cross_entropy",
+        F.when(F.col("cross_entropy") <= F.col("_c33"), F.lit(1))
+        .when(F.col("cross_entropy") <= F.col("_c66"), F.lit(2))
+        .otherwise(F.lit(3))
+        .alias("bucket"),
+        F.when(F.col("cross_entropy") <= F.col("_c33"), F.lit("head"))
+        .when(F.col("cross_entropy") <= F.col("_c66"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket_label"),
     )

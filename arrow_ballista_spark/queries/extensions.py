@@ -2566,3 +2566,190 @@ def ext_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout.zorder_key(
         li.select("l_orderkey", "l_partkey"), ["l_orderkey", "l_partkey"]
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 additions: Bloom-filter dedup, temperature mixture, CCNet buckets
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 16
+_BLOOM_K = 4
+
+
+@query(
+    "ext_dedup_bloom",
+    f"""
+WITH h AS (
+  SELECT doc_id, doc_id % 2 = 0 AS idx,
+         {_sql_hex15("text")} % {_BLOOM_M} AS h1,
+         ({_sql_hex15("'bff:' || text")} % {_BLOOM_M - 1}) + 1 AS h2
+  FROM documents
+), p AS (
+  SELECT doc_id, idx,
+         list_sort(list_distinct(list_transform(range(0, {_BLOOM_K}),
+            i -> (h1 + i * h2) % {_BLOOM_M}))) AS pos
+  FROM h
+), bits AS (
+  SELECT DISTINCT unnest(pos) AS bit FROM p WHERE idx
+), probe AS (
+  SELECT doc_id, unnest(pos) AS bit FROM p WHERE NOT idx
+)
+SELECT probe.doc_id,
+       CAST(COUNT(*) AS INT) AS n_probes,
+       CAST(SUM(CASE WHEN bits.bit IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+         AS n_hit,
+       CAST(COUNT(*) = SUM(CASE WHEN bits.bit IS NOT NULL THEN 1 ELSE 0 END)
+            AS INT) AS flagged
+FROM probe LEFT JOIN bits ON probe.bit = bits.bit
+GROUP BY probe.doc_id
+""",
+    doc=(
+        "Bloom-filter batch-vs-corpus dedup (Dolma's 'BFF' deduper, "
+        "Soldaini et al., ACL 2024): the corpus half (even doc_id) is "
+        "reduced to a 2^16-bit / 4-hash Bloom filter and the batch half "
+        "is probed against it — membership in O(1) bits per doc, filter "
+        "size a CHOICE independent of corpus size (the property that "
+        "lets a 100 TB index fit in memory where a MinHash band index "
+        "cannot).  Positions use md5-derived double hashing, so both "
+        "engines compute identical bits and even false positives are "
+        "value-reproducible (operators/dedup.py:bloom_filter_dedup).  "
+        "Scale shape: filter = map + distinct to <= m rows (broadcast "
+        "while small, shuffled join beyond); probe = position-keyed "
+        "join + per-doc agg; nothing collects."
+    ),
+)
+def ext_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.bloom_filter_dedup(
+        docs,
+        "text",
+        "doc_id",
+        (F.col("doc_id") % 2) == 0,
+        m=_BLOOM_M,
+        k=_BLOOM_K,
+    )
+
+
+@query(
+    "ext_sample_temperature",
+    f"""
+WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS n_total FROM c),
+q AS (SELECT lang, n_docs, CAST(n_docs AS DOUBLE) / n_total AS p,
+             exp(0.3 * ln(CAST(n_docs AS DOUBLE) / n_total)) AS q_raw
+      FROM c, t),
+z AS (SELECT SUM(q_raw) AS z FROM q)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       {R("p", 6)} AS p,
+       {R("q_raw / z", 6)} AS q,
+       {R("q_raw / z * 1000", 4)} AS expected_docs,
+       {R("least(q_raw / z * 1000 / n_docs, 1.0)", 6)} AS sample_rate
+FROM q, z
+""",
+    doc=(
+        "Temperature-scaled mixture weights for multilingual corpus "
+        "sampling (mT5, Xue et al. 2021 §3.1; XLM-R, Conneau et al. "
+        "2020): sample language i with q_i proportional to p_i^0.3 — "
+        "proportional sampling starves low-resource languages, uniform "
+        "overfits them; alpha=0.3 is mT5's shipped temperature.  "
+        "p^alpha is written exp(alpha*ln p) in BOTH engines so the "
+        "doubles are bit-identical (operators/corpus.py:"
+        "temperature_mixture).  Scale shape: one map-side-combined "
+        "groupBy to k language rows + two 1-row broadcast totals — the "
+        "corpus is scanned once, never shuffled; output is k rows."
+    ),
+)
+def ext_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.operators.corpus import temperature_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_mixture(docs, "lang", alpha=0.3, budget=1000)
+    return out.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        cround("p", 6).alias("p"),
+        cround("q", 6).alias("q"),
+        cround("expected_docs", 4).alias("expected_docs"),
+        cround("sample_rate", 6).alias("sample_rate"),
+    )
+
+
+_P13, _P23 = repr(1 / 3), repr(2 / 3)
+
+
+@query(
+    "ext_quality_ccnet_buckets",
+    f"""
+WITH toks AS (
+  SELECT doc_id, lang, doc_id % 2 = 0 AS train,
+         string_split_regex(text, ' +') AS t
+  FROM documents WHERE len(string_split_regex(text, ' +')) >= 2
+), bg AS (
+  SELECT doc_id, lang, train, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+), c2 AS (
+  SELECT lang, w1, w2, COUNT(*) AS c2 FROM bg WHERE train GROUP BY lang, w1, w2
+), c1 AS (
+  SELECT lang, w1, COUNT(*) AS c1 FROM bg WHERE train GROUP BY lang, w1
+), vocab AS (
+  SELECT lang, COUNT(DISTINCT w) AS v FROM (
+    SELECT lang, unnest(string_split_regex(text, ' +')) AS w
+    FROM documents WHERE doc_id % 2 = 0) GROUP BY lang
+), ce AS (
+  SELECT b.doc_id, b.lang, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+         {R("-AVG(ln(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)"
+           " / CAST(COALESCE(c1.c1, 0) + vocab.v AS DOUBLE)))", 4)}
+           AS cross_entropy
+  FROM bg b
+  LEFT JOIN c2 ON b.lang = c2.lang AND b.w1 = c2.w1 AND b.w2 = c2.w2
+  LEFT JOIN c1 ON b.lang = c1.lang AND b.w1 = c1.w1
+  LEFT JOIN vocab ON b.lang = vocab.lang
+  GROUP BY b.doc_id, b.lang
+), cuts AS (
+  SELECT lang, quantile_cont(cross_entropy, {_P13}) AS c33,
+               quantile_cont(cross_entropy, {_P23}) AS c66
+  FROM ce GROUP BY lang
+)
+SELECT ce.doc_id, ce.lang, ce.n_transitions, ce.cross_entropy,
+       CASE WHEN ce.cross_entropy <= cuts.c33 THEN 1
+            WHEN ce.cross_entropy <= cuts.c66 THEN 2 ELSE 3 END AS bucket,
+       CASE WHEN ce.cross_entropy <= cuts.c33 THEN 'head'
+            WHEN ce.cross_entropy <= cuts.c66 THEN 'middle'
+            ELSE 'tail' END AS bucket_label
+FROM ce JOIN cuts ON ce.lang = cuts.lang
+""",
+    doc=(
+        "CCNet's head/middle/tail split (Wenzek et al., LREC 2020 §4.3) "
+        "— the step CCNet actually ships: train one bigram LM per "
+        "language on that language's reference slice (even doc_id), "
+        "score every doc, and cut each language at its perplexity "
+        "terciles; 'head' is the high-quality third used for "
+        "pretraining.  Cutoffs are computed over 4dp-rounded scores so "
+        "both engines interpolate identical doubles; an interpolated "
+        "cutoff either equals a grid value (same both sides) or falls "
+        "strictly between two (where 1-ulp engine skew cannot "
+        "reclassify a doc) — operators/text.py:ccnet_perplexity_buckets."
+        "  Scale shape: per-language LM counts ride the lm_cross_entropy "
+        "plan; cutoffs are a per-language percentile agg to k x 2 "
+        "doubles broadcast back (swap exact percentile for mergeable "
+        "approx_percentile at true corpus scale); labeling map-only."
+    ),
+)
+def ext_quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.ccnet_perplexity_buckets(
+        docs,
+        "text",
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % 2) == 0,
+        digits=4,
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_transitions",
+        F.col("cross_entropy"),
+        "bucket",
+        "bucket_label",
+    )

@@ -770,3 +770,68 @@ def test_image_stats_distributed(spark):
     assert abs(got[0].mean_r - float(px[:, :, 0].mean())) < 1e-9
     assert got[0].thumb_md5 == got[1].thumb_md5  # cross-format dedup
     assert got[2].width is None
+
+
+def test_bloom_dedup_no_false_negatives(spark):
+    """An exact-text copy of an index doc MUST be flagged (Bloom filters
+    have false positives, never false negatives), and a batch doc whose
+    text is unique should (at this filter load) probe clean."""
+    rows = [(i, f"unique document body number {i} with distinct words") for i in range(20)]
+    # doc 100 duplicates index doc 2's text exactly; doc 101 is novel
+    rows.append((100, rows[2][1]))
+    rows.append((101, "completely novel text that appears nowhere else at all"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.bloom_filter_dedup(
+        df, "text", "doc_id", F.col("doc_id") < 100, m=1 << 16, k=4
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert set(by_id) == {100, 101}
+    assert by_id[100]["flagged"] == 1 and by_id[100]["n_hit"] == by_id[100]["n_probes"]
+    # 20 docs x <=4 bits in a 65536-bit filter: FP odds ~ (80/65536)^4
+    assert by_id[101]["flagged"] == 0
+    assert all(r["n_probes"] <= 4 for r in out)
+
+
+def test_temperature_mixture_limits(spark):
+    """alpha=1 reproduces proportional sampling; alpha=0.3 up-weights the
+    rare group relative to its share; weights always sum to 1."""
+    from arrow_ballista_spark.operators.corpus import temperature_mixture
+
+    rows = [(i, "big") for i in range(90)] + [(90 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+
+    prop = {r["grp"]: r for r in temperature_mixture(df, "grp", alpha=1.0).collect()}
+    assert abs(prop["big"]["q"] - 0.9) < 1e-12
+    assert abs(prop["small"]["q"] - 0.1) < 1e-12
+
+    temp = {r["grp"]: r for r in temperature_mixture(df, "grp", alpha=0.3).collect()}
+    assert temp["small"]["q"] > temp["small"]["p"]  # rare group up-weighted
+    assert temp["big"]["q"] < temp["big"]["p"]
+    assert abs(sum(r["q"] for r in temp.values()) - 1.0) < 1e-12
+
+
+def test_ccnet_buckets_monotone_and_balanced(spark):
+    """Within a language, bucket order follows cross-entropy order, and
+    terciles split roughly evenly."""
+    from arrow_ballista_spark.operators import text as text_ops
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = text_ops.ccnet_perplexity_buckets(
+        docs, "text", "doc_id", "lang", (F.col("doc_id") % 2) == 0
+    ).collect()
+    assert len(out) > 0
+    from collections import defaultdict
+
+    by_lang = defaultdict(list)
+    for r in out:
+        by_lang[r["lang"]].append(r)
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: (r["cross_entropy"], r["doc_id"]))
+        buckets = [r["bucket"] for r in rows]
+        assert buckets == sorted(buckets), f"bucket order not monotone for {lang}"
+        n = len(rows)
+        for b in (1, 2, 3):
+            # exact terciles up to ties at the cutoffs
+            assert buckets.count(b) >= max(1, n // 3 - 2), (lang, b, n)
+        labels = {r["bucket"]: r["bucket_label"] for r in rows}
+        assert labels.get(1, "head") == "head" and labels.get(3, "tail") == "tail"

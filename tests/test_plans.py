@@ -312,3 +312,33 @@ def test_pca_project_single_reduce_then_map(spark):
     rep = _report(spark, "ext_embed_pca_project")
     assert rep["sortmerge_joins"] == 0
     assert rep["exchanges"] <= 1, rep["exchanges"]
+
+
+def test_bloom_dedup_bit_set_broadcasts(spark):
+    """The Bloom filter's set-bit table (<= m rows, KBs at m=2^16) must
+    BROADCAST onto the probe stream — shuffling the corpus to meet a
+    bounded bit set is the scale mistake the filter exists to avoid —
+    and the probe side must stay cartesian-free."""
+    df = REG["ext_dedup_bloom"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_temperature_mixture_never_shuffles_corpus(spark):
+    """The corpus is scanned once into a k-row groupBy; the two scalar
+    totals ride broadcasts.  No join of the document stream."""
+    df = REG["ext_sample_temperature"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ccnet_buckets_cutoffs_broadcast(spark):
+    """Per-language tercile cutoffs are a k x 2 table broadcast back onto
+    the scored stream; the LM joins stay keyed (no cartesian)."""
+    df = REG["ext_quality_ccnet_buckets"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
