@@ -507,3 +507,75 @@ def temperature_mixture(
             F.lit(1.0),
         ).alias("sample_rate"),
     )
+
+
+def budget_select(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    weight_col: str,
+    budget: int,
+    bucket_width: float = 0.25,
+) -> DataFrame:
+    """Token-budget corpus selection: keep the maximal prefix of rows
+    ordered by ``(score asc, id asc)`` whose cumulative weight stays
+    within ``budget`` — "take the best-scoring documents until the token
+    budget is hit", the selection step every fixed-compute pretraining
+    run performs after quality scoring (CCNet takes its 'head' this way;
+    DSIR resamples to a target token count).
+
+    The naive plan is a single global window (``SUM OVER (ORDER BY
+    score)``), which gathers the entire corpus on ONE reducer — the
+    canonical scale mistake.  This implementation is the distributed
+    prefix-sum instead:
+
+    1. bucket every row by a fixed score grid (``floor(score /
+       bucket_width)`` — monotone in score, so buckets partition the
+       global order; data-independent, so no sampling pass);
+    2. one map-side-combined groupBy reduces the corpus to per-bucket
+       weight totals (#buckets = score_range / bucket_width rows — tens
+       to thousands, never O(n));
+    3. an exclusive prefix sum over that tiny table (single-partition
+       window over #buckets rows, documented and bounded) yields each
+       bucket's starting offset, broadcast back;
+    4. buckets whose offset already exceeds the budget are pruned BEFORE
+       any within-bucket work — with a selective budget, most of the
+       corpus never reaches a window;
+    5. surviving buckets run an exact within-bucket cumulative sum
+       (window partitioned BY BUCKET — parallel across buckets, each
+       ~n/#buckets rows wide) shifted by the broadcast offset.
+
+    Weights must be positive integers (token counts): positivity makes
+    the bucket prune sound, integrality keeps every cumulative sum exact
+    in both engines.  Returns the kept rows as ``(id, score, weight,
+    cum_<weight_col>)``.
+    """
+    b = F.floor(F.col(score_col) / F.lit(float(bucket_width))).cast("long")
+    w = df.select(
+        F.col(id_col),
+        F.col(score_col),
+        F.col(weight_col).cast("long").alias("_w"),
+        b.alias("_bkt"),
+    )
+    btot = w.groupBy("_bkt").agg(F.sum("_w").alias("_bw"))
+    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = btot.select(
+        "_bkt", F.coalesce(F.sum("_bw").over(wb), F.lit(0)).alias("_off")
+    )
+    win = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        w.join(F.broadcast(offsets), "_bkt")
+        .where(F.col("_off") <= F.lit(int(budget)))
+        .withColumn("_cum", F.col("_off") + F.sum("_w").over(win))
+        .where(F.col("_cum") <= F.lit(int(budget)))
+        .select(
+            F.col(id_col),
+            F.col(score_col),
+            F.col("_w").alias(weight_col),
+            F.col("_cum").alias(f"cum_{weight_col}"),
+        )
+    )

@@ -543,3 +543,60 @@ def ccnet_perplexity_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket_label"),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003) — the local fingerprinting scheme behind MOSS: hash
+    every ``k``-token shingle, slide a window of ``w`` consecutive
+    hashes, and keep each window's MINIMUM hash.  The selection is
+    position-local, so it carries the winnowing guarantee the global
+    MinHash sketch (operators/dedup.py) cannot give: any shared token
+    run of length >= ``w + k - 1`` between two documents yields at least
+    one shared fingerprint — partial overlap detection with O(n/w)
+    fingerprints per document instead of all n grams
+    (operators/dedup.py:substring_dedup keeps every window).
+
+    Hashes are the engine-portable md5-derived 60-bit integers (the
+    oracle emits the identical arithmetic), and ties between equal
+    hashes need no positional tie-break because fingerprints are emitted
+    as a per-document DISTINCT set.  Documents shorter than ``k`` tokens
+    emit nothing; documents with fewer than ``w`` grams emit the min of
+    the grams they have (the standard short-document fallback, so every
+    tokenizable document is fingerprintable).
+
+    Returns exploded ``(id_col, fp)`` rows, distinct per document.
+
+    Scale shape: ENTIRELY map-side — tokenize, hash, window-min, and
+    per-doc distinct are all array expressions inside one projection; no
+    shuffle, no state, embarrassingly parallel over a 100 TB corpus.
+    Downstream candidate generation joins on ``fp`` exactly like the
+    LSH band join.
+    """
+    toks = df.select(
+        F.col(id_col), F.expr(f"split({text_col}, ' +')").alias("_t")
+    ).where(F.size("_t") >= k)
+    grams = toks.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(sequence(1, size(_t) - {k} + 1), p -> "
+            f"cast(conv(substring(md5(cast(concat_ws(' ', slice(_t, p, {k}))"
+            f" as binary)), 1, 15), 16, 10) as bigint))"
+        ).alias("_g"),
+    )
+    return grams.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"array_distinct(transform("
+                f"sequence(1, greatest(1, size(_g) - {w} + 1)), "
+                f"q -> array_min(slice(_g, q, {w}))))"
+            )
+        ).alias("fp"),
+    )

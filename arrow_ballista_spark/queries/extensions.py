@@ -2753,3 +2753,114 @@ def ext_quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "bucket_label",
     )
+
+
+_WIN_K, _WIN_W = 3, 4
+
+
+@query(
+    "ext_text_winnowing",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS t
+  FROM documents WHERE len(string_split_regex(text, ' +')) >= {_WIN_K}
+), g AS (
+  SELECT doc_id, list_transform(range(1, len(t) - {_WIN_K} + 2),
+     p -> {_sql_hex15(f"array_to_string(t[p:p+{_WIN_K - 1}], ' ')")}) AS g
+  FROM toks
+)
+SELECT doc_id, unnest(list_distinct(list_transform(
+         range(1, greatest(1, len(g) - {_WIN_W} + 1) + 1),
+         q -> list_min(g[q:q+{_WIN_W - 1}])))) AS fp
+FROM g
+""",
+    doc=(
+        "Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD "
+        "2003 — the MOSS scheme): hash every 3-token shingle, slide a "
+        "4-hash window, keep each window's minimum.  Position-local "
+        "selection gives the guarantee global MinHash cannot: any shared "
+        "run of >= w+k-1 = 6 tokens between two documents shares a "
+        "fingerprint, with O(n/w) fingerprints per doc instead of every "
+        "gram (operators/text.py:winnowing_fingerprints).  Scale shape: "
+        "ENTIRELY map-side — tokenize/hash/window-min/per-doc-distinct "
+        "are one array projection, zero shuffles; candidate generation "
+        "downstream joins on fp like the LSH band join."
+    ),
+)
+def ext_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.winnowing_fingerprints(
+        docs, "text", "doc_id", k=_WIN_K, w=_WIN_W
+    )
+
+
+_BUDGET_TOKENS = 12000
+
+
+@query(
+    "ext_select_budget",
+    f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS train, string_split_regex(text, ' +') AS t
+  FROM documents WHERE len(string_split_regex(text, ' +')) >= 2
+), bg AS (
+  SELECT doc_id, train, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE train GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, COUNT(*) AS c1 FROM bg WHERE train GROUP BY w1
+), vocab AS (
+  SELECT COUNT(DISTINCT w) AS v FROM (
+    SELECT unnest(string_split_regex(text, ' +')) AS w
+    FROM documents WHERE lang = 'en')
+), ce AS (
+  SELECT b.doc_id, CAST(COUNT(*) + 1 AS BIGINT) AS n_tokens,
+         {R("-AVG(ln(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)"
+            " / CAST(COALESCE(c1.c1, 0) + vocab.v AS DOUBLE)))", 4)} AS score
+  FROM bg b
+  LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+  LEFT JOIN c1 ON b.w1 = c1.w1
+  CROSS JOIN vocab
+  GROUP BY b.doc_id
+), cum AS (
+  SELECT doc_id, score, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY score, doc_id ROWS UNBOUNDED PRECEDING)
+           AS cum_n_tokens
+  FROM ce
+)
+SELECT doc_id, score, n_tokens, CAST(cum_n_tokens AS BIGINT) AS cum_n_tokens
+FROM cum WHERE cum_n_tokens <= {_BUDGET_TOKENS}
+""",
+    doc=(
+        "Token-budget corpus selection: score every document with the "
+        "CCNet bigram-LM cross-entropy (reference slice lang='en'), "
+        "order best-first, and keep documents until a 12k-token budget "
+        "is exhausted — the selection step a fixed-compute pretraining "
+        "run performs after quality scoring.  The oracle states the "
+        "semantics as ONE global window cumsum; the engine refuses that "
+        "single-reducer plan and runs the distributed prefix-sum instead "
+        "(operators/corpus.py:budget_select): fixed score grid -> "
+        "per-bucket totals (map-side combine, #buckets rows) -> "
+        "broadcast exclusive offsets -> budget-exceeded buckets pruned "
+        "BEFORE any window -> exact per-bucket windows in parallel.  "
+        "Integer token weights keep every cumulative sum exact in both "
+        "engines; 4dp-rounded scores order identically."
+    ),
+)
+def ext_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.operators.corpus import budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    ce = text.lm_cross_entropy(
+        docs, "text", "doc_id", is_train=F.col("lang") == "en"
+    )
+    scored = ce.select(
+        "doc_id",
+        cround("cross_entropy", 4).alias("score"),
+        (F.col("n_transitions") + 1).cast("long").alias("n_tokens"),
+    )
+    return budget_select(
+        scored, "doc_id", "score", "n_tokens",
+        budget=_BUDGET_TOKENS, bucket_width=0.25,
+    )

@@ -835,3 +835,63 @@ def test_ccnet_buckets_monotone_and_balanced(spark):
             assert buckets.count(b) >= max(1, n // 3 - 2), (lang, b, n)
         labels = {r["bucket"]: r["bucket_label"] for r in rows}
         assert labels.get(1, "head") == "head" and labels.get(3, "tail") == "tail"
+
+
+def test_winnowing_guarantee_and_short_docs(spark):
+    """Schleimer et al.'s guarantee: two documents sharing a token run of
+    length >= w + k - 1 (= 6 at k=3, w=4) share at least one fingerprint.
+    Short docs: < k tokens emit nothing; >= k but fewer than w grams emit
+    the min of the grams they have."""
+    from arrow_ballista_spark.operators.text import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # exactly 6 tokens
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"nine eight {shared} seven"),
+        (3, "totally different words here nothing matches at all ever"),
+        (4, "ab cd"),             # < k tokens: no fingerprints
+        (5, "ab cd ef"),          # 1 gram < w: min of available grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnowing_fingerprints(df, "text", "doc_id", k=3, w=4).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared 6-token run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    assert 4 not in fps
+    assert len(fps[5]) == 1
+    # per-doc distinct: no (doc_id, fp) pair repeats
+    assert len(out) == sum(len(v) for v in fps.values())
+
+
+def test_budget_select_matches_naive_global_window(spark):
+    """The bucketed distributed prefix-sum equals the single-window
+    definition for any bucket width, including degenerate ones."""
+    from pyspark.sql import Window
+
+    from arrow_ballista_spark.operators.corpus import budget_select
+
+    rows = [
+        (i, float((i * 37) % 100) / 10.0, (i * 13) % 7 + 1) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, score double, w long")
+    naive_w = (
+        Window.orderBy(F.col("score"), F.col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for budget in (0, 150, 10**9):
+        naive = {
+            r["id"]: r["cum"]
+            for r in df.withColumn("cum", F.sum("w").over(naive_w))
+            .where(F.col("cum") <= budget)
+            .collect()
+        }
+        for width in (0.25, 3.0, 1000.0):  # many buckets / few / single
+            got = {
+                r["id"]: r["cum_w"]
+                for r in budget_select(
+                    df, "id", "score", "w", budget=budget, bucket_width=width
+                ).collect()
+            }
+            assert got == naive, (budget, width)

@@ -342,3 +342,22 @@ def test_ccnet_buckets_cutoffs_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_winnowing_is_map_only(spark):
+    """Fingerprinting must be embarrassingly parallel: tokenize, hash,
+    window-min, and per-doc distinct are one array projection — ZERO
+    exchanges over the corpus."""
+    rep = _report(spark, "ext_text_winnowing")
+    assert rep["exchanges"] == 0, rep["exchanges"]
+    assert rep["sortmerge_joins"] == 0 and rep["broadcast_joins"] == 0
+
+
+def test_budget_select_offsets_broadcast_no_global_sort(spark):
+    """The bucket-offset table (#buckets rows) broadcasts onto the scored
+    stream; the corpus itself never meets a cartesian or a sort-merge
+    join on its way to the per-bucket windows."""
+    df = REG["ext_select_budget"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
