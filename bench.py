@@ -72,6 +72,11 @@ BENCH_QUERIES = [f"tpch_q{i}" for i in range(1, 23)] + [
     "ext_merge_upsert",
     "ext_snapshot_diff",
     "ext_dedup_semantic",
+    "ext_dedup_bloom",
+    "ext_sample_temperature",
+    "ext_quality_ccnet_buckets",
+    "ext_text_winnowing",
+    "ext_select_budget",
     "ext_pipeline_corpus_build",
     "ext_graph_pagerank",
     "ext_dedup_canonical_central",
@@ -97,6 +102,9 @@ CHECKSUM_VARIANTS = [
     "ext_merge_upsert",
     "h2o_groupby_manykey",
     "ext_zorder_key",
+    "ext_dedup_bloom",
+    "ext_quality_ccnet_buckets",
+    "ext_text_winnowing",
 ]
 
 
