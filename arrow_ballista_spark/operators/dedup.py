@@ -1016,3 +1016,83 @@ def bloom_filter_dedup(
             (F.col("n_hit") == F.col("n_probes")).cast("int"),
         )
     )
+
+
+def winnowing_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via winnowing fingerprints — the
+    MOSS pipeline (Schleimer et al., SIGMOD 2003 §4) as a distributed
+    join: fingerprint every document
+    (:func:`~arrow_ballista_spark.operators.text.winnowing_fingerprints`),
+    join documents sharing a fingerprint, and score each pair by its
+    fingerprint-set Jaccard.  Complements the MinHash-LSH modality: LSH
+    estimates WHOLE-document similarity, winnowing detects PARTIAL
+    overlap — any shared run of ``w + k - 1`` tokens is guaranteed to
+    produce a shared fingerprint, so a page that embeds a copied
+    paragraph pairs with its source even when the rest differs.
+
+    ``max_df`` is the boilerplate guard (same role as
+    :func:`substring_dedup`'s cap): a fingerprint appearing in more than
+    ``max_df`` documents is dropped BEFORE the self-join, so a hot
+    header/footer gram can never drive the join quadratic; at 100 TB set
+    it to a small constant (a true near-dup pair still shares its rarer
+    fingerprints).
+
+    Returns ``(id_a, id_b, shared_fps, n_a, n_b, jaccard)`` for pairs
+    with ``shared_fps >= min_shared``, ``id_a < id_b``; ``jaccard`` is
+    over the (possibly capped) fingerprint sets, 4dp-rounded.
+
+    Scale shape: fingerprinting is map-only (zero shuffles); the
+    candidate join is keyed on fp with bounded per-key fan-out (df^2
+    per fingerprint, capped by ``max_df``); counts and Jaccard are two
+    keyed aggs + two keyed joins.  No all-pairs product anywhere.
+    """
+    from arrow_ballista_spark.operators.text import winnowing_fingerprints
+
+    fps = winnowing_fingerprints(df, text_col, id_col, k=k, w=w)
+    if max_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    fps = tracked_persist(fps)
+    cnt = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+    s = F.col("shared_fps").cast("double")
+    return (
+        pairs.join(cnt.withColumnRenamed(id_col, "id_a"), "id_a")
+        .withColumnRenamed("_n", "_na")
+        .join(cnt.withColumnRenamed(id_col, "id_b"), "id_b")
+        .withColumnRenamed("_n", "_nb")
+        .select(
+            "id_a",
+            "id_b",
+            "shared_fps",
+            F.col("_na").cast("int").alias("n_a"),
+            F.col("_nb").cast("int").alias("n_b"),
+            (
+                F.floor(
+                    s / (F.col("_na") + F.col("_nb") - s) * 10000.0 + 0.5
+                )
+                / 10000.0
+            ).alias("jaccard"),
+        )
+    )

@@ -2864,3 +2864,60 @@ def ext_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, "doc_id", "score", "n_tokens",
         budget=_BUDGET_TOKENS, bucket_width=0.25,
     )
+
+
+@query(
+    "ext_dedup_winnowing",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS t
+  FROM documents WHERE len(string_split_regex(text, ' +')) >= {_WIN_K}
+), g AS (
+  SELECT doc_id, list_transform(range(1, len(t) - {_WIN_K} + 2),
+     p -> {_sql_hex15(f"array_to_string(t[p:p+{_WIN_K - 1}], ' ')")}) AS g
+  FROM toks
+), fpd AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+         range(1, greatest(1, len(g) - {_WIN_W} + 1) + 1),
+         q -> list_min(g[q:q+{_WIN_W - 1}])))) AS fp
+  FROM g
+), kept AS (
+  SELECT doc_id, fp FROM fpd
+  WHERE fp NOT IN (SELECT fp FROM fpd GROUP BY fp HAVING COUNT(*) > 64)
+), cnt AS (
+  SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS INT) AS shared_fps
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= 2
+)
+SELECT p.id_a, p.id_b, p.shared_fps,
+       CAST(ca.n AS INT) AS n_a, CAST(cb.n AS INT) AS n_b,
+       {R("CAST(p.shared_fps AS DOUBLE) / (ca.n + cb.n - p.shared_fps)", 4)}
+         AS jaccard
+FROM pairs p
+JOIN cnt ca ON p.id_a = ca.doc_id
+JOIN cnt cb ON p.id_b = cb.doc_id
+""",
+    doc=(
+        "Winnowing near-dup pairs — the MOSS pipeline (Schleimer et al., "
+        "SIGMOD 2003 §4) as a distributed join, the PARTIAL-overlap "
+        "complement to MinHash-LSH: documents sharing >= 2 window-min "
+        "fingerprints pair up, scored by fingerprint-set Jaccard; any "
+        "shared run of w+k-1 = 6 tokens is guaranteed a shared "
+        "fingerprint, so an embedded copied paragraph pairs with its "
+        "source even when the rest of the page differs "
+        "(operators/dedup.py:winnowing_dedup_pairs).  Scale shape: "
+        "map-only fingerprinting, fp-keyed self-join with the df > 64 "
+        "boilerplate cap applied BEFORE the join (hot header grams can "
+        "never drive it quadratic), then keyed count/Jaccard joins — no "
+        "all-pairs product."
+    ),
+)
+def ext_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.winnowing_dedup_pairs(
+        docs, "text", "doc_id", k=_WIN_K, w=_WIN_W, min_shared=2, max_df=64
+    )

@@ -76,6 +76,7 @@ BENCH_QUERIES = [f"tpch_q{i}" for i in range(1, 23)] + [
     "ext_sample_temperature",
     "ext_quality_ccnet_buckets",
     "ext_text_winnowing",
+    "ext_dedup_winnowing",
     "ext_select_budget",
     "ext_pipeline_corpus_build",
     "ext_graph_pagerank",

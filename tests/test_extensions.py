@@ -895,3 +895,33 @@ def test_budget_select_matches_naive_global_window(spark):
                 ).collect()
             }
             assert got == naive, (budget, width)
+
+
+def test_winnowing_dedup_partial_overlap_and_cap(spark):
+    """A copied paragraph (>= w+k-1 tokens) pairs its two documents even
+    when the rest differs (the partial-overlap property LSH whole-doc
+    sketches miss); the max_df cap drops boilerplate fingerprints before
+    the join."""
+    from arrow_ballista_spark.operators.dedup import winnowing_dedup_pairs
+
+    para = "the quick brown fox jumps over the lazy dog tonight again"
+    rows = [
+        (1, f"intro words here {para} closing remarks follow now"),
+        (2, f"completely other opening {para} different tail text here"),
+        (3, "unrelated document about parquet shuffles and broadcast joins"),
+    ]
+    # boilerplate footer shared by EVERY doc — must not create pairs when
+    # capped away
+    footer = "copyright footer all rights reserved contact us legal terms"
+    rows = [(i, t + " " + footer) for i, t in rows]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = winnowing_dedup_pairs(
+        df, "text", "doc_id", k=3, w=4, min_shared=2, max_df=2
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs), pairs
+    r = [x for x in out if (x["id_a"], x["id_b"]) == (1, 2)][0]
+    assert 0.0 < r["jaccard"] <= 1.0
+    assert r["shared_fps"] <= min(r["n_a"], r["n_b"])

@@ -361,3 +361,12 @@ def test_budget_select_offsets_broadcast_no_global_sort(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_winnowing_dedup_no_cartesian_keyed_join(spark):
+    """The candidate join is keyed on fp (bounded per-key fan-out after
+    the df cap); counts/Jaccard ride keyed joins — no all-pairs product."""
+    df = REG["ext_dedup_winnowing"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
