@@ -987,7 +987,11 @@ def bloom_filter_dedup(
     engines compute identical positions, so false positives are
     value-reproducible, not noise.
     """
-    pos = df.select(
+    # NULL text is excluded up front: md5(NULL) is NULL in both engines,
+    # but Spark keeps a NULL probe row while DuckDB's list_distinct strips
+    # NULLs — an engine divergence. A null document can't be a duplicate;
+    # callers pass such rows through unscored.
+    pos = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         is_index.alias("_idx"),
         bloom_positions(text_col, m, k).alias("_pos"),
@@ -1056,7 +1060,11 @@ def winnowing_dedup_pairs(
     """
     from arrow_ballista_spark.operators.text import winnowing_fingerprints
 
-    fps = winnowing_fingerprints(df, text_col, id_col, k=k, w=w)
+    # persist BEFORE the df-cap count so the md5-per-gram fingerprinting
+    # pass runs once, not once for `hot` and again for the capped stream
+    fps = tracked_persist(
+        winnowing_fingerprints(df, text_col, id_col, k=k, w=w)
+    )
     if max_df is not None:
         hot = (
             fps.groupBy("fp")
@@ -1065,7 +1073,6 @@ def winnowing_dedup_pairs(
             .select("fp")
         )
         fps = fps.join(F.broadcast(hot), "fp", "left_anti")
-    fps = tracked_persist(fps)
     cnt = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")

@@ -302,13 +302,16 @@ def lm_cross_entropy(
         joined
         .select(
             F.col(id_col),
+            *[F.col(g) for g in grp],
             F.log(
                 (F.coalesce("_c2", F.lit(0)) + 1).cast("double")
                 / (F.coalesce("_c1", F.lit(0)) + F.col("_v")).cast("double")
             ).alias("_lp"),
         )
     )
-    return scored.groupBy(id_col).agg(
+    # the group key rides the final agg too, so grouped callers get it
+    # back without re-joining the corpus (a doc has exactly one group)
+    return scored.groupBy(id_col, *grp).agg(
         F.count(F.lit(1)).alias("n_transitions"),
         (-F.avg("_lp")).alias("cross_entropy"),
     )
@@ -510,20 +513,20 @@ def ccnet_perplexity_buckets(
     ``approx_percentile``, same plan shape, documented trade); labeling
     is map-only.
     """
-    s = float(10 ** digits)
+    # the one portable-rounding macro, shared with the oracle layer
+    # (import is cycle-free: queries/__init__ loads query modules lazily)
+    from arrow_ballista_spark.queries import cround
 
-    def _pround(col: Column) -> Column:
-        sign = F.when(col < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
-        return F.floor(F.abs(col) * s + F.lit(0.5)) / F.lit(s) * sign
-
-    ce = lm_cross_entropy(
+    # lm_cross_entropy's grouped form returns the group key, so lang
+    # rides the scoring plan — no re-join of the corpus to recover it
+    scored = lm_cross_entropy(
         df, text_col, id_col, is_train, group_col=lang_col
     ).select(
         F.col(id_col),
+        F.col(lang_col),
         "n_transitions",
-        _pround(F.col("cross_entropy")).alias("cross_entropy"),
+        cround(F.col("cross_entropy"), digits).alias("cross_entropy"),
     )
-    scored = ce.join(df.select(F.col(id_col), F.col(lang_col)), id_col)
     p1, p2 = repr(1 / 3), repr(2 / 3)
     cuts = scored.groupBy(lang_col).agg(
         F.expr(f"percentile(cross_entropy, {p1})").alias("_c33"),

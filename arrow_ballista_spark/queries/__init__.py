@@ -101,16 +101,16 @@ _HEAD_ROTATION = [
     "tpch_q1", "tpch_q8", "tpch_q18", "tpch_q21", "tpch_q19",
     "ext_stream_session_counts", "ext_pipeline_corpus_build",
     "ext_decontaminate", "ext_sample_dsir", "ext_quality_lm_perplexity",
-    # -- re-confirm the r4 first-witness band (stays in-window a 2nd round) --
+    # -- re-confirm a slice of the r4 first-witness band (the 6 round-5
+    #    late additions pushed the window; the dropped h2o/sampling shapes
+    #    are driver-green in r4 and oracle-tested locally every round, so
+    #    the window keeps the heavier compositions instead; total <= 50) --
     "ext_corpus_report", "events_rollup_multires", "ext_dedup_incremental",
     "ext_sessionize", "ext_funnel", "ext_retention_cohorts",
-    "h2o_join_medium_inner", "h2o_join_medium_outer", "h2o_join_factor",
-    "h2o_join_big", "nyctaxi_fare_by_passenger", "h2o_groupby_median_sd",
-    "h2o_groupby_range", "h2o_groupby_top2", "h2o_groupby_corr",
-    "h2o_groupby_twokey", "h2o_groupby_mean3", "h2o_groupby_sum3_highcard",
-    "h2o_groupby_manykey", "ext_text_chunk",
+    "h2o_join_medium_inner", "h2o_join_big", "nyctaxi_fare_by_passenger",
+    "h2o_groupby_manykey",
     "ext_model_score", "ext_graph_pagerank", "ext_dedup_canonical_central",
-    "ext_embed_quantize", "ext_sample_diverse", "ext_stream_dedup_vs_index",
+    "ext_embed_quantize", "ext_stream_dedup_vs_index",
 ]
 
 

@@ -2757,10 +2757,13 @@ def ext_quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WIN_K, _WIN_W = 3, 4
 
-
-@query(
-    "ext_text_winnowing",
-    f"""
+#: the one winnowing-fingerprint SQL fragment — both winnowing oracles
+#: (`ext_text_winnowing`, `ext_dedup_winnowing`) compose it, so the hash
+#: and window arithmetic cannot drift between them (the _sql_hex15 /
+#: generated-literal pattern).  Yields CTEs toks/g/fpd; fpd = (doc_id, fp)
+#: distinct per document, mirroring
+#: operators/text.py:winnowing_fingerprints.
+_WINNOW_FPD_SQL = f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(text, ' +') AS t
   FROM documents WHERE len(string_split_regex(text, ' +')) >= {_WIN_K}
@@ -2768,11 +2771,18 @@ WITH toks AS (
   SELECT doc_id, list_transform(range(1, len(t) - {_WIN_K} + 2),
      p -> {_sql_hex15(f"array_to_string(t[p:p+{_WIN_K - 1}], ' ')")}) AS g
   FROM toks
-)
-SELECT doc_id, unnest(list_distinct(list_transform(
+), fpd AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
          range(1, greatest(1, len(g) - {_WIN_W} + 1) + 1),
          q -> list_min(g[q:q+{_WIN_W - 1}])))) AS fp
-FROM g
+  FROM g
+)"""
+
+
+@query(
+    "ext_text_winnowing",
+    _WINNOW_FPD_SQL + """
+SELECT doc_id, fp FROM fpd
 """,
     doc=(
         "Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD "
@@ -2868,20 +2878,7 @@ def ext_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ext_dedup_winnowing",
-    f"""
-WITH toks AS (
-  SELECT doc_id, string_split_regex(text, ' +') AS t
-  FROM documents WHERE len(string_split_regex(text, ' +')) >= {_WIN_K}
-), g AS (
-  SELECT doc_id, list_transform(range(1, len(t) - {_WIN_K} + 2),
-     p -> {_sql_hex15(f"array_to_string(t[p:p+{_WIN_K - 1}], ' ')")}) AS g
-  FROM toks
-), fpd AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(
-         range(1, greatest(1, len(g) - {_WIN_W} + 1) + 1),
-         q -> list_min(g[q:q+{_WIN_W - 1}])))) AS fp
-  FROM g
-), kept AS (
+    _WINNOW_FPD_SQL + f""", kept AS (
   SELECT doc_id, fp FROM fpd
   WHERE fp NOT IN (SELECT fp FROM fpd GROUP BY fp HAVING COUNT(*) > 64)
 ), cnt AS (
