@@ -1,0 +1,119 @@
+"""Mergeable frequency sketches — the bounded-memory complement to the
+exact counting paths.
+
+`ngram_topk` (queries/corpus_pipeline.py) counts terms exactly with a
+two-phase agg: right when the distinct-term universe fits a shuffle, wrong
+at web scale where the unigram+bigram vocabulary of a 100 TB crawl is
+itself tens of TB.  The count-min sketch (Cormode & Muthukrishnan, J.
+Algorithms 2005) bounds the state instead: ``depth`` hash rows of
+``width`` counters — the memory is a CHOICE, like the Bloom filter's
+``m`` (operators/dedup.py:bloom_filter_dedup) — at the cost of
+one-sided error: estimates only ever OVERCOUNT (collisions add), by at
+most ``2N/width`` with probability ``1 - 2^-depth``.
+
+Relational representation: the sketch IS a ``(row, col, cnt)`` DataFrame
+of at most ``depth * width`` rows — built by one map-side-combined
+groupBy, merged across corpora/shards by summing cells (the property that
+makes it a streaming/partial-agg citizen), and probed by a broadcast
+join + per-term MIN.  Hashes are the engine-portable md5-derived 60-bit
+family, so DuckDB oracles compute identical cells and the "approximate"
+answer is value-exact across engines.
+
+Reference analogue: the approx-agg family (approx_count_distinct /
+approx_percentile ride Spark's built-in sketches); this adds the
+frequency sketch those builtins lack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cms_col(term: Column, row: int, width: int) -> Column:
+    """Counter column of ``term`` in hash row ``row`` — first 15 hex chars
+    of md5("cms{row}:" + term) mod width (the portable hash family; DuckDB
+    twin emitted by queries/extensions.py:_sql_hex15)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cms{row}:"), term).cast("binary")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def count_min_build(
+    df: DataFrame,
+    term_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Build the sketch over a term stream: every term increments one
+    counter per hash row.  Returns ``(row, col, cnt)`` — at most
+    ``depth * width`` rows regardless of corpus size.
+
+    Scale shape: explode ``depth`` cells per term (map-only), then ONE
+    map-side-combined groupBy onto the bounded cell space — partial
+    aggregation does almost all the work executor-local because the
+    key space is tiny.  Two sketches merge by unioning and re-summing
+    cells; a streaming job updates it per micro-batch the same way.
+    """
+    t = F.col(term_col)
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_col(t, r, width).alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_c")
+    ).select("_c.row", "_c.col")
+    return cells.groupBy("row", "col").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    term_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Estimate each probe term's frequency: MIN over its ``depth``
+    counters (missing cell = 0).  Guarantees ``estimate >= true count``
+    — collisions only ever add.  Returns ``(term_col, est)``.
+
+    Scale shape: probes explode to ``depth`` cells and join the sketch;
+    the sketch side is <= depth*width rows — broadcast it, never shuffle
+    the probe stream to meet a bounded table."""
+    t = F.col(term_col)
+    pc = probes.select(
+        t,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_col(t, r, width).alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_c"),
+    ).select(term_col, "_c.row", "_c.col")
+    return (
+        pc.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(term_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

@@ -91,6 +91,7 @@ _HEAD_ROTATION = [
     # -- round-5 changed/new-operator canaries --
     "ext_dedup_bloom", "ext_sample_temperature", "ext_quality_ccnet_buckets",
     "ext_text_winnowing", "ext_select_budget", "ext_dedup_winnowing",
+    "ext_sketch_count_min",
     "ext_embed_pca_project", "ext_dedup_semantic_whitened",
     "ext_quality_gopher_rules", "ext_quality_c4_clean",
     "ext_multimodal_image_stats", "ext_multimodal_audio_stats",

@@ -2918,3 +2918,81 @@ def ext_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnowing_dedup_pairs(
         docs, "text", "doc_id", k=_WIN_K, w=_WIN_W, min_shared=2, max_df=64
     )
+
+
+_CMS_W, _CMS_D = 1024, 4
+_CMS_PROBES = ["table", "key", "spark", "the", "zzq_absent_term"]
+
+
+@query(
+    "ext_sketch_count_min",
+    f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(text, ' +')) AS w FROM documents
+), cells AS (
+  SELECT r.r,
+         {_sql_hex15("'cms' || CAST(r.r AS VARCHAR) || ':' || w")} % {_CMS_W}
+           AS col
+  FROM tok CROSS JOIN range(0, {_CMS_D}) r(r)
+), sketch AS (
+  SELECT r, col, COUNT(*) AS cnt FROM cells GROUP BY r, col
+), probes AS (
+  SELECT * FROM (VALUES {", ".join(f"('{t}')" for t in _CMS_PROBES)}) p(term)
+), pc AS (
+  SELECT term, r.r,
+         {_sql_hex15("'cms' || CAST(r.r AS VARCHAR) || ':' || term")}
+           % {_CMS_W} AS col
+  FROM probes CROSS JOIN range(0, {_CMS_D}) r(r)
+), est AS (
+  SELECT term, MIN(COALESCE(s.cnt, 0)) AS est
+  FROM pc LEFT JOIN sketch s ON pc.r = s.r AND pc.col = s.col
+  GROUP BY term
+), exact AS (
+  SELECT p.term, COUNT(tok.w) AS exact_cnt
+  FROM probes p LEFT JOIN tok ON tok.w = p.term GROUP BY p.term
+)
+SELECT e.term, CAST(e.est AS BIGINT) AS est,
+       CAST(x.exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(e.est - x.exact_cnt AS BIGINT) AS overcount
+FROM est e JOIN exact x ON e.term = x.term
+""",
+    doc=(
+        "Count-min sketch term frequencies (Cormode & Muthukrishnan "
+        "2005): the bounded-memory complement to the exact ngram_topk "
+        "path — depth x width counters whose memory is a CHOICE "
+        "independent of vocabulary size (a 100 TB crawl's term universe "
+        "is itself TBs; the sketch is KBs), with one-sided error "
+        "(estimates only OVERCOUNT, by <= 2N/width w.h.p.).  Sketch = "
+        "ONE map-side-combined groupBy onto <= depth*width cells; "
+        "sketches merge by summing cells (streaming/partial-agg "
+        "citizen); probing broadcasts the sketch.  md5-derived cells "
+        "make the 'approximate' answer value-exact across engines; the "
+        "entry emits est vs exact per probe so the overcount guarantee "
+        "is itself oracled (operators/sketch.py)."
+    ),
+)
+def ext_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.operators import sketch as sk
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.expr("split(text, ' +')")).alias("w")
+    )
+    cms = sk.count_min_build(tok, "w", width=_CMS_W, depth=_CMS_D)
+    probes = spark.createDataFrame(
+        [(t,) for t in _CMS_PROBES], "term string"
+    )
+    est = sk.count_min_estimate(
+        cms, probes, "term", width=_CMS_W, depth=_CMS_D
+    )
+    exact = (
+        probes.join(tok, probes["term"] == tok["w"], "left")
+        .groupBy("term")
+        .agg(F.count("w").alias("exact_cnt"))
+    )
+    return est.join(exact, "term").select(
+        "term",
+        F.col("est").cast("long").alias("est"),
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        (F.col("est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+    )

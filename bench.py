@@ -78,6 +78,7 @@ BENCH_QUERIES = [f"tpch_q{i}" for i in range(1, 23)] + [
     "ext_text_winnowing",
     "ext_dedup_winnowing",
     "ext_select_budget",
+    "ext_sketch_count_min",
     "ext_pipeline_corpus_build",
     "ext_graph_pagerank",
     "ext_dedup_canonical_central",

@@ -952,3 +952,52 @@ def test_winnowing_dedup_partial_overlap_and_cap(spark):
     r = [x for x in out if (x["id_a"], x["id_b"]) == (1, 2)][0]
     assert 0.0 < r["jaccard"] <= 1.0
     assert r["shared_fps"] <= min(r["n_a"], r["n_b"])
+
+
+def test_count_min_never_undercounts(spark):
+    """CMS one-sided error: with a deliberately tiny sketch (width 16 ->
+    guaranteed collisions over a 60-term vocab), every estimate is >= the
+    true count, and a heavy hitter's estimate stays within the additive
+    2N/width bound."""
+    from arrow_ballista_spark.operators import sketch as sk
+
+    rows = [(f"term_{i % 60}",) for i in range(600)] + [("heavy",)] * 200
+    df = spark.createDataFrame(rows, "w string")
+    cms = sk.count_min_build(df, "w", width=16, depth=4)
+    assert cms.count() <= 16 * 4
+    vocab = df.distinct()
+    est = {
+        r["w"]: r["est"]
+        for r in sk.count_min_estimate(cms, vocab, "w", width=16, depth=4)
+        .collect()
+    }
+    exact = {r["w"]: r["n"] for r in df.groupBy("w").count()
+             .withColumnRenamed("count", "n").collect()}
+    n_total = 800
+    assert all(est[w] >= exact[w] for w in exact), "undercount!"
+    assert any(est[w] > exact[w] for w in exact), (
+        "width 16 over 61 terms must collide somewhere"
+    )
+    assert est["heavy"] - exact["heavy"] <= 2 * n_total / 16
+
+
+def test_count_min_merges_by_cell_sum(spark):
+    """Two shard sketches merged by summing cells equal the sketch of the
+    concatenated stream — the property that makes CMS a partial-agg /
+    streaming citizen."""
+    from pyspark.sql import functions as F2
+
+    from arrow_ballista_spark.operators import sketch as sk
+
+    a = spark.createDataFrame([(f"t{i % 7}",) for i in range(50)], "w string")
+    b = spark.createDataFrame([(f"t{i % 11}",) for i in range(80)], "w string")
+    merged = (
+        sk.count_min_build(a, "w", width=32, depth=3)
+        .unionAll(sk.count_min_build(b, "w", width=32, depth=3))
+        .groupBy("row", "col")
+        .agg(F2.sum("cnt").alias("cnt"))
+    )
+    whole = sk.count_min_build(a.unionAll(b), "w", width=32, depth=3)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )

@@ -370,3 +370,12 @@ def test_winnowing_dedup_no_cartesian_keyed_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_count_min_sketch_broadcasts_onto_probes(spark):
+    """The sketch (<= depth*width rows) must broadcast to the probe side;
+    building it is one two-phase agg onto the bounded cell space."""
+    df = REG["ext_sketch_count_min"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
