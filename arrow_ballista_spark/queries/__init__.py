@@ -91,7 +91,7 @@ _HEAD_ROTATION = [
     # -- round-5 changed/new-operator canaries --
     "ext_dedup_bloom", "ext_sample_temperature", "ext_quality_ccnet_buckets",
     "ext_text_winnowing", "ext_select_budget", "ext_dedup_winnowing",
-    "ext_sketch_count_min",
+    "ext_sketch_count_min", "ext_stream_sketch_counts",
     "ext_embed_pca_project", "ext_dedup_semantic_whitened",
     "ext_quality_gopher_rules", "ext_quality_c4_clean",
     "ext_multimodal_image_stats", "ext_multimodal_audio_stats",
@@ -108,8 +108,7 @@ _HEAD_ROTATION = [
     #    the window keeps the heavier compositions instead; total <= 50) --
     "ext_corpus_report", "events_rollup_multires", "ext_dedup_incremental",
     "ext_sessionize", "ext_funnel", "ext_retention_cohorts",
-    "h2o_join_medium_inner", "h2o_join_big", "nyctaxi_fare_by_passenger",
-    "h2o_groupby_manykey",
+    "h2o_join_big", "h2o_groupby_manykey",
     "ext_model_score", "ext_graph_pagerank", "ext_dedup_canonical_central",
     "ext_embed_quantize", "ext_stream_dedup_vs_index",
 ]

@@ -2996,3 +2996,57 @@ def ext_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_cnt").cast("long").alias("exact_cnt"),
         (F.col("est") - F.col("exact_cnt")).cast("long").alias("overcount"),
     )
+
+
+@query(
+    "ext_stream_sketch_counts",
+    f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(text, ' +')) AS w FROM documents
+), cells AS (
+  SELECT r.r,
+         {_sql_hex15("'cms' || CAST(r.r AS VARCHAR) || ':' || w")} % {_CMS_W}
+           AS col
+  FROM tok CROSS JOIN range(0, {_CMS_D}) r(r)
+), sketch AS (
+  SELECT r, col, COUNT(*) AS cnt FROM cells GROUP BY r, col
+), probes AS (
+  SELECT * FROM (VALUES {", ".join(f"('{t}')" for t in _CMS_PROBES)}) p(term)
+), pc AS (
+  SELECT term, r.r,
+         {_sql_hex15("'cms' || CAST(r.r AS VARCHAR) || ':' || term")}
+           % {_CMS_W} AS col
+  FROM probes CROSS JOIN range(0, {_CMS_D}) r(r)
+)
+SELECT term, CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est
+FROM pc LEFT JOIN sketch s ON pc.r = s.r AND pc.col = s.col
+GROUP BY term
+""",
+    doc=(
+        "Streaming count-min sketch: the frequency sketch maintained as a "
+        "Structured Streaming stateful aggregate over the continuous "
+        "corpus-ingestion source — the state is the sketch itself, <= "
+        "depth*width rows NO MATTER HOW MUCH DATA ARRIVES (contrast a "
+        "streaming exact term count, whose state grows with the "
+        "vocabulary and eventually evicts).  Each micro-batch's tokens "
+        "explode onto the bounded cell space and the groupBy state "
+        "absorbs them (complete mode, availableNow); probing the final "
+        "sketch is the batch estimate path.  Oracle is the batch CMS "
+        "SQL — streaming and batch must agree on bounded input "
+        "(operators/sketch.py, streaming/pipeline.py:documents_stream)."
+    ),
+)
+def ext_stream_sketch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.operators import sketch as sk
+
+    docs = streaming.documents_stream(spark, sf_dir)
+    tok = docs.select(F.explode(F.expr("split(text, ' +')")).alias("w"))
+    cms = streaming.run_available_now(
+        sk.count_min_build(tok, "w", width=_CMS_W, depth=_CMS_D), "complete"
+    )
+    probes = spark.createDataFrame(
+        [(t,) for t in _CMS_PROBES], "term string"
+    )
+    return sk.count_min_estimate(
+        cms, probes, "term", width=_CMS_W, depth=_CMS_D
+    ).select("term", F.col("est").cast("long").alias("est"))

@@ -130,3 +130,41 @@ def test_streams_accept_directory_layout(spark, tmp_path):
             mk(spark, str(tmp_path)), "append"
         ).count()
         assert got == src.count(), (table, got)
+
+
+def test_stream_sketch_state_is_bounded_and_exact_across_batches(
+    spark, tmp_path
+):
+    """The streaming count-min sketch absorbs MULTIPLE micro-batches into
+    <= depth*width state rows and ends equal to the batch sketch of the
+    whole stream — the bounded-state property that makes it the streaming
+    replacement for an ever-growing exact term-count state."""
+    from pyspark.sql import functions as F
+
+    from arrow_ballista_spark.operators import sketch as sk
+    from arrow_ballista_spark.streaming import pipeline as st
+
+    rows = [(i, f"w{i % 37} w{i % 11} shared") for i in range(300)]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "docs_stream")
+    # 4 files -> 4 micro-batches with maxFilesPerTrigger=1
+    batch.repartition(4).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    tok = stream.select(F.explode(F.expr("split(text, ' +')")).alias("w"))
+    got = st.run_available_now(
+        sk.count_min_build(tok, "w", width=64, depth=3), "complete"
+    )
+    want = sk.count_min_build(
+        batch.select(F.explode(F.expr("split(text, ' +')")).alias("w")),
+        "w", width=64, depth=3,
+    )
+    assert got.count() <= 64 * 3
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
