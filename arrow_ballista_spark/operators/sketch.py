@@ -48,6 +48,24 @@ def _cms_col(term: Column, row: int, width: int) -> Column:
     )
 
 
+def _cells(term: Column, width: int, depth: int) -> Column:
+    """The ``depth`` (row, col) sketch cells of a term, as an exploded
+    struct column — the ONE cell derivation both build and probe use, so
+    their hashing can never desynchronize (the >=-true-count guarantee
+    depends on them agreeing)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    _cms_col(term, r, width).alias("col"),
+                )
+                for r in range(depth)
+            ]
+        )
+    )
+
+
 def count_min_build(
     df: DataFrame,
     term_col: str,
@@ -64,19 +82,8 @@ def count_min_build(
     key space is tiny.  Two sketches merge by unioning and re-summing
     cells; a streaming job updates it per micro-batch the same way.
     """
-    t = F.col(term_col)
     cells = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("row"),
-                        _cms_col(t, r, width).alias("col"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("_c")
+        _cells(F.col(term_col), width, depth).alias("_c")
     ).select("_c.row", "_c.col")
     return cells.groupBy("row", "col").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -92,25 +99,35 @@ def count_min_estimate(
 ) -> DataFrame:
     """Estimate each probe term's frequency: MIN over its ``depth``
     counters (missing cell = 0).  Guarantees ``estimate >= true count``
-    — collisions only ever add.  Returns ``(term_col, est)``.
+    — collisions only ever add — PROVIDED width/depth match the build
+    call; a mismatch would probe never-populated cells and undercount,
+    so the common mismatches fail fast below.
 
     Scale shape: probes explode to ``depth`` cells and join the sketch;
     the sketch side is <= depth*width rows — broadcast it, never shuffle
     the probe stream to meet a bounded table."""
-    t = F.col(term_col)
+    # fail fast on parameter drift: a non-empty sketch populates every
+    # hash row 0..built_depth-1, and its cols live in [0, built_width).
+    # Catches probe depth < built depth and probe width < built width
+    # (built cells out of probe range); the inverse mismatches are not
+    # relationally detectable — callers own the params, this is a guard.
+    bounds = sketch.agg(
+        F.count_distinct(F.col("row")).alias("_d"),
+        F.max(F.col("col")).alias("_maxc"),
+    ).collect()[0]
+    if bounds["_d"] and bounds["_d"] != depth:
+        raise ValueError(
+            f"sketch was built with depth={bounds['_d']}, probed with "
+            f"depth={depth} — estimates would undercount"
+        )
+    if bounds["_maxc"] is not None and bounds["_maxc"] >= width:
+        raise ValueError(
+            f"sketch has cols up to {bounds['_maxc']} but probe "
+            f"width={width} — width mismatch would undercount"
+        )
     pc = probes.select(
-        t,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("row"),
-                        _cms_col(t, r, width).alias("col"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("_c"),
+        F.col(term_col),
+        _cells(F.col(term_col), width, depth).alias("_c"),
     ).select(term_col, "_c.row", "_c.col")
     return (
         pc.join(F.broadcast(sketch), ["row", "col"], "left")

@@ -2923,10 +2923,11 @@ def ext_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CMS_W, _CMS_D = 1024, 4
 _CMS_PROBES = ["table", "key", "spark", "the", "zzq_absent_term"]
 
-
-@query(
-    "ext_sketch_count_min",
-    f"""
+#: the one CMS oracle fragment — both sketch entries compose it so the
+#: cell hashing / probe list cannot drift between their oracles (the
+#: _WINNOW_FPD_SQL pattern).  Yields CTEs tok/cells/sketch/probes/pc,
+#: mirroring operators/sketch.py:_cells.
+_CMS_SQL_CTES = f"""
 WITH tok AS (
   SELECT unnest(string_split_regex(text, ' +')) AS w FROM documents
 ), cells AS (
@@ -2943,7 +2944,12 @@ WITH tok AS (
          {_sql_hex15("'cms' || CAST(r.r AS VARCHAR) || ':' || term")}
            % {_CMS_W} AS col
   FROM probes CROSS JOIN range(0, {_CMS_D}) r(r)
-), est AS (
+)"""
+
+
+@query(
+    "ext_sketch_count_min",
+    _CMS_SQL_CTES + """, est AS (
   SELECT term, MIN(COALESCE(s.cnt, 0)) AS est
   FROM pc LEFT JOIN sketch s ON pc.r = s.r AND pc.col = s.col
   GROUP BY term
@@ -2985,12 +2991,20 @@ def ext_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = sk.count_min_estimate(
         cms, probes, "term", width=_CMS_W, depth=_CMS_D
     )
-    exact = (
-        probes.join(tok, probes["term"] == tok["w"], "left")
+    # exact counts: filter the heavy token stream against the broadcast
+    # probe list FIRST (map-only), then restore zero-count probes with a
+    # 5-row left join — never shuffle the corpus onto 5 skewed term keys
+    hits = (
+        tok.join(F.broadcast(probes), tok["w"] == probes["term"], "inner")
         .groupBy("term")
-        .agg(F.count("w").alias("exact_cnt"))
+        .agg(F.count(F.lit(1)).alias("_hits"))
     )
-    return est.join(exact, "term").select(
+    # both result frames are <= len(_CMS_PROBES) rows; hint broadcast so
+    # Catalyst (statless local relations) never sort-merges 5-row tables
+    exact = probes.join(F.broadcast(hits), "term", "left").select(
+        "term", F.coalesce("_hits", F.lit(0)).alias("exact_cnt")
+    )
+    return est.join(F.broadcast(exact), "term").select(
         "term",
         F.col("est").cast("long").alias("est"),
         F.col("exact_cnt").cast("long").alias("exact_cnt"),
@@ -3000,24 +3014,7 @@ def ext_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ext_stream_sketch_counts",
-    f"""
-WITH tok AS (
-  SELECT unnest(string_split_regex(text, ' +')) AS w FROM documents
-), cells AS (
-  SELECT r.r,
-         {_sql_hex15("'cms' || CAST(r.r AS VARCHAR) || ':' || w")} % {_CMS_W}
-           AS col
-  FROM tok CROSS JOIN range(0, {_CMS_D}) r(r)
-), sketch AS (
-  SELECT r, col, COUNT(*) AS cnt FROM cells GROUP BY r, col
-), probes AS (
-  SELECT * FROM (VALUES {", ".join(f"('{t}')" for t in _CMS_PROBES)}) p(term)
-), pc AS (
-  SELECT term, r.r,
-         {_sql_hex15("'cms' || CAST(r.r AS VARCHAR) || ':' || term")}
-           % {_CMS_W} AS col
-  FROM probes CROSS JOIN range(0, {_CMS_D}) r(r)
-)
+    _CMS_SQL_CTES + """
 SELECT term, CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est
 FROM pc LEFT JOIN sketch s ON pc.r = s.r AND pc.col = s.col
 GROUP BY term

@@ -1001,3 +1001,18 @@ def test_count_min_merges_by_cell_sum(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_count_min_estimate_rejects_param_mismatch(spark):
+    """Probing with different width/depth than the build silently inverts
+    the never-undercount guarantee — the detectable mismatches must fail
+    fast instead."""
+    from arrow_ballista_spark.operators import sketch as sk
+
+    df = spark.createDataFrame([(f"t{i}",) for i in range(50)], "w string")
+    cms = sk.count_min_build(df, "w", width=256, depth=4)
+    probes = spark.createDataFrame([("t1",)], "w string")
+    with pytest.raises(ValueError, match="depth"):
+        sk.count_min_estimate(cms, probes, "w", width=256, depth=3)
+    with pytest.raises(ValueError, match="width"):
+        sk.count_min_estimate(cms, probes, "w", width=16, depth=4)

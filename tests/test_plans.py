@@ -374,8 +374,11 @@ def test_winnowing_dedup_no_cartesian_keyed_join(spark):
 
 def test_count_min_sketch_broadcasts_onto_probes(spark):
     """The sketch (<= depth*width rows) must broadcast to the probe side;
-    building it is one two-phase agg onto the bounded cell space."""
+    building it is one two-phase agg onto the bounded cell space; and the
+    exact-count side filters the token stream against the broadcast probe
+    list instead of shuffling the corpus onto 5 skewed term keys."""
     df = REG["ext_sketch_count_min"].spark(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
