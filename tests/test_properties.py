@@ -808,3 +808,83 @@ def test_editdist_pairs_match_bruteforce(spark, texts, q, d):
         .collect()
     }
     assert got == brute
+
+
+@given(
+    data=st.data(),
+    vocab_size=st.integers(3, 8),
+    n_docs=st.integers(2, 6),
+)
+@_SLOW
+def test_winnowing_guarantee_random_corpora(spark, data, vocab_size, n_docs):
+    """Schleimer et al.'s theorem on random corpora: ANY pair of documents
+    sharing a contiguous token run of length >= w + k - 1 shares at least
+    one fingerprint.  (The converse — no shared run implies no shared
+    fingerprint — is NOT claimed by winnowing and not asserted.)"""
+    from arrow_ballista_spark.operators.text import winnowing_fingerprints
+
+    k, w = 3, 4
+    run_len = w + k - 1
+    vocab = [f"v{i}" for i in range(vocab_size)]
+    docs = [
+        data.draw(
+            st.lists(st.sampled_from(vocab), min_size=1, max_size=24),
+            label=f"doc{i}",
+        )
+        for i in range(n_docs)
+    ]
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    fps: dict = {i: set() for i in range(n_docs)}
+    for r in winnowing_fingerprints(df, "text", "doc_id", k=k, w=w).collect():
+        fps[r["doc_id"]].add(r["fp"])
+    runs = [
+        {tuple(t[i : i + run_len]) for i in range(len(t) - run_len + 1)}
+        for t in docs
+    ]
+    for a in range(n_docs):
+        for b in range(a + 1, n_docs):
+            if runs[a] & runs[b]:
+                assert fps[a] & fps[b], (
+                    f"docs {a},{b} share a {run_len}-token run but no "
+                    f"fingerprint: {docs[a]} / {docs[b]}"
+                )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 40),   # score grid value (ties likely)
+            st.integers(1, 9),    # positive integer weight
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    budget=st.integers(0, 120),
+    width_pow=st.integers(-2, 6),  # bucket widths 0.25 .. 64
+)
+@_SLOW
+def test_budget_select_equals_naive_prefix(spark, rows, budget, width_pow):
+    """budget_select == the maximal (score, id)-ordered prefix with
+    cumulative weight <= budget, for any bucket width, under heavy score
+    ties (the case the example test can't sweep)."""
+    from arrow_ballista_spark.operators.corpus import budget_select
+
+    data = [(i, float(s) / 4.0, w) for i, (s, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, score double, w long")
+    got = {
+        r["id"]: r["cum_w"]
+        for r in budget_select(
+            df, "id", "score", "w",
+            budget=budget, bucket_width=float(2.0 ** width_pow),
+        ).collect()
+    }
+    want, cum = {}, 0
+    for i, s, w in sorted(data, key=lambda t: (t[1], t[0])):
+        cum += w
+        if cum > budget:
+            break
+        want[i] = cum
+    assert got == want
