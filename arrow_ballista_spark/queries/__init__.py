@@ -133,6 +133,7 @@ def load_all() -> dict[str, QueryDef]:
         extensions,
         corpus_pipeline,
         events_analytics,
+        advanced,
     )
 
     head = [n for n in _HEAD_ROTATION if n in REGISTRY]

