@@ -152,3 +152,97 @@ def count_min_estimate(
         .groupBy(term_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+# --- HyperLogLog-style distinct sketch -------------------------------------
+
+#: register exponent cap: rho values above 40 collapse to 40.  2^-40
+#: contributions are ~1e-12 of an empty register's weight, far below the
+#: estimator's intrinsic ~1.04/sqrt(m) error, and the cap keeps the
+#: integer register weights 2^(50-rho) exact in a BIGINT (no floating
+#: sum whose addition ORDER could differ between engines).
+_HLL_RHO_CAP = 40
+_HLL_SCALE = 50  # register weight = 2^(_HLL_SCALE - rho), summed exactly
+
+
+def hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias-correction constant for m >= 128."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_build(df: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """Register frame of the HyperLogLog sketch (Flajolet, Fusy,
+    Gandouet & Meunier, AofA 2007) over a value stream: ``2^p``
+    registers, each the MAX over its bucket of rho(w) = 1-based
+    position of the lowest set bit of the non-bucket hash bits.
+
+    Returns ``(bucket, m_j)`` — at most ``2^p`` rows regardless of
+    input size; sketches merge by unioning and re-MAXing registers
+    (the same partial-agg/streaming citizenship as the count-min
+    sketch above).  The bounded-memory complement to COUNT(DISTINCT):
+    exact distinct state is the value universe itself (TBs for a web
+    crawl's vocabulary); the sketch is 2^p rows by CHOICE.
+
+    Determinism: the md5-derived 60-bit hash splits into bucket
+    (low p bits via % m) and w (h >> p); rho is computed with integer
+    bit arithmetic (``length(bin(w & -w))``) — no floats anywhere, so
+    a DuckDB oracle computes identical registers.
+    """
+    m = 1 << p
+    h = _hex15(F.concat(F.lit("hll:"), F.col(col).cast("string")))
+    w = F.shiftright(h, p)
+    lsb = w.bitwiseAND(-w)
+    rho = F.when(w == F.lit(0), F.lit(_HLL_RHO_CAP)).otherwise(
+        F.least(F.length(F.bin(lsb)), F.lit(_HLL_RHO_CAP))
+    )
+    return (
+        df.select((h % m).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """One-row raw-HLL estimate from a register frame: ``alpha_m * m^2
+    / sum_j 2^(-M_j)`` with empty registers filled in from a generated
+    spine (M_j = 0).
+
+    The harmonic sum is computed EXACTLY: each register contributes the
+    integer ``2^(50 - M_j)`` (rho capped at 40), so ``s_scaled`` is a
+    BIGINT no summation order can perturb, and the estimate is one
+    double division of literal-folded constants — bit-identical across
+    engines.  Emits the raw estimator only (no small-range linear
+    counting correction — ``nonzero_regs`` is emitted so callers can
+    apply it; ln() last-ulp differences between libms would not be
+    value-exact across engines).
+    """
+    m = 1 << p
+    spark = registers.sparkSession
+    spine = spark.range(m).select(F.col("id").cast("long").alias("bucket"))
+    mm = spine.join(F.broadcast(registers), "bucket", "left").select(
+        F.coalesce(F.col("m_j"), F.lit(0)).alias("m_j")
+    )
+    # SQL form: the python F.shiftleft wrapper takes a literal int bit
+    # count, but the shift here is per-row (50 - m_j)
+    weight = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_SCALE} - m_j)")
+    agg = mm.agg(
+        F.sum(weight).alias("s_scaled"),
+        F.sum((F.col("m_j") == 0).cast("long")).alias("zeros"),
+    )
+    num = hll_alpha(m) * m * m * float(1 << _HLL_SCALE)
+    raw = F.lit(num) / F.col("s_scaled")
+    # Flajolet et al. §4 small-range correction: linear counting
+    # m*ln(m/V) when the raw estimate is <= 2.5m and empty registers
+    # remain.  ln() is the one operation here whose last ulp is not
+    # formally pinned across libms; the 1e-2 output rounding absorbs it.
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("zeros") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros")),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        (F.lit(m).cast("long") - F.col("zeros")).alias("nonzero_regs"),
+        F.col("s_scaled").cast("long").alias("s_scaled"),
+        raw.alias("est_raw"),
+        corrected.alias("est"),
+    )

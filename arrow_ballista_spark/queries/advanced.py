@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from arrow_ballista_spark.catalog import load_table
 from arrow_ballista_spark.queries import R, cround, query
+from arrow_ballista_spark.queries.extensions import _sql_hex15
 
 _SOURCE_CAP = 15
 
@@ -158,4 +159,111 @@ SELECT m.mo, CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
        {R('COALESCE(o.tot, 0.0)', 2)} AS total_price
 FROM m LEFT JOIN o ON m.mo = o.mo
 """
+    )
+
+
+# --- HyperLogLog distinct sketch -------------------------------------------
+
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+# identical literal on both sides: alpha_256 * m^2 * 2^50 (the scaled
+# numerator; operators/sketch.py:hll_estimate computes the same float)
+from arrow_ballista_spark.operators.sketch import (  # noqa: E402
+    _HLL_RHO_CAP,
+    _HLL_SCALE,
+    hll_alpha,
+)
+
+_HLL_NUM = repr(hll_alpha(_HLL_M) * _HLL_M * _HLL_M * float(1 << _HLL_SCALE))
+
+
+@query(
+    "ext_sketch_hll",
+    f"""
+WITH tok AS (
+  SELECT doc_id || ':' || unnest(string_split_regex(text, ' +')) AS w
+  FROM documents
+), hv AS (
+  SELECT {_sql_hex15("'hll:' || w")} AS h FROM tok
+), rr AS (
+  SELECT h % {_HLL_M} AS bucket, h >> {_HLL_P} AS wv FROM hv
+), rho AS (
+  SELECT bucket,
+         CASE WHEN wv = 0 THEN {_HLL_RHO_CAP}
+              ELSE least(length(bin(wv & -wv)), {_HLL_RHO_CAP}) END AS rho
+  FROM rr
+), regs AS (
+  SELECT bucket, MAX(rho) AS m_j FROM rho GROUP BY bucket
+), spine AS (
+  SELECT r AS bucket FROM range(0, {_HLL_M}) t(r)
+), mm AS (
+  SELECT COALESCE(regs.m_j, 0) AS m_j
+  FROM spine LEFT JOIN regs USING (bucket)
+), agg AS (
+  SELECT CAST(SUM(1::BIGINT << ({_HLL_SCALE} - m_j)) AS BIGINT) AS s_scaled,
+         CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+  FROM mm
+), ex AS (
+  SELECT COUNT(DISTINCT w) AS exact_distinct FROM tok
+)
+, fin AS (
+  SELECT CASE WHEN {_HLL_NUM} / s_scaled <= 2.5 * {_HLL_M} AND zeros > 0
+              THEN {_HLL_M} * ln({_HLL_M} / CAST(zeros AS DOUBLE))
+              ELSE {_HLL_NUM} / s_scaled END AS est_c,
+         s_scaled, zeros
+  FROM agg
+)
+SELECT {_HLL_M} AS m,
+       CAST({_HLL_M} - zeros AS BIGINT) AS nonzero_regs,
+       s_scaled,
+       {R('est_c', 2)} AS est,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       {R('(est_c - exact_distinct) / exact_distinct', 4)} AS rel_err
+FROM fin, ex
+""",
+    doc=(
+        "HyperLogLog distinct-count sketch (Flajolet et al., AofA 2007) "
+        "over the corpus posting universe (distinct (doc, term) pairs — "
+        "~12k at test SF, squarely in the raw-estimator regime): 256 "
+        "registers, each the bucket-max of the lowest-set-bit position "
+        "of the md5-derived hash — the bounded-memory complement to "
+        "COUNT(DISTINCT), whose exact state at 100 TB is the value "
+        "universe itself.  Registers merge by MAX (shard/stream "
+        "citizen, like the count-min cells); the build is ONE map-side-"
+        "combined groupBy onto <= 256 rows, the estimate a broadcast-"
+        "spine join.  Value-exact across engines: rho is pure integer "
+        "bit arithmetic (length(bin(w & -w)), capped at 40), the "
+        "harmonic sum is the exact BIGINT sum of 2^(50-M_j), the one "
+        "double division uses an identical numerator literal, and the "
+        "small-range linear-counting branch (m*ln(m/V) when raw <= "
+        "2.5m) rounds at 1e-2, absorbing any libm last-ulp skew — the "
+        "entry emits est vs COUNT(DISTINCT) so the ~1.04/sqrt(256) = "
+        "6.5% error envelope is itself oracled "
+        "(operators/sketch.py:hll_build/hll_estimate)."
+    ),
+)
+def ext_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.operators import sketch as sk
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.expr("split(text, ' +')")).alias("t"), "doc_id"
+    ).select(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("t"))
+        .alias("w")
+    )
+    regs = sk.hll_build(tok, "w", p=_HLL_P)
+    est = sk.hll_estimate(regs, p=_HLL_P)
+    exact = tok.agg(F.count_distinct("w").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "m",
+        "nonzero_regs",
+        "s_scaled",
+        cround(F.col("est"), 2).alias("est"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        cround(
+            (F.col("est") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
     )
