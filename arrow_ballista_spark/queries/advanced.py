@@ -267,3 +267,136 @@ def ext_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err"),
     )
+
+
+# --- IR statistics: inverted index + TF-IDF ---------------------------------
+
+_POSTINGS_CAP = 20
+
+
+@query(
+    "ext_text_inverted_index",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       array_to_string((list_sort(list(doc_id)))[1:{_POSTINGS_CAP}], ',')
+         AS postings_head
+FROM tf GROUP BY term
+""",
+    doc=(
+        "Inverted-index build (term -> document frequency, total term "
+        "frequency, posting-list head): the search-engine-shaped "
+        "complement to the BM25 scorer (ext_text_bm25) — BM25 *queries* "
+        "need exactly this structure precomputed.  Two keyed "
+        "aggregations, both map-side combined: (doc, term) -> tf, then "
+        "term -> (df, sum tf, sorted postings head).  The posting list "
+        "is capped at {cap} doc ids (full lists for a stopword at "
+        "100 TB are the corpus itself; real systems shard postings — "
+        "the cap keeps rows bounded and the head deterministic via "
+        "sort).  Emitted as a comma-joined string so the value hash is "
+        "representation-stable across engines.".format(cap=_POSTINGS_CAP)
+    ),
+)
+def ext_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.expr("split(text, ' +')")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.concat_ws(
+            ",",
+            F.expr(
+                f"transform(slice(sort_array(collect_list(doc_id)), 1, "
+                f"{_POSTINGS_CAP}), x -> cast(x as string))"
+            ),
+        ).alias("postings_head"),
+    )
+
+
+_TFIDF_TOPK = 3
+
+
+@query(
+    "ext_text_tfidf",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, {R('score', 4)} AS tfidf
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term
+  ) AS rk FROM scored
+) WHERE rk <= {_TFIDF_TOPK}
+""",
+    doc=(
+        "Per-document top-{k} TF-IDF terms (tf * ln(N/df)) — keyword "
+        "extraction / document signatures for retrieval-augmented "
+        "training sets.  Scale shape: two map-side-combined aggs "
+        "((doc,term)->tf, term->df), a keyed join of the gram stream "
+        "onto the df table (vocabulary-sized, NOT broadcast — at crawl "
+        "scale the vocabulary is GBs; Catalyst picks broadcast at test "
+        "SF from stats, both are keyed equi-joins), a 1-row N "
+        "broadcast, and a per-doc top-k window with a total order "
+        "(score DESC, term).  ln(N/df) is rounded at 1e-4 on both "
+        "sides; ties in score resolve lexicographically so the kept "
+        "set is engine-stable.".format(k=_TFIDF_TOPK)
+    ),
+)
+def ext_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.expr("split(text, ' +')")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (
+                F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("df"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TFIDF_TOPK)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            cround(F.col("score"), 4).alias("tfidf"),
+        )
+    )
