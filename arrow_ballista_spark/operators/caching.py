@@ -133,8 +133,10 @@ def reliable_checkpoint(df: DataFrame, checkpoint_dir: str) -> DataFrame:
     try:
         before = _list_rdd_ckpt_dirs(sc, checkpoint_dir)
         out = df.checkpoint(eager=True)
-        for path in _list_rdd_ckpt_dirs(sc, checkpoint_dir) - before:
-            _TRACKED_CKPT_PATHS.append((weakref.ref(sc), path))
+        new_paths = _list_rdd_ckpt_dirs(sc, checkpoint_dir) - before
+        with _CKPT_LOCK:
+            for path in new_paths:
+                _TRACKED_CKPT_PATHS.append((weakref.ref(sc), path))
         return out
     finally:
         with _CKPT_LOCK:
@@ -150,7 +152,10 @@ def release_checkpoints() -> int:
     job has finished (bench does, per query; long-lived services after
     each maintenance cycle)."""
     n = 0
-    for sc_ref, path in _TRACKED_CKPT_PATHS:
+    with _CKPT_LOCK:  # snapshot-and-swap so a concurrent checkpoint's
+        paths = _TRACKED_CKPT_PATHS[:]  # append can't land between our
+        _TRACKED_CKPT_PATHS.clear()  # iteration and the clear
+    for sc_ref, path in paths:
         sc = sc_ref()
         if sc is None:
             continue
@@ -160,7 +165,6 @@ def release_checkpoints() -> int:
                 n += 1
         except Exception:
             pass  # session stopped / already cleaned
-    _TRACKED_CKPT_PATHS.clear()
     return n
 
 

@@ -115,15 +115,13 @@ def covariance_stats(
     return n, mean, cov
 
 
-def pca_components(df: DataFrame, vec_col: str, k: int):
-    """Top-``k`` principal components:
-    ``(mean[d], W[k,d], evr[k], eigvals[k])`` with ``evr`` the
-    explained-variance ratios, components ordered by descending
-    eigenvalue and sign-normalized (largest-|coefficient| entry
-    positive) for determinism."""
+def _top_components(cov, k: int):
+    """eigh → top-``k`` rows, descending eigenvalue, sign-normalized
+    (largest-|coefficient| entry positive): ``(W[k,d], eigvals[k])``.
+    Shared by the distributed path and the literal-W helper so both
+    produce identical components from an identical covariance."""
     import numpy as np
 
-    _, mean, cov = covariance_stats(df, vec_col)
     vals, vecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(vals)[::-1][:k]
     W = vecs[:, order].T.copy()
@@ -131,9 +129,69 @@ def pca_components(df: DataFrame, vec_col: str, k: int):
         j = int(np.abs(W[i]).argmax())
         if W[i, j] < 0:
             W[i] = -W[i]
+    return W, vals, order
+
+
+def pca_components(df: DataFrame, vec_col: str, k: int):
+    """Top-``k`` principal components:
+    ``(mean[d], W[k,d], evr[k], eigvals[k])`` with ``evr`` the
+    explained-variance ratios, components ordered by descending
+    eigenvalue and sign-normalized (largest-|coefficient| entry
+    positive) for determinism."""
+    _, mean, cov = covariance_stats(df, vec_col)
+    W, vals, order = _top_components(cov, k)
     total = float(vals.sum()) or 1.0
     evr = vals[order] / total
     return mean, W, evr, vals[order]
+
+
+#: Driver-side whitening-sample bound: the covariance estimate behind
+#: :func:`whitening_literals` reads at most this many smallest-id vectors
+#: — bounded driver work at any corpus size (the IVF-centroid pattern).
+WHITEN_SAMPLE_CAP = 4096
+
+
+def whitening_literals(
+    sf_dir: str,
+    k: int = 8,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic, REPRODUCIBLE whitening parameters ``(mean[d],
+    W[k,d])`` for the literal-oracle pattern: read the ``WHITEN_SAMPLE_CAP``
+    smallest-id vectors driver-side (pyarrow, no Spark job), accumulate
+    mean/covariance in one fixed-order numpy pass, eigh + sign-normalize +
+    scale rows to unit variance.
+
+    Why a driver-side pass instead of :func:`pca_components`: the
+    distributed sufficient-statistics reduce is correct but its partial
+    summation ORDER is nondeterministic across runs/engines, so the eigh
+    input — and therefore the whitened values — cannot be replayed into a
+    generated DuckDB oracle.  This helper is bit-reproducible: same file,
+    same floats, so the SAME literals feed both the Spark plan and the
+    oracle SQL (the LSH-plane / IVF-centroid precedent,
+    queries/extensions.py).  The distributed covariance path agrees with
+    it to ~1e-12 (tests/test_extensions.py PCA property tests); at corpus
+    scale the bounded sample IS the honest design — nobody eighs 100 TB.
+    """
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    t = pq.read_table(path, columns=[id_col, vec_col])
+    pdf = t.to_pandas().sort_values(id_col).head(WHITEN_SAMPLE_CAP)
+    X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    n = len(X)
+    if n == 0:
+        raise ValueError("whitening_literals: empty input")
+    mean = X.sum(axis=0) / n
+    cov = (X.T @ X) / n - np.outer(mean, mean)
+    W, vals, order = _top_components(cov, k)
+    W = W / np.sqrt(np.maximum(vals[order], 1e-12))[:, None]
+    return mean, W
 
 
 def pca_project(

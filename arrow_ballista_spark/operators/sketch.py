@@ -211,10 +211,13 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
     integer ``2^(50 - M_j)`` (rho capped at 40), so ``s_scaled`` is a
     BIGINT no summation order can perturb, and the estimate is one
     double division of literal-folded constants — bit-identical across
-    engines.  Emits the raw estimator only (no small-range linear
-    counting correction — ``nonzero_regs`` is emitted so callers can
-    apply it; ln() last-ulp differences between libms would not be
-    value-exact across engines).
+    engines.  ``est_raw`` is the uncorrected estimator; ``est`` applies
+    the Flajolet §4 small-range linear-counting correction
+    (``m*ln(m/V)`` when raw <= 2.5m and empty registers remain) — do
+    NOT re-apply it.  ``nonzero_regs`` is emitted so callers that want
+    a different correction regime can compute their own from
+    ``est_raw``.  ln()'s last ulp is the one cross-libm hazard; the
+    1e-2 output rounding in the registry entry absorbs it.
     """
     m = 1 << p
     spark = registers.sparkSession

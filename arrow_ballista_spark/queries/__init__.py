@@ -72,46 +72,39 @@ def query(name: str, oracle: str | None, doc: str = ""):
 
 
 # Registry order is LOAD-BEARING: the driver's correctness harness checks
-# the first ~50 entries, in dict order.  Rounds 1-2 witnessed TPC-H, the
-# window suite, joins/setops/aggs and the round-1 extension families;
-# round 3 the agg/setop/streaming/corpus band; round 4 the 33 entries
-# never previously driver-sampled plus round-4 operator canaries
-# (CORRECTNESS_r0*.json green rows).  Round 5 leads with the ONLY five
-# entries whose oracle the driver has never confirmed (sampled in r1
-# before their value oracles existed, `err: no_oracle`; oracled since r3
-# and green locally) — a green row for each closes the external-evidence
-# loop on the entire registry.  Then canaries for everything touched this
-# round (regexp_match NULL groups, CSV inference, checkpoint tracking,
-# PCA projection, ED-Join auto-q, SemDeDup, merge) plus core TPC-H.
-_HEAD_ROTATION = [
-    # -- the 5 entries never driver-confirmed (r1 `no_oracle`; VERDICT r4
-    #    item 1) --
-    "ext_dedup_simhash", "ext_sim_topk_lsh", "ext_sim_lsh_near_dup",
-    "ext_sim_topk_ivf", "ext_text_rolling_hash",
-    # -- round-5 changed/new-operator canaries --
-    "ext_dedup_bloom", "ext_sample_temperature", "ext_quality_ccnet_buckets",
-    "ext_text_winnowing", "ext_select_budget", "ext_dedup_winnowing",
-    "ext_sketch_count_min", "ext_stream_sketch_counts",
-    "ext_embed_pca_project", "ext_dedup_semantic_whitened",
-    "ext_quality_gopher_rules", "ext_quality_c4_clean",
-    "ext_multimodal_image_stats", "ext_multimodal_audio_stats",
-    "fn_regex", "ext_dedup_editdist", "ext_dedup_semantic",
-    "ext_merge_upsert", "ext_dedup_clusters", "ext_dedup_canonical",
-    "ext_embed_covariance", "ext_zorder_key",
-    # -- core canaries (regression visibility inside the window) --
+# the first ~50 entries, in dict order.  From round 6 the head is DERIVED,
+# not hand-curated: tools/update_rotation.py scans the committed
+# CORRECTNESS_r*.json files into queries/rotation_state.py (last driver-
+# green round per entry), and the window head is oldest-evidence-first —
+# entries never externally witnessed (new work, or `no_oracle` rows)
+# automatically occupy the front, so nothing can go unwitnessed for
+# multiple rounds (the r5 failure mode: 6 late entries missed the
+# sample).  A fixed canary block keeps core-regression visibility
+# (TPC-H, streaming, the heavy compositions) inside every window.
+_WINDOW = 50
+_CANARIES = [
     "tpch_q1", "tpch_q8", "tpch_q18", "tpch_q21", "tpch_q19",
     "ext_stream_session_counts", "ext_pipeline_corpus_build",
-    "ext_decontaminate", "ext_sample_dsir", "ext_quality_lm_perplexity",
-    # -- re-confirm a slice of the r4 first-witness band (the 6 round-5
-    #    late additions pushed the window; the dropped h2o/sampling shapes
-    #    are driver-green in r4 and oracle-tested locally every round, so
-    #    the window keeps the heavier compositions instead; total <= 50) --
-    "ext_corpus_report", "events_rollup_multires", "ext_dedup_incremental",
-    "ext_sessionize", "ext_funnel", "ext_retention_cohorts",
-    "h2o_join_big", "h2o_groupby_manykey",
-    "ext_model_score", "ext_graph_pagerank", "ext_dedup_canonical_central",
-    "ext_embed_quantize", "ext_stream_dedup_vs_index",
+    "ext_dedup_canonical_central", "ext_graph_pagerank",
+    "ext_dedup_semantic", "ext_merge_upsert", "ext_sim_topk_lsh",
 ]
+
+
+def _derive_head_rotation(names: list[str]) -> list[str]:
+    """Oldest-external-evidence-first window head (ties: registry order).
+
+    Positions 0..fill hold the argmin of last-driver-green-round over the
+    whole registry (never-witnessed entries rank as round 0); the canary
+    block fills the window tail.  Asserted by tests/test_registry.py.
+    """
+    from arrow_ballista_spark.queries.rotation_state import LAST_GREEN
+
+    by_age = sorted(
+        (n for n in names if n not in _CANARIES),
+        key=lambda n: LAST_GREEN.get(n, 0),
+    )  # sort is stable -> registry order breaks round ties
+    fill = max(0, _WINDOW - len(_CANARIES))
+    return [*by_age[:fill], *[c for c in _CANARIES if c in names]]
 
 
 def load_all() -> dict[str, QueryDef]:
@@ -136,7 +129,7 @@ def load_all() -> dict[str, QueryDef]:
         advanced,
     )
 
-    head = [n for n in _HEAD_ROTATION if n in REGISTRY]
+    head = _derive_head_rotation(list(REGISTRY))
     rest = [n for n in REGISTRY if n not in set(head)]
     ordered = {n: REGISTRY[n] for n in [*head, *rest]}
     REGISTRY.clear()

@@ -1,7 +1,6 @@
 """Second extension bank: advanced SQL surface (recursive CTE, UNPIVOT),
-IR/text statistics (inverted index, TF-IDF), graph analytics (triangle
-counting), distinct sketches (register-based HLL), exact set-similarity
-joins (prefix-filtered PPJoin), and product quantization.
+per-source quality caps, IR/text statistics (inverted index, TF-IDF),
+and distinct sketches (register-based HLL).
 
 Same contract as queries/extensions.py: every entry is implemented twice
 — idiomatic PySpark (Catalyst plans the physical strategy) and a DuckDB
@@ -359,9 +358,14 @@ FROM (
         "scale the vocabulary is GBs; Catalyst picks broadcast at test "
         "SF from stats, both are keyed equi-joins), a 1-row N "
         "broadcast, and a per-doc top-k window with a total order "
-        "(score DESC, term).  ln(N/df) is rounded at 1e-4 on both "
-        "sides; ties in score resolve lexicographically so the kept "
-        "set is engine-stable.".format(k=_TFIDF_TOPK)
+        "(score DESC, term).  Both engines rank by the UNROUNDED "
+        "score (rounding at 1e-4 applies only to the emitted tfidf "
+        "column), so kept-set stability rests on the cross-engine "
+        "ln() bit-identity contract (tf, N, df are exact integers; "
+        "IEEE-754 double ln agrees to the last bit between Spark's "
+        "JVM StrictMath-backed log and DuckDB's libm on these "
+        "inputs, verified by the hash match) plus the lexicographic "
+        "term tie-break for equal scores.".format(k=_TFIDF_TOPK)
     ),
 )
 def ext_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:

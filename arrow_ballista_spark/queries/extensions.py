@@ -15,6 +15,8 @@ Every oracle here is value-exact, not just approximately equal:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1335,12 +1337,10 @@ def ext_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KMEANS_K = 8
 
-# Unrolled 2-iteration Lloyd's CTE chain (shared by ext_embed_kmeans and
-# ext_dedup_semantic): a1 = final (vec_id, cid) assignment.
-_KMEANS_CTE = f"""
-WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-), c0 AS (
+# Unrolled 2-iteration Lloyd's chain over a CTE `e(vec_id, v)` — shared by
+# ext_embed_kmeans, ext_dedup_semantic, and (over whitened vectors)
+# ext_dedup_semantic_whitened: a1 = final (vec_id, cid) assignment.
+_KMEANS_CHAIN = f"""c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
          v AS cent
   FROM (SELECT * FROM e ORDER BY vec_id LIMIT {_KMEANS_K})
@@ -1372,6 +1372,14 @@ WITH e AS (
     FROM d1) WHERE rn = 1
 )
 """
+
+_KMEANS_CTE = (
+    """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), """
+    + _KMEANS_CHAIN
+)
 
 
 @query(
@@ -2240,37 +2248,117 @@ def ext_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _whiten_dim_expr(mean, W, j: int, base: int) -> str:
+    """One whitened coordinate as portable SQL over array column ``v``:
+    ``R(sum_i W[j][i] * (v[i] - mean[i]), 6)``.  The sum is an explicit
+    left-to-right ``+`` chain and every literal is a string→DOUBLE cast
+    (repr round-trips the exact float64 bits in both engines; DuckDB
+    would otherwise type bare decimals as DECIMAL), so Spark and DuckDB
+    evaluate bit-identical doubles.  ``base``: Spark arrays index from 0,
+    DuckDB lists from 1."""
+    terms = " + ".join(
+        f"CAST('{W[j][i]!r}' AS DOUBLE)"
+        f" * (v[{i + base}] - CAST('{mean[i]!r}' AS DOUBLE))"
+        for i in range(len(mean))
+    )
+    return R(terms, 6)
+
+
+_WHITEN_K = 8
+_WHITEN_TAU = 0.5
+#: the SF the external driver compares at (TESTDATA.md) — the generated
+#: whitened oracle embeds THIS dataset's literals, so local tests for the
+#: whitened entry must also run at this SF (tests/test_extensions.py).
+_ORACLE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
+
+
+def _whitened_oracle() -> str | None:
+    """Generated literal-W oracle (the LSH-plane / IVF-centroid pattern):
+    the deterministic driver-side whitening parameters for the DRIVER's
+    comparison SF are embedded as literals, the whitened vectors built in
+    SQL (rounded at 6dp — identical arrays both engines), and the Lloyd
+    chain + within-cluster cosine reuse the ext_dedup_semantic machinery.
+    Returns None when the fixture is absent (import must never fail)."""
+    try:
+        from arrow_ballista_spark.operators.pca import whitening_literals
+
+        mean, W = whitening_literals(_ORACLE_SF_DIR, k=_WHITEN_K)
+    except Exception:
+        return None
+    dims = ",\n         ".join(
+        _whiten_dim_expr(mean, W, j, base=1) for j in range(_WHITEN_K)
+    )
+    return (
+        f"""
+WITH raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), e AS (
+  SELECT vec_id, [{dims}] AS v FROM raw
+), """
+        + _KMEANS_CHAIN
+        + f"""
+SELECT aa.vec_id AS id_a, bb.vec_id AS id_b,
+       CAST(aa.cid AS BIGINT) AS cluster,
+       {R(_sql_cosine("ea.v", "eb.v"), 6)} AS cosine
+FROM a1 aa
+JOIN a1 bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+JOIN e ea ON ea.vec_id = aa.vec_id
+JOIN e eb ON eb.vec_id = bb.vec_id
+WHERE {_sql_cosine("ea.v", "eb.v")} >= {_WHITEN_TAU}
+"""
+    )
+
+
 @query(
     "ext_dedup_semantic_whitened",
-    None,
+    _whitened_oracle(),
     doc=(
         "SemDeDup over WHITENED embeddings — the composition the SemDeDup "
         "paper's ablations motivate: project onto the top-8 principal "
-        "components scaled to unit variance (operators/pca.py), then "
-        "k-means-cluster the whitened vectors and keep within-cluster "
-        "pairs with whitened cosine >= tau.  Whitening equalizes "
-        "per-direction variance so clustering isn't dominated by one "
-        "high-variance axis.  No SQL oracle: the whitened values depend "
-        "on the eigendecomposition, which SQL cannot express (driver "
-        "records the rows-only check); exact agreement with a numpy "
-        "brute-force recomputation is pinned locally in "
-        "tests/test_extensions.py:test_semantic_whitened_matches_numpy.  "
-        "Scale shape: stats reduce + map-only whitening, then the "
-        "SemDeDup per-cluster Gram — quadratic work confined per "
-        "cluster, one shuffle on cluster id."
+        "components scaled to unit variance, then k-means-cluster the "
+        "whitened vectors and keep within-cluster pairs with whitened "
+        "cosine >= 0.5.  Whitening equalizes per-direction variance so "
+        "clustering isn't dominated by one high-variance axis.  "
+        "Value-exact oracle via the literal-W pattern: the whitening "
+        "parameters come from a deterministic bounded driver-side pass "
+        "(operators/pca.py:whitening_literals — the 4096 smallest-id "
+        "vectors, the IVF-centroid bounded-driver precedent; eigh is not "
+        "SQL-expressible, and the distributed stats reduce is not "
+        "replayable into an oracle), and the SAME float64 literals feed "
+        "the Spark plan and the generated SQL.  Whitened coordinates are "
+        "rounded at 6dp on both sides, then the ext_dedup_semantic Lloyd "
+        "chain + within-cluster cosine run unchanged.  The distributed "
+        "whitening path (pca_project(whiten=True)) stays covered by "
+        "ext_embed_pca_project's Parseval oracle and the numpy property "
+        "tests; agreement between the two W sources is ~1e-12.  The "
+        "oracle pins the driver's comparison SF (sf0.01); the Spark side "
+        "derives its literals from whatever sf_dir it runs at.  Scale "
+        "shape: bounded driver eigh + map-only whitening (512-term "
+        "codegen expressions, no shuffle), then the SemDeDup per-cluster "
+        "Gram — quadratic work confined per cluster, one shuffle on "
+        "cluster id."
     ),
 )
 def ext_dedup_semantic_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from arrow_ballista_spark.operators import pca
     from arrow_ballista_spark.operators.kmeans import semantic_dedup_pairs
+    from arrow_ballista_spark.operators.pca import whitening_literals
 
+    mean, W = whitening_literals(sf_dir, k=_WHITEN_K)
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
     )
-    white = pca.pca_project(emb, "v", "vec_id", k=8, whiten=True).select(
-        "vec_id", F.col("proj").alias("embedding")
+    white = emb.select(
+        "vec_id",
+        F.array(
+            *[
+                F.expr(_whiten_dim_expr(mean, W, j, base=0))
+                for j in range(_WHITEN_K)
+            ]
+        ).alias("embedding"),
     )
-    out = semantic_dedup_pairs(white, k=8, iters=2, tau=0.5)
+    out = semantic_dedup_pairs(white, k=_WHITEN_K, iters=2, tau=_WHITEN_TAU)
     return out.select(
         "id_a",
         "id_b",

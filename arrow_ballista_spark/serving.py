@@ -142,7 +142,9 @@ class FlightSQLHandle:
         self._server.shutdown()
 
 
-def start_flight_server(spark: SparkSession, port: int = 0) -> FlightSQLHandle:
+def start_flight_server(
+    spark: SparkSession, port: int = 0, host: str = "127.0.0.1"
+) -> FlightSQLHandle:
     """Serve this session's SQL surface over ARROW FLIGHT — the same wire
     protocol the reference's embedded endpoint speaks
     (``ballista/scheduler/src/flight_sql.rs:485-870``): gRPC transport,
@@ -166,6 +168,14 @@ def start_flight_server(spark: SparkSession, port: int = 0) -> FlightSQLHandle:
     Results materialize on the driver before streaming (a serving
     endpoint's contract); large extracts should go through the parquet
     sinks instead.  ``port=0`` binds an OS-assigned free port (tests).
+
+    Security: ``do_get`` executes arbitrary SQL from the ticket, so the
+    listener binds loopback (``127.0.0.1``) by default — matching the
+    handle's reported ``location``.  Exposing it beyond the host is an
+    explicit opt-in (``host="0.0.0.0"``) and should sit behind an
+    authenticating proxy or a ``flight.ServerMiddlewareFactory`` that
+    validates credentials, as the reference's scheduler does with its
+    Basic-auth handshake (``flight_sql.rs:485-520``).
     """
     try:
         import pyarrow.flight as flight
@@ -222,5 +232,5 @@ def start_flight_server(spark: SparkSession, port: int = 0) -> FlightSQLHandle:
                 )
                 yield self.get_flight_info(context, desc)
 
-    server = _Server(f"grpc://0.0.0.0:{port}")
+    server = _Server(f"grpc://{host}:{port}")
     return FlightSQLHandle(server, server.port)

@@ -15,10 +15,17 @@ from tests.conftest import SF_DIR, assert_same_results
 REG = load_all()
 EXT_NAMES = sorted(n for n in REG if n.startswith("ext_"))
 
+# Oracles whose generated literals pin the DRIVER's comparison SF
+# (sf0.01, see queries/extensions.py:_ORACLE_SF_DIR) — compared there in
+# a dedicated test below, not at this module's default sf0.001.
+DRIVER_SF_ORACLES = {"ext_dedup_semantic_whitened"}
+
 
 @pytest.mark.parametrize("name", EXT_NAMES)
 def test_extension_vs_duckdb(spark, oracle, name):
     qd = REG[name]
+    if name in DRIVER_SF_ORACLES:
+        pytest.skip("oracle literals pin sf0.01 — see the dedicated test")
     df = qd.spark(spark, SF_DIR)
     if qd.oracle is None:
         rows = df.collect()
@@ -26,6 +33,18 @@ def test_extension_vs_duckdb(spark, oracle, name):
         assert len(df.columns) >= 2  # stable schema
     else:
         assert_same_results(df, oracle, qd.oracle)
+
+
+def test_whitened_semantic_vs_duckdb_at_driver_sf(spark):
+    """ext_dedup_semantic_whitened's literal-W oracle embeds the
+    whitening parameters of the driver's comparison SF (sf0.01) — the
+    exact comparison the external driver performs."""
+    from tests.conftest import SF_DIR_T2, make_oracle
+
+    qd = REG["ext_dedup_semantic_whitened"]
+    assert qd.oracle is not None
+    df = qd.spark(spark, SF_DIR_T2)
+    assert_same_results(df, make_oracle(SF_DIR_T2), qd.oracle)
 
 
 def test_lsh_topk_matches_bruteforce_on_candidates(spark):
@@ -534,13 +553,23 @@ def test_pca_matches_numpy_reference(spark):
     assert np.allclose(Pw.var(axis=0), 1.0, rtol=1e-6)
 
 
+def _cround_np(x, digits=6):
+    """numpy twin of queries.cround — portable half-away-from-zero."""
+    import numpy as np
+
+    s = 10.0 ** digits
+    return np.floor(np.abs(x) * s + 0.5) / s * np.sign(x)
+
+
 def test_semantic_whitened_matches_numpy(spark):
-    """ext_dedup_semantic_whitened has no SQL oracle (eigh is not SQL-
-    expressible), so its value check lives here: an independent numpy
-    recomputation of the whole composition — biased covariance → eigh →
-    top-8 sign-normalized whitened projection → deterministic Lloyd
+    """Independent numpy recomputation of the whole whitened-SemDeDup
+    composition — sample covariance (np.cov, a different accumulation
+    than the helper's X.T@X pass) → eigh → top-8 sign-normalized whitened
+    projection → 6dp coordinate rounding → deterministic Lloyd
     (smallest-id init, 6dp centroid rounding, smallest-cid ties) →
-    within-cluster cosine pairs at tau=0.5 — must agree pair-for-pair."""
+    within-cluster cosine pairs at tau=0.5 — must agree pair-for-pair
+    with the registry entry.  Complements the literal-W DuckDB oracle
+    (which shares the helper): THIS check would catch a wrong helper."""
     import numpy as np
 
     from arrow_ballista_spark.queries import load_all
@@ -559,8 +588,11 @@ def test_semantic_whitened_matches_numpy(spark):
     )
     ids = np.array([r[0] for r in rows])
     X = np.array([r[1] for r in rows], dtype=np.float64)
-    mean = X.mean(axis=0)
-    cov = np.cov(X.T, bias=True)
+    from arrow_ballista_spark.operators.pca import WHITEN_SAMPLE_CAP
+
+    S = X[:WHITEN_SAMPLE_CAP]  # ids sorted: the smallest-id sample
+    mean = S.mean(axis=0)
+    cov = np.cov(S.T, bias=True)
     vals, vecs = np.linalg.eigh(cov)
     order = np.argsort(vals)[::-1][:8]
     W = vecs[:, order].T.copy()
@@ -569,7 +601,7 @@ def test_semantic_whitened_matches_numpy(spark):
         if W[i, j] < 0:
             W[i] = -W[i]
     W = W / np.sqrt(np.maximum(vals[order], 1e-12))[:, None]
-    P = (X - mean) @ W.T
+    P = _cround_np((X - mean) @ W.T)
 
     cents = P[:8].copy()  # ids are sorted: smallest-id init
     for it in range(2):
