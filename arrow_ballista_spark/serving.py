@@ -163,6 +163,23 @@ def start_flight_server(
     - ``get_schema``: result schema without executing (``spark.sql``
       analysis only, no job).
 
+    Prepared statements (the FlightSQL prepared-statement lifecycle the
+    reference implements in ``flight_sql.rs:636-660, 885-915``, minus
+    the protobuf envelope — JSON bodies over the generic Flight verbs):
+
+    - ``do_action("create_prepared_statement", b'{"query": "... ? ..."}')``
+      caches the statement server-side and returns one result whose body
+      is ``{"prepared_statement_handle": "<uuid>"}`` (the reference's
+      ActionCreatePreparedStatementResult).
+    - ``do_put`` with descriptor command
+      ``{"prepared_statement_handle": "<uuid>"}`` binds parameters: the
+      client writes ONE record batch; ``?`` markers bind positionally in
+      column order, ``:name`` markers bind by column name (Spark's
+      parameterized-SQL contract — do_put_prepared_statement_query).
+    - ``get_flight_info`` / ``do_get`` with the same JSON command
+      executes the bound statement.
+    - ``do_action("close_prepared_statement", <same JSON>)`` drops it.
+
     The server thread pool executes each do_get as a normal Spark action
     — concurrency, scheduling, and memory limits are the session's.
     Results materialize on the driver before streaming (a serving
@@ -185,25 +202,65 @@ def start_flight_server(
             "(reference analogue: flight_sql.rs)."
         ) from e
 
+    import json
+    import uuid
+
     class _Server(flight.FlightServerBase):
         def __init__(self, location):
             super().__init__(location)
             self._spark = spark
+            # handle -> {"sql": str, "args": list | dict | None}
+            self._prepared: dict[str, dict] = {}
 
-        def _sql_from_descriptor(self, descriptor) -> str:
+        # -- statement resolution -----------------------------------
+        def _parse_prepared(self, raw: bytes) -> "dict | None":
+            """A JSON object carrying prepared_statement_handle, else
+            None (plain-SQL commands are opaque bytes, never JSON)."""
+            try:
+                body = json.loads(raw.decode("utf-8"))
+            except Exception:
+                return None
+            if isinstance(body, dict) and "prepared_statement_handle" in body:
+                return body
+            return None
+
+        def _statement(self, raw: bytes) -> "tuple[str, object]":
+            """(sql, args) for either a plain-SQL command or a prepared
+            handle with its currently-bound parameters."""
+            ref = self._parse_prepared(raw)
+            if ref is None:
+                return raw.decode("utf-8"), None
+            handle = ref["prepared_statement_handle"]
+            st = self._prepared.get(handle)
+            if st is None:
+                raise flight.FlightServerError(
+                    f"unknown prepared statement {handle!r}"
+                )
+            return st["sql"], st.get("args")
+
+        def _run(self, sql: str, args):
+            return (
+                self._spark.sql(sql, args=args)
+                if args is not None
+                else self._spark.sql(sql)
+            )
+
+        def _sql_from_descriptor(self, descriptor) -> bytes:
             if descriptor.command:
-                return descriptor.command.decode("utf-8")
+                return descriptor.command
             if descriptor.path:
-                return descriptor.path[0].decode("utf-8")
+                return descriptor.path[0]
             raise flight.FlightServerError("empty flight descriptor")
 
+        # -- Flight verbs -------------------------------------------
         def get_flight_info(self, context, descriptor):
-            sql = self._sql_from_descriptor(descriptor)
-            schema = self._spark.sql(sql).schema  # analysis only, no job
+            raw = self._sql_from_descriptor(descriptor)
+            sql, args = self._statement(raw)
+            schema = self._run(sql, args).schema  # analysis only, no job
             from pyspark.sql.pandas.types import to_arrow_schema
 
             endpoint = flight.FlightEndpoint(
-                sql.encode("utf-8"),
+                raw,
                 [flight.Location.for_grpc_tcp("localhost", self.port)],
             )
             return flight.FlightInfo(
@@ -213,15 +270,64 @@ def start_flight_server(
         def get_schema(self, context, descriptor):
             from pyspark.sql.pandas.types import to_arrow_schema
 
-            sql = self._sql_from_descriptor(descriptor)
+            sql, args = self._statement(
+                self._sql_from_descriptor(descriptor)
+            )
             return flight.SchemaResult(
-                to_arrow_schema(self._spark.sql(sql).schema)
+                to_arrow_schema(self._run(sql, args).schema)
             )
 
         def do_get(self, context, ticket):
-            sql = ticket.ticket.decode("utf-8")
-            table = self._spark.sql(sql).toArrow()
+            sql, args = self._statement(ticket.ticket)
+            table = self._run(sql, args).toArrow()
             return flight.RecordBatchStream(table)
+
+        # -- prepared-statement lifecycle (flight_sql.rs:885-915) ----
+        def do_action(self, context, action):
+            if action.type == "create_prepared_statement":
+                body = json.loads(action.body.to_pybytes().decode("utf-8"))
+                handle = str(uuid.uuid4())
+                self._prepared[handle] = {"sql": body["query"], "args": None}
+                yield json.dumps(
+                    {"prepared_statement_handle": handle}
+                ).encode("utf-8")
+            elif action.type == "close_prepared_statement":
+                body = json.loads(action.body.to_pybytes().decode("utf-8"))
+                self._prepared.pop(body["prepared_statement_handle"], None)
+                yield b"{}"
+            else:
+                raise flight.FlightServerError(
+                    f"unknown action {action.type!r}"
+                )
+
+        def list_actions(self, context):
+            return [
+                ("create_prepared_statement", "cache a parameterized SQL"),
+                ("close_prepared_statement", "drop a prepared statement"),
+            ]
+
+        def do_put(self, context, descriptor, reader, writer):
+            ref = self._parse_prepared(self._sql_from_descriptor(descriptor))
+            if ref is None:
+                raise flight.FlightServerError(
+                    "do_put expects a prepared_statement_handle descriptor"
+                )
+            handle = ref["prepared_statement_handle"]
+            st = self._prepared.get(handle)
+            if st is None:
+                raise flight.FlightServerError(
+                    f"unknown prepared statement {handle!r}"
+                )
+            batch = reader.read_all()  # one parameter batch, first row
+            row = {
+                name: batch.column(name)[0].as_py()
+                for name in batch.schema.names
+            }
+            # `?` markers bind positionally (column order); `:name` by name
+            if "?" in st["sql"]:
+                st["args"] = [row[n] for n in batch.schema.names]
+            else:
+                st["args"] = row
 
         def list_flights(self, context, criteria):
             for row in self._spark.sql("SHOW TABLES").collect():

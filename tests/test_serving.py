@@ -128,3 +128,90 @@ def test_flight_server_roundtrip(spark):
     finally:
         spark.catalog.dropTempView("flight_region")
         handle.stop()
+
+
+def test_flight_prepared_statement_roundtrip(spark):
+    """FlightSQL prepared-statement lifecycle (flight_sql.rs:636-660,
+    885-915, JSON envelope): create → bind via do_put (positional `?`
+    and named `:name`) → get_flight_info/do_get → rebind → close."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.flight as flight
+
+    from arrow_ballista_spark import serving
+
+    spark.createDataFrame(
+        [(i, f"n{i}") for i in range(5)], "k long, name string"
+    ).createOrReplaceTempView("flight_prep")
+    handle = serving.start_flight_server(spark, port=0)
+    try:
+        client = flight.connect(handle.location)
+        # create
+        res = list(
+            client.do_action(
+                flight.Action(
+                    "create_prepared_statement",
+                    json.dumps(
+                        {"query": "SELECT k, name FROM flight_prep "
+                                  "WHERE k < ? ORDER BY k"}
+                    ).encode(),
+                )
+            )
+        )
+        ps = json.loads(res[0].body.to_pybytes().decode())
+        ref = json.dumps(ps).encode()
+        desc = flight.FlightDescriptor.for_command(ref)
+        # bind k < 2 positionally
+        w, _ = client.do_put(desc, pa.schema([("p0", pa.int64())]))
+        w.write_table(pa.table({"p0": [2]}))
+        w.close()
+        info = client.get_flight_info(desc)
+        got = client.do_get(info.endpoints[0].ticket).read_all()
+        assert got.column("k").to_pylist() == [0, 1]
+        # rebind k < 4 — same handle, new parameter batch
+        w, _ = client.do_put(desc, pa.schema([("p0", pa.int64())]))
+        w.write_table(pa.table({"p0": [4]}))
+        w.close()
+        got = client.do_get(flight.Ticket(ref)).read_all()
+        assert got.column("k").to_pylist() == [0, 1, 2, 3]
+        # named-marker statement binds by column name
+        res = list(
+            client.do_action(
+                flight.Action(
+                    "create_prepared_statement",
+                    json.dumps(
+                        {"query": "SELECT count(*) AS n FROM flight_prep "
+                                  "WHERE name = :nm"}
+                    ).encode(),
+                )
+            )
+        )
+        ps2 = json.loads(res[0].body.to_pybytes().decode())
+        desc2 = flight.FlightDescriptor.for_command(json.dumps(ps2).encode())
+        w, _ = client.do_put(desc2, pa.schema([("nm", pa.string())]))
+        w.write_table(pa.table({"nm": ["n3"]}))
+        w.close()
+        got = client.do_get(flight.Ticket(json.dumps(ps2).encode())).read_all()
+        assert got.column("n").to_pylist() == [1]
+        # close: the handle stops resolving
+        list(
+            client.do_action(
+                flight.Action("close_prepared_statement", ref)
+            )
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(flight.FlightServerError):
+            client.do_get(flight.Ticket(ref)).read_all()
+        # plain-SQL path is unaffected by the prepared machinery
+        plain = flight.FlightDescriptor.for_command(
+            b"SELECT count(*) AS n FROM flight_prep"
+        )
+        got = client.do_get(
+            client.get_flight_info(plain).endpoints[0].ticket
+        ).read_all()
+        assert got.column("n").to_pylist() == [5]
+    finally:
+        spark.catalog.dropTempView("flight_prep")
+        handle.stop()
