@@ -9,11 +9,13 @@ The reference has no multimodal surface; this is a north-star extension
 - decode / feature-extract / frame-sample run as Arrow-batched
   ``mapInPandas`` stages (one Python worker per partition, whole batches
   over Arrow — never row-at-a-time UDFs);
-- the actual codec step is STUBBED (``decode_image`` raises
-  ``NotImplementedError`` — image/audio libs are not in this container);
-  a deterministic fake stands in so the Spark-side plumbing (schema,
-  partitioning, UDF signature, batch shape, 1→N frame explosion) is real
-  and testable end-to-end.
+- decode is REAL for library-free formats — P6 PPM, uncompressed 24-bit
+  BMP, 8-bit non-interlaced PNG (stdlib zlib), PCM WAV — all value-
+  oracled; only DCT/arithmetic codecs (JPEG/WebP/MP3) stay environment-
+  gated behind ``NotImplementedError`` (no codec libs in this container;
+  production swaps in PIL/ffmpeg), with ``fake_decode_meta`` standing in
+  so the Spark-side plumbing (schema, partitioning, UDF signature, batch
+  shape, 1→N frame explosion) stays testable end-to-end regardless.
 
 Scale notes: feature extraction is map-only (zero shuffle); frame
 sampling multiplies rows ~n_bytes/frame_size so it repartitions after
@@ -136,6 +138,171 @@ def decode_wav(blob: bytes):
     return samples, rate
 
 
+def decode_png(blob: bytes):
+    """Decode PNG — stdlib ``zlib`` inflate + per-row filter reversal,
+    no codec library (the format is public: RFC 2083 / W3C PNG spec).
+
+    Supports the overwhelmingly common web shape: 8-bit depth, color
+    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced.  Returns an (h, w, 3) uint8 RGB array — gray
+    replicates, alpha is DROPPED (not composited), palette indices
+    resolve through PLTE.  All five row filters (None/Sub/Up/Average/
+    Paeth) are reversed; Sub is vectorized per byte lane (cumsum mod
+    256), Average/Paeth are inherently sequential in x and run as
+    scalar loops — fine for thumbnails/fixtures; a production hot path
+    would use a C codec.  16-bit depth and interlacing raise
+    ``NotImplementedError`` (rare in web crawls; Adam7 needs 7-pass
+    reassembly)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    i, idat, plte, hdr = 8, [], None, None
+    while i + 8 <= len(blob):
+        (length,) = struct.unpack_from(">I", blob, i)
+        ctype = blob[i + 4 : i + 8]
+        data = blob[i + 8 : i + 8 + length]
+        if ctype == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + length  # len + type + data + crc
+    if hdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = hdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth}/compression={comp}/filter-method={filt} "
+            "not supported library-free (8-bit, method 0 only)"
+        )
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if nch is None:
+        raise ValueError(f"bad PNG color type {color}")
+    raw = zlib.decompress(b"".join(idat))
+    stride, bpp = w * nch, nch
+    if len(raw) < (stride + 1) * h:
+        raise ValueError("truncated PNG scanline data")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=pos + 1
+        ).astype(np.int32)
+        pos += 1 + stride
+        if ft == 0:  # None
+            rec = line
+        elif ft == 1:  # Sub: cumsum per byte lane, mod 256
+            rec = line.copy()
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(rec[lane::bpp]) % 256
+        elif ft == 2:  # Up
+            rec = (line + prev) % 256
+        elif ft == 3:  # Average
+            rec = line.copy()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) % 256
+        elif ft == 4:  # Paeth
+            rec = line.copy()
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    img = out.reshape(h, w, nch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        img = plte[img[:, :, 0]]
+    elif color in (0, 4):  # gray / gray+alpha -> replicate luminance
+        img = np.repeat(img[:, :, :1], 3, axis=2)
+    elif color == 6:  # RGBA -> drop alpha
+        img = img[:, :, :3]
+    return np.ascontiguousarray(img)
+
+
+def encode_png(img, filters=(0,)) -> bytes:
+    """Minimal RGB8 PNG writer (stdlib zlib) — fixture/test helper so the
+    decode path can be driven with REAL deflate streams and every row
+    filter.  ``filters`` cycles per row over the five spec filter types;
+    encoding applies the exact inverse of the decoder's reversal."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, nch = img.shape
+    assert nch == 3, "encode_png writes color type 2 (RGB8) only"
+    stride, bpp = w * 3, 3
+    raw = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        line = img[y].reshape(-1).astype(np.int32)
+        if ft == 0:
+            enc = line.copy()
+        elif ft == 1:
+            enc = line.copy()
+            enc[bpp:] = line[bpp:] - line[:-bpp]
+        elif ft == 2:
+            enc = line - prev
+        elif ft == 3:
+            enc = line.copy()
+            for x in range(stride):
+                left = int(line[x - bpp]) if x >= bpp else 0
+                enc[x] = line[x] - ((left + int(prev[x])) >> 1)
+        elif ft == 4:
+            enc = line.copy()
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = line[x] - pred
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        raw.append(ft)
+        raw += (enc % 256).astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def resize_nearest(img, out_w: int, out_h: int):
     """Nearest-neighbor resize of an (h, w, c) array — pure numpy index
     math, the classic pre-augmentation thumbnail step."""
@@ -148,21 +315,24 @@ def resize_nearest(img, out_w: int, out_h: int):
 
 
 def decode_image(blob: bytes) -> object:
-    """Image decode: REAL for library-free raw formats (P6 PPM,
-    uncompressed 24-bit BMP); compressed codecs stay environment-gated.
+    """Image decode: REAL for library-free formats — P6 PPM, uncompressed
+    24-bit BMP, and 8-bit non-interlaced PNG (stdlib zlib inflate +
+    filter reversal); only DCT/arithmetic codecs stay environment-gated.
 
     The container has no image codec libraries (no PIL / cv2), so
-    PNG/JPEG/WebP raise ``NotImplementedError`` — in production that
-    branch is ``PIL.Image.open(io.BytesIO(blob))``.  The raw-format
-    paths are fully tested (round-trip vs numpy references)."""
+    JPEG/WebP raise ``NotImplementedError`` — in production that branch
+    is ``PIL.Image.open(io.BytesIO(blob))``.  The native paths are fully
+    tested (round-trip vs numpy references)."""
     if blob.startswith(b"P6"):
         return decode_ppm(blob)
     if blob.startswith(b"BM"):
         return decode_bmp(blob)
+    if blob.startswith(b"\x89PNG\r\n\x1a\n"):
+        return decode_png(blob)
     raise NotImplementedError(
-        "compressed image codecs (PNG/JPEG/...) are not installed in "
-        "this environment; raw P6 PPM / 24-bit BMP decode natively, or "
-        "use fake_decode_meta() for deterministic plumbing tests"
+        "DCT image codecs (JPEG/WebP/...) are not installed in this "
+        "environment; P6 PPM / 24-bit BMP / 8-bit PNG decode natively, "
+        "or use fake_decode_meta() for deterministic plumbing tests"
     )
 
 

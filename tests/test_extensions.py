@@ -83,9 +83,9 @@ def test_simhash_finds_all_true_near_dups(spark):
     assert missed == 0, "simhash missed strong near-duplicate pairs"
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_gates_dct_codecs():
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+        multimodal.decode_image(b"\xff\xd8\xff\xe0jpeg...")
 
 
 def test_frame_sampling_shape(spark):
@@ -751,9 +751,75 @@ def test_raw_image_decoders_roundtrip():
     ys = (np.arange(4) * 7 // 4).clip(0, 6)
     xs = (np.arange(4) * 13 // 4).clip(0, 12)
     assert np.array_equal(small, px[ys[:, None], xs[None, :]])
-    # compressed codecs remain gated
+    # DCT codecs remain gated
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")
+        multimodal.decode_image(b"\xff\xd8\xff\xe0jpeg...")
+
+
+def test_png_decoder_roundtrip_all_filters():
+    """encode_png → decode_png must be the identity for every spec row
+    filter (None/Sub/Up/Average/Paeth) and mixed cycles, on several
+    shapes; gray/palette/RGBA decode to the expected RGB; 16-bit and
+    Adam7 stay gated."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for shape in [(8, 8, 3), (13, 5, 3), (1, 1, 3), (32, 17, 3)]:
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        for filters in [(0,), (1,), (2,), (3,), (4,), (0, 1, 2, 3, 4)]:
+            blob = multimodal.encode_png(px, filters=filters)
+            out = multimodal.decode_image(blob)
+            assert np.array_equal(out, px), (shape, filters)
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d))
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # gray replicates to RGB
+    g = np.array([[0, 128], [255, 7]], np.uint8)
+    raw = b"".join(b"\x00" + g[y].tobytes() for y in range(2))
+    png = (
+        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    out = multimodal.decode_png(png)
+    assert all(np.array_equal(out[:, :, c], g) for c in range(3))
+    # palette resolves through PLTE
+    plte = np.array([[10, 20, 30], [200, 100, 50]], np.uint8)
+    png = (
+        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte.tobytes())
+        + chunk(b"IDAT", zlib.compress(b"\x00" + bytes([1, 0])))
+        + chunk(b"IEND", b"")
+    )
+    out = multimodal.decode_png(png)
+    assert np.array_equal(out[0, 0], [200, 100, 50])
+    assert np.array_equal(out[0, 1], [10, 20, 30])
+    # RGBA drops alpha
+    png = (
+        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" + bytes([1, 2, 3, 255, 4, 5, 6, 0])))
+        + chunk(b"IEND", b"")
+    )
+    out = multimodal.decode_png(png)
+    assert np.array_equal(out[0], [[1, 2, 3], [4, 5, 6]])
+    # 16-bit depth and interlacing are gated, not wrong
+    for hdr in [
+        struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 1),
+        struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0),
+    ]:
+        png = (
+            sig + chunk(b"IHDR", hdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 7)) + chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_png(png)
 
 
 def test_wav_decoder_and_audio_stats(spark):
