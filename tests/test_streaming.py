@@ -4,6 +4,7 @@ batch twin when run over all available input (availableNow + memory sink)."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from arrow_ballista_spark.catalog import load_table
@@ -168,3 +169,62 @@ def test_stream_sketch_state_is_bounded_and_exact_across_batches(
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_sink_parquet_recovers_from_midstream_failure(spark, tmp_path):
+    """Failure-injection for the exactly-once parquet sink (VERDICT r5
+    item 7): a micro-batch CRASHES mid-query (injected exception with
+    maxFilesPerTrigger=1, so earlier batches have already committed and
+    the failed batch may have half-written files), then the job restarts
+    from the same checkpoint — the final dataset must equal the input
+    exactly: no duplicated committed batch, no missing rows, no orphan
+    files visible through the _spark_metadata log."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.functions import pandas_udf
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    for i in range(4):  # four single-file micro-batches
+        ids = list(range(i * 100, (i + 1) * 100))
+        pq.write_table(
+            pa.table({"id": ids, "v": [x * 2 for x in ids]}),
+            str(src_dir / f"f{i}.parquet"),
+        )
+    bomb = str(tmp_path / "bomb_armed")
+    open(bomb, "w").write("1")
+
+    @pandas_udf("long")
+    def maybe_boom(v: pd.Series) -> pd.Series:
+        # local[*]: workers share the test FS, so the flag file is the
+        # cross-process kill switch
+        if os.path.exists(bomb) and (v == 500).any():  # id 250 -> f2
+            raise RuntimeError("injected mid-stream failure")
+        return v
+
+    def stream_df():
+        return (
+            spark.readStream.schema("id long, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir))
+            .select("id", maybe_boom(F.col("v")).alias("v"))
+        )
+
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+    with pytest.raises(Exception, match="injected|Query .* terminated"):
+        pipeline.sink_parquet(stream_df(), out, ckpt)
+    try:  # some prefix of batches committed; never the bombed one fully
+        interim = spark.read.parquet(out).count()
+        assert interim < 400 and interim % 100 == 0
+    except Exception:
+        pass  # the bombed file came first: nothing committed yet — fine
+    os.remove(bomb)  # "fix the transient fault" and restart
+    pipeline.sink_parquet(stream_df(), out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 400  # no missing rows, no duplicates
+    rows = {(r.id, r.v) for r in got.collect()}
+    assert rows == {(x, 2 * x) for x in range(400)}
