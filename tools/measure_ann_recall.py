@@ -1,0 +1,127 @@
+"""Measure ANN recall@k vs the brute-force oracle at 1x and 10x data —
+the quality half of the 100 TB design claim (VERDICT r5 item 4): a
+sublinear wall-time curve means nothing if the probe settings stop
+finding the true neighbors as the corpus grows.
+
+For each fixture (sf0.01 = 1x, /tmp/scale10x = 10x — build with
+tools/make_scale_fixture.py) this sweeps the probe budget:
+
+- LSH (hyperplane_lsh_topk): n_tables in {8, 16, 32} at the registry's
+  n_planes=8 — L independent tables + Hamming-1 multiprobe.
+- IVF (ivf_topk): nprobe in {2, 4, 8} at the registry's n_cells=16, and
+  the sqrt-n scaling rule (n_cells ~ sqrt(n), nprobe = n_cells/4).
+
+recall@k = mean over queries of |ANN top-k ∩ exact top-k| / k.
+Output: one markdown table (paste into SCALING.md) + a JSON line.
+
+Usage: python tools/measure_ann_recall.py [k] [n_queries]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
+
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+NQ = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+
+FIXTURES = [
+    ("1x (sf0.01)", "/root/testdata/sf0.01"),
+    ("10x", "/tmp/scale10x"),
+]
+
+
+def topk_sets(df, query_id="query_id", corpus_id="corpus_id"):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r[query_id], set()).add(r[corpus_id])
+    return out
+
+
+def recall(ann: dict, exact: dict) -> float:
+    num, den = 0, 0
+    for q, truth in exact.items():
+        num += len(ann.get(q, set()) & truth)
+        den += len(truth)
+    return num / den if den else float("nan")
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from arrow_ballista_spark.catalog import load_table
+    from arrow_ballista_spark.operators import similarity
+    from arrow_ballista_spark.operators.caching import release_caches
+    from arrow_ballista_spark.operators.ivf import ivf_topk
+    from arrow_ballista_spark.session import get_session
+
+    spark = get_session(app_name="ann-recall", shuffle_partitions=32)
+    rows = []
+    for label, sf_dir in FIXTURES:
+        if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+            print(f"skip {label}: {sf_dir} missing", file=sys.stderr)
+            continue
+        emb = load_table(spark, sf_dir, "embeddings")
+        n = emb.count()
+        queries = emb.filter(F.col("vec_id") < NQ).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+        exact = topk_sets(
+            similarity.brute_force_topk(
+                queries, corpus, k=K, vectorized=True
+            )
+        )
+        for n_tables in (8, 16, 32):
+            ann = topk_sets(
+                similarity.hyperplane_lsh_topk(
+                    queries, corpus, k=K, n_planes=8, n_tables=n_tables
+                )
+            )
+            release_caches()
+            rows.append(
+                {
+                    "fixture": label, "n": n, "method": "lsh",
+                    "setting": f"planes=8 tables={n_tables}",
+                    "recall": round(recall(ann, exact), 3),
+                }
+            )
+            print(rows[-1], flush=True)
+        sqrt_cells = max(16, int(math.sqrt(n)))
+        for n_cells, nprobe in (
+            (16, 2), (16, 4), (16, 8),
+            (sqrt_cells, max(1, sqrt_cells // 4)),
+        ):
+            ann = topk_sets(
+                ivf_topk(
+                    queries, corpus, k=K, n_cells=n_cells, nprobe=nprobe
+                )
+            )
+            release_caches()
+            rows.append(
+                {
+                    "fixture": label, "n": n, "method": "ivf",
+                    "setting": f"cells={n_cells} nprobe={nprobe}",
+                    "recall": round(recall(ann, exact), 3),
+                }
+            )
+            print(rows[-1], flush=True)
+
+    print("\n| fixture | n | method | setting | recall@%d |" % K)
+    print("| --- | --- | --- | --- | --- |")
+    for r in rows:
+        print(
+            f"| {r['fixture']} | {r['n']} | {r['method']} |"
+            f" {r['setting']} | {r['recall']} |"
+        )
+    print(json.dumps({"k": K, "n_queries": NQ, "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()
