@@ -1,0 +1,114 @@
+"""Product quantization (PQ) over an embedding column — the memory-
+compression half of a billion-scale ANN index (Jégou et al. 2011,
+"Product Quantization for Nearest Neighbor Search" — public method):
+split each d-dim vector into ``m`` subspaces of d/m dims, quantize each
+subvector to one of ``k`` codewords, store m small codes instead of d
+floats (64 floats -> 8 bytes at m=8, k<=256).
+
+No reference parity: arrow-ballista has no ML operators (SURVEY.md §2 —
+extension beyond the reference surface).  Design mirrors the repo's
+IVF/k-means conventions so the whole pipeline is value-exact against a
+generated DuckDB oracle:
+
+- **Codebooks are deterministic and bounded**: per subspace, the
+  codewords are the subvectors of the ``k`` corpus vectors with the
+  smallest md5(id) — the same engine-portable seeded sample as IVF's
+  coarse centroids (``operators/ivf.py:choose_centroids``); collect is
+  k rows, driver work O(k*d), corpus-size-independent.  (Production PQ
+  trains per-subspace k-means; the assignment dataflow below is
+  identical — swap the codebook source.)
+- **Assignment is map-only in spirit**: the m*k codebook broadcasts;
+  each (vector, subspace) computes k squared-L2 distances with the
+  deterministic left-to-right fold and keeps the argmin via
+  ``min_by(code, struct(dist, code))`` — ties break to the smallest
+  code, matching the SQL oracle's ``row_number() ORDER BY dist, code``.
+- **Regroup is one keyed agg**: codes collect per vector ordered by
+  subspace; the reconstruction error is the sum of per-subspace minima
+  (rounded — summation order across subspaces is the one
+  nondeterministic reduce).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pq_codebooks(
+    corpus: DataFrame, id_col: str, vec: str, m: int, k: int
+) -> list[list[list[float]]]:
+    """``codebooks[s][c]`` = codeword ``c`` of subspace ``s``: the
+    subvectors of the k smallest-md5 corpus vectors (md5 of the STRING id
+    — bit-identical in DuckDB), code order = md5 order."""
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec).alias("_v"))
+        .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(k)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_codebooks: empty corpus")
+    d = len(rows[0]["_v"])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    return [
+        [[float(x) for x in r["_v"][s * sub : (s + 1) * sub]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 8,
+    k: int = 16,
+) -> DataFrame:
+    """Encode every vector: ``(id_col, codes array<int> length m,
+    recon_err double)`` with ``recon_err`` the total squared quantization
+    error (sum over subspaces of the winning codeword's squared L2
+    distance — unrounded; callers round for oracle output)."""
+    spark = df.sparkSession
+    books = pq_codebooks(df, id_col, vec_col, m, k)
+    sub = len(books[0][0])
+    cb = spark.createDataFrame(
+        [
+            (s, c, books[s][c])
+            for s in range(m)
+            for c in range(k)
+        ],
+        "s int, code int, cw array<double>",
+    )
+    e = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    # (vector, subspace) rows: slice is JVM-side, no Python
+    sv = e.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        F.col("_v").alias("_v"),
+    ).select(
+        id_col,
+        "s",
+        F.expr(f"slice(_v, s * {sub} + 1, {sub})").alias("sv"),
+    )
+    scored = sv.join(F.broadcast(cb), "s").withColumn(
+        "dist",
+        F.expr(
+            f"aggregate(sequence(1, {sub}), cast(0.0 as double),"
+            " (acc, i) -> acc + (sv[i-1] - cw[i-1]) * (sv[i-1] - cw[i-1]))"
+        ),
+    )
+    best = scored.groupBy(id_col, "s").agg(
+        F.expr("min_by(code, struct(dist, code))").alias("code"),
+        F.min("dist").alias("dist"),
+    )
+    return best.groupBy(id_col).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(s, code))),"
+            " x -> x.code)"
+        ).alias("codes"),
+        F.sum("dist").alias("recon_err"),
+    )

@@ -86,7 +86,9 @@ _CANARIES = [
     "tpch_q1", "tpch_q8", "tpch_q18", "tpch_q21", "tpch_q19",
     "ext_stream_session_counts", "ext_pipeline_corpus_build",
     "ext_dedup_canonical_central", "ext_graph_pagerank",
-    "ext_dedup_semantic", "ext_merge_upsert", "ext_sim_topk_lsh",
+    # ivf (not lsh) as the similarity canary: same family, and the
+    # 32-table lsh oracle costs ~45s per driver comparison
+    "ext_dedup_semantic", "ext_merge_upsert", "ext_sim_topk_ivf",
 ]
 
 

@@ -1114,3 +1114,84 @@ def test_count_min_estimate_rejects_param_mismatch(spark):
         sk.count_min_estimate(cms, probes, "w", width=256, depth=3)
     with pytest.raises(ValueError, match="width"):
         sk.count_min_estimate(cms, probes, "w", width=16, depth=4)
+
+
+def test_ppjoin_equals_bruteforce_on_planted_pairs(spark):
+    """The prefix filter is LOSSLESS: ppjoin_pairs must equal the
+    all-pairs Jaccard definition exactly — planted near-dups at several
+    similarity levels, identical docs, disjoint docs, and an empty doc."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),
+        (1, base),                                   # identical -> J=1
+        (2, base + " extra words here"),             # high J
+        (3, "alpha beta gamma unrelated tail of words goes here now"),
+        (4, "completely different vocabulary in this document text"),
+        (5, ""),                                     # empty -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for token in ("word", "bigram"):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.ppjoin_pairs(
+                df, "text", "doc_id", threshold=0.3, token=token
+            ).collect()
+        }
+        # brute force over the same token universe
+        toks = {}
+        for did, text in rows:
+            ws = [w for w in text.split(" ") if w]
+            toks[did] = (
+                set(ws)
+                if token == "word"
+                else {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+            )
+        expect = {}
+        for a in range(len(rows)):
+            for b in range(a + 1, len(rows)):
+                ta, tb = toks[a], toks[b]
+                if not ta or not tb:
+                    continue
+                j = len(ta & tb) / len(ta | tb)
+                if j >= 0.3:
+                    expect[(a, b)] = j
+        assert set(got) == set(expect), token
+        for pair, j in expect.items():
+            assert abs(got[pair] - j) < 1e-12, (token, pair)
+
+
+def test_pq_encode_matches_numpy(spark):
+    """pq_encode must agree with a direct numpy recomputation: md5-ordered
+    codebook sample, per-subspace argmin (smallest-code ties), summed
+    reconstruction error; codes are m integers in [0, k)."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from arrow_ballista_spark.operators.pq import pq_encode
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(60, 16)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    m, k, sub = 4, 8, 4
+    got = {
+        r.vec_id: (list(r.codes), r.recon_err)
+        for r in pq_encode(df, "embedding", "vec_id", m=m, k=k).collect()
+    }
+    order = sorted(range(60), key=lambda i: (_hl.md5(str(i).encode()).hexdigest(), i))
+    books = [
+        np.array([X[order[c]][s * sub : (s + 1) * sub] for c in range(k)])
+        for s in range(m)
+    ]
+    for i in range(60):
+        codes, err = [], 0.0
+        for s in range(m):
+            d = ((books[s] - X[i][s * sub : (s + 1) * sub]) ** 2).sum(axis=1)
+            c = int(d.argmin())  # first min == smallest-code tie-break
+            codes.append(c)
+            err += float(d[c])
+        assert got[i][0] == codes, i
+        assert abs(got[i][1] - err) < 1e-9, i

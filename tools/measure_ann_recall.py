@@ -63,11 +63,32 @@ def main():
 
     spark = get_session(app_name="ann-recall", shuffle_partitions=32)
     rows = []
-    for label, sf_dir in FIXTURES:
-        if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+
+    def clustered_emb():
+        """Synthetic Gaussian-mixture embeddings (20k x 64d, 100 tight
+        clusters) — the REAL-corpus regime IVF is designed for: text/
+        image embedding spaces are strongly clustered, unlike the
+        isotropic testdata vectors (the worst case for cell pruning)."""
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        centers = rng.randn(100, 64)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        idx = rng.randint(0, 100, 20000)
+        X = centers[idx] + 0.25 * rng.randn(20000, 64) / (64 ** 0.5)
+        return spark.createDataFrame(
+            [(int(i), [float(v) for v in X[i]]) for i in range(len(X))],
+            "vec_id long, embedding array<double>",
+        ).repartition(32)
+
+    for label, sf_dir in [*FIXTURES, ("clustered-20k (GMM)", "synthetic")]:
+        if sf_dir == "synthetic":
+            emb = clustered_emb()
+        elif not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
             print(f"skip {label}: {sf_dir} missing", file=sys.stderr)
             continue
-        emb = load_table(spark, sf_dir, "embeddings")
+        else:
+            emb = load_table(spark, sf_dir, "embeddings")
         n = emb.count()
         queries = emb.filter(F.col("vec_id") < NQ).select(
             F.col("vec_id").alias("query_id"), "embedding"
