@@ -112,3 +112,85 @@ def pq_encode(
         ).alias("codes"),
         F.sum("dist").alias("recon_err"),
     )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the search half of
+    Jégou 2011: the corpus is stored as m codes per vector; each query
+    precomputes an (m x n_codes) table of exact subspace distances to
+    every codeword, and the approximate distance is the sum of m table
+    lookups — the corpus floats are never touched at query time.
+
+    Returns ``(query_id, corpus_id, approx_dist, rnk)`` with rnk by
+    (ROUNDED approx_dist ASC, corpus_id): ranking on the 6dp-rounded sum
+    makes the kept set engine-stable — identical-code vectors produce
+    sums equal to the last ulp, and cross-engine summation-order noise
+    (~1e-15 over m=8 addends) cannot flip a 1e-6-rounded key, so ties
+    resolve by id identically on both sides (the tfidf lesson: rank by
+    the rounded value, not the raw one).
+
+    Scale shape: the query tables (nq * m * n_codes rows) BROADCAST to
+    the code join — the corpus side never shuffles before the partial
+    (query, corpus) aggregation; per-query top-k is a bounded window.
+    """
+    from pyspark.sql import Window
+
+    spark = corpus.sparkSession
+    books = pq_codebooks(corpus, corpus_id, vec, m, n_codes)
+    sub = len(books[0][0])
+    cb = spark.createDataFrame(
+        [(s, c, books[s][c]) for s in range(m) for c in range(n_codes)],
+        "s int, code int, cw array<double>",
+    )
+    codes = pq_encode(corpus, vec, corpus_id, m=m, k=n_codes).select(
+        corpus_id, F.posexplode("codes").alias("s", "code")
+    )
+    qsv = queries.select(
+        F.col(query_id),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        F.col(vec).cast("array<double>").alias("_v"),
+    ).select(
+        query_id,
+        "s",
+        F.expr(f"slice(_v, s * {sub} + 1, {sub})").alias("qv"),
+    )
+    tables = qsv.join(F.broadcast(cb), "s").select(
+        query_id,
+        "s",
+        "code",
+        F.expr(
+            f"aggregate(sequence(1, {sub}), cast(0.0 as double),"
+            " (acc, i) -> acc + (qv[i-1] - cw[i-1]) * (qv[i-1] - cw[i-1]))"
+        ).alias("tdist"),
+    )
+    scored = (
+        codes.join(F.broadcast(tables), ["s", "code"])
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .groupBy(query_id, corpus_id)
+        .agg(F.sum("tdist").alias("adist"))
+    )
+    rounded = (
+        F.floor(F.abs(F.col("adist")) * 1e6 + F.lit(0.5)) / 1e6
+    )  # adist >= 0: cround without the sign branch
+    w = Window.partitionBy(query_id).orderBy(
+        rounded.asc(), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            query_id,
+            corpus_id,
+            rounded.alias("approx_dist"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

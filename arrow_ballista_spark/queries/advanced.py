@@ -601,3 +601,91 @@ def ext_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("codes"),
         cround(F.col("recon_err"), 6).alias("recon_err"),
     )
+
+
+@query(
+    "ext_sim_topk_pq_adc",
+    f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cbsrc AS (
+  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                               vec_id) - 1 AS code
+  FROM e
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                             vec_id) <= {_PQ_K}
+), cb AS (
+  SELECT s, code, v[s * {_PQ_SUB} + 1 : s * {_PQ_SUB} + {_PQ_SUB}] AS cw
+  FROM cbsrc, UNNEST(generate_series(0, {_PQ_M - 1})) AS t(s)
+), sv AS (
+  SELECT vec_id, s, v[s * {_PQ_SUB} + 1 : s * {_PQ_SUB} + {_PQ_SUB}] AS sv
+  FROM e, UNNEST(generate_series(0, {_PQ_M - 1})) AS t(s)
+), d AS (
+  SELECT vec_id, s, code,
+         list_reduce(list_transform(generate_series(1, {_PQ_SUB}),
+                     i -> (sv[i] - cw[i]) * (sv[i] - cw[i])),
+                     (acc, x) -> acc + x) AS dist
+  FROM sv JOIN cb USING (s)
+), best AS (
+  SELECT vec_id, s, code,
+         row_number() OVER (PARTITION BY vec_id, s
+                            ORDER BY dist, code) AS rn
+  FROM d
+), q AS (
+  SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10
+), qsv AS (
+  SELECT query_id, s, v[s * {_PQ_SUB} + 1 : s * {_PQ_SUB} + {_PQ_SUB}] AS qv
+  FROM q, UNNEST(generate_series(0, {_PQ_M - 1})) AS t(s)
+), tb AS (
+  SELECT query_id, s, code,
+         list_reduce(list_transform(generate_series(1, {_PQ_SUB}),
+                     i -> (qv[i] - cw[i]) * (qv[i] - cw[i])),
+                     (acc, x) -> acc + x) AS tdist
+  FROM qsv JOIN cb USING (s)
+), sc AS (
+  SELECT query_id, best.vec_id AS corpus_id, SUM(tdist) AS adist
+  FROM best JOIN tb ON best.s = tb.s AND best.code = tb.code
+  WHERE best.rn = 1 AND query_id <> best.vec_id
+  GROUP BY query_id, best.vec_id
+), rk AS (
+  SELECT query_id, corpus_id, {R("adist", 6)} AS approx_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {R("adist", 6)}, corpus_id) AS rnk
+  FROM sc
+)
+SELECT query_id, corpus_id, approx_dist, CAST(rnk AS INT) AS rnk
+FROM rk WHERE rnk <= 5
+""",
+    doc=(
+        "Asymmetric-distance (ADC) top-5 over PQ codes — the search "
+        "half of Jegou 2011 completing ext_embed_pq: each query "
+        "precomputes an (m x k) table of exact subspace distances to "
+        "every codeword, approximate distance = sum of m table lookups; "
+        "the corpus FLOATS are never touched at query time (the codes "
+        "table is 8 bytes/vector).  Ranked by the 6dp-ROUNDED distance "
+        "then corpus_id so the kept set is engine-stable: identical-"
+        "code vectors tie exactly and cross-engine summation-order "
+        "noise (~1e-15 over 8 addends) cannot flip a 1e-6 key.  Scale "
+        "shape: query tables broadcast (nq*m*k rows), codes join is "
+        "broadcast-hash — the corpus never shuffles before the partial "
+        "(query, corpus) agg; per-query top-k is a bounded window "
+        "(operators/pq.py:pq_adc_topk)."
+    ),
+)
+def ext_sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.operators.pq import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    return pq_adc_topk(
+        queries_df, corpus, "query_id", "corpus_id", "embedding",
+        k=5, m=_PQ_M, n_codes=_PQ_K,
+    ).select(
+        "query_id",
+        "corpus_id",
+        cround(F.col("approx_dist"), 6).alias("approx_dist"),
+        "rnk",
+    )

@@ -83,6 +83,13 @@ BENCH_QUERIES = [f"tpch_q{i}" for i in range(1, 23)] + [
     "ext_graph_pagerank",
     "ext_dedup_canonical_central",
     "ext_mix_rebalance",
+    # round-6 additions
+    "ext_dedup_ppjoin",
+    "ext_graph_triangles",
+    "ext_embed_pq",
+    "ext_sim_topk_pq_adc",
+    "ext_multimodal_png_stats",
+    "ext_dedup_semantic_whitened",
     # h2o db-benchmark + nyctaxi shapes (the reference's other harnesses:
     # benchmarks/db-benchmark/join-datafusion.py, src/bin/nyctaxi.rs)
     "h2o_groupby_highcard",
