@@ -1173,19 +1173,40 @@ def ppjoin_pairs(
             F.col("_rn")
             <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
         )
-        .select(id_col, "tok", "_sz")
+        .select(id_col, "tok", "_sz", "_rn")
     )
     a = prefix.select(
-        F.col(id_col).alias("id_a"), "tok", F.col("_sz").alias("_sza")
+        F.col(id_col).alias("id_a"), "tok",
+        F.col("_sz").alias("_sza"), F.col("_rn").alias("_rna"),
     )
     b = prefix.select(
-        F.col(id_col).alias("id_b"), "tok", F.col("_sz").alias("_szb")
+        F.col(id_col).alias("id_b"), "tok",
+        F.col("_sz").alias("_szb"), F.col("_rn").alias("_rnb"),
+    )
+    # positional filter (the "PP" of PPJoin): J >= t needs overlap
+    # alpha >= t/(1+t)*(|x|+|y|); all shared tokens sort >= the joined
+    # one, so alpha <= 1 + min(remaining suffix lengths).  Lossless for
+    # the pair: the FIRST shared token under the global order lies in
+    # both prefixes and satisfies the bound whenever J >= t (the 1e-9
+    # slack keeps float rounding of t/(1+t) from over-tightening ceil).
+    alpha_min = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("_sza") + F.col("_szb"))
+        - F.lit(1e-9)
     )
     cand = (
         a.join(b, "tok")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.col("_szb") >= F.lit(threshold) * F.col("_sza"))
         .filter(F.col("_sza") >= F.lit(threshold) * F.col("_szb"))
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("_sza") - F.col("_rna"),
+                F.col("_szb") - F.col("_rnb"),
+            )
+            >= alpha_min
+        )
         .select("id_a", "id_b")
         .distinct()
     )
