@@ -534,14 +534,28 @@ def jaccard_verify(
     candidates: DataFrame, grams: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
     """Exact set-Jaccard on candidate pairs only (joins the gram arrays
-    back; the candidate set — not n² — bounds the work)."""
+    back; the candidate set — not n² — bounds the work).
+
+    The joined pairs repartition to the session's shuffle parallelism
+    BEFORE the intersect/union expressions evaluate: candidate rows are
+    two longs, so AQE's size-based coalesce would otherwise pack a
+    millions-of-pairs candidate set into 1-2 post-shuffle partitions and
+    run the O(|grams|^2-ish) array comparisons on two cores (observed:
+    the PPJoin 10x verify straggling at (1+1)/2 tasks).  An explicit
+    numeric repartition is exempt from AQE coalescing, and the one extra
+    shuffle moves only the gram arrays it would read anyway."""
     ga = grams.select(
         F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a")
     )
     gb = grams.select(
         F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b")
     )
-    j = candidates.join(ga, "id_a").join(gb, "id_b")
+    spark = candidates.sparkSession
+    try:
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" on managed platforms
+        parts = spark.sparkContext.defaultParallelism
+    j = candidates.join(ga, "id_a").join(gb, "id_b").repartition(parts)
     jac = F.size(F.array_intersect("grams_a", "grams_b")) / F.size(
         F.array_union("grams_a", "grams_b")
     )
@@ -1143,21 +1157,37 @@ def ppjoin_pairs(
     """
     from pyspark.sql import Window
 
-    words = f"filter(split({text_col}, ' +'), w -> w != '')"
+    # spread the (CPU-heavy, map-only) tokenize stage: a single source
+    # file arrives as 1-2 partitions and would pin the whole corpus's
+    # array building on one core (the minhash_dedup_pairs precedent)
+    try:
+        parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" on managed platforms
+        parts = df.sparkSession.sparkContext.defaultParallelism
+    # materialize the word array ONCE behind a persist: inlining the
+    # split+filter into every element_at of the bigram transform is
+    # O(words^2) re-tokenization per document
+    ws = tracked_persist(
+        df.repartition(parts, id_col).select(
+            F.col(id_col),
+            F.expr(f"filter(split({text_col}, ' +'), w -> w != '')").alias(
+                "ws"
+            ),
+        )
+    )
     if token == "word":
-        expr = f"array_distinct({words})"
+        expr = "array_distinct(ws)"
     elif token == "bigram":
         expr = (
-            f"array_distinct(CASE WHEN size({words}) < 2"
+            "array_distinct(CASE WHEN size(ws) < 2"
             " THEN cast(array() as array<string>)"
-            f" ELSE transform(sequence(1, size({words}) - 1),"
-            f" i -> element_at({words}, i) || ' ' ||"
-            f" element_at({words}, i + 1)) END)"
+            " ELSE transform(sequence(1, size(ws) - 1),"
+            " i -> element_at(ws, i) || ' ' || element_at(ws, i + 1)) END)"
         )
     else:
         raise ValueError(f"unknown token mode {token!r}")
     toks = tracked_persist(
-        df.select(F.col(id_col), F.expr(expr).alias("grams")).filter(
+        ws.select(F.col(id_col), F.expr(expr).alias("grams")).filter(
             F.size("grams") > 0
         )
     )
