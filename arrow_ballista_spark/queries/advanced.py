@@ -527,6 +527,12 @@ def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows_per_band=4,
         ).select("id_a", "id_b")
     )
+    # materialize the edge set EAGERLY: the wedge join reads it from
+    # THREE branches inside one action, and a lazy persist lets the
+    # branches race — each recomputing the whole MinHash pipeline
+    # (measured 33s vs 6s at the 10x fixture).  One small planning-time
+    # job, the IVF-centroid precedent.
+    p.count()
     ab = p.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     bc = p.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
     ac = p.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
