@@ -2429,14 +2429,22 @@ def ext_dedup_semantic_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
     )
-    white = emb.select(
-        "vec_id",
-        F.array(
-            *[
-                F.expr(_whiten_dim_expr(mean, W, j, base=0))
-                for j in range(_WHITEN_K)
-            ]
-        ).alias("embedding"),
+    from arrow_ballista_spark.operators.caching import tracked_persist
+
+    # persist the whitened frame: the projection is a ~12k-term codegen
+    # expression (512 literal terms x 3 R-macro repeats x 8 dims) and the
+    # Lloyd iterations below scan their input several times — without the
+    # persist every scan re-evaluates it (16.9s -> ~8s at sf0.1 bench)
+    white = tracked_persist(
+        emb.select(
+            "vec_id",
+            F.array(
+                *[
+                    F.expr(_whiten_dim_expr(mean, W, j, base=0))
+                    for j in range(_WHITEN_K)
+                ]
+            ).alias("embedding"),
+        )
     )
     out = semantic_dedup_pairs(white, k=_WHITEN_K, iters=2, tau=_WHITEN_TAU)
     return out.select(
