@@ -26,6 +26,8 @@ collects to the driver.
 from __future__ import annotations
 
 import hashlib
+import struct as _struct
+import zlib as _zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -429,12 +431,14 @@ AUDIO_STATS_SCHEMA = (
 def image_stats(
     df: DataFrame, id_col: str = "doc_id", thumb: int = 8
 ) -> DataFrame:
-    """Decode + feature-extract raw images (PPM/BMP blobs) per Arrow
+    """Decode + feature-extract images (PPM/BMP/PNG blobs) per Arrow
     batch: dimensions, per-channel means, and the md5 of a ``thumb`` x
     ``thumb`` nearest-neighbor thumbnail (the dedup fingerprint step of
     an image pipeline).  Undecodable blobs yield a NULL-width row rather
     than failing the batch — at 100 TB a corrupt shard must degrade, not
-    abort.  Map-only; blobs never leave the executor."""
+    abort (truncated headers raise struct.error, corrupt deflate streams
+    zlib.error — caught alongside the decoders' ValueErrors).  Map-only;
+    blobs never leave the executor."""
     import numpy as np
 
     def fe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -455,7 +459,8 @@ def image_stats(
                             ).hexdigest(),
                         )
                     )
-                except (NotImplementedError, ValueError, KeyError):
+                except (NotImplementedError, ValueError, KeyError,
+                        IndexError, _struct.error, _zlib.error):
                     rows.append(
                         (did, None, None, None, None, None, None, None)
                     )
@@ -495,7 +500,8 @@ def audio_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                             else 0.0,
                         )
                     )
-                except (NotImplementedError, ValueError, KeyError):
+                except (NotImplementedError, ValueError, KeyError,
+                        IndexError, _struct.error, _zlib.error):
                     rows.append((did, None, None, None, None, None, None))
             yield pd.DataFrame(
                 rows,

@@ -64,13 +64,17 @@ def pq_encode(
     id_col: str,
     m: int = 8,
     k: int = 16,
+    books: "list[list[list[float]]] | None" = None,
 ) -> DataFrame:
     """Encode every vector: ``(id_col, codes array<int> length m,
     recon_err double)`` with ``recon_err`` the total squared quantization
     error (sum over subspaces of the winning codeword's squared L2
-    distance — unrounded; callers round for oracle output)."""
+    distance — unrounded; callers round for oracle output).  ``books``
+    lets a caller that already collected the codebooks (ADC search)
+    skip the duplicate sample job."""
     spark = df.sparkSession
-    books = pq_codebooks(df, id_col, vec_col, m, k)
+    if books is None:
+        books = pq_codebooks(df, id_col, vec_col, m, k)
     sub = len(books[0][0])
     cb = spark.createDataFrame(
         [
@@ -151,9 +155,9 @@ def pq_adc_topk(
         [(s, c, books[s][c]) for s in range(m) for c in range(n_codes)],
         "s int, code int, cw array<double>",
     )
-    codes = pq_encode(corpus, vec, corpus_id, m=m, k=n_codes).select(
-        corpus_id, F.posexplode("codes").alias("s", "code")
-    )
+    codes = pq_encode(
+        corpus, vec, corpus_id, m=m, k=n_codes, books=books
+    ).select(corpus_id, F.posexplode("codes").alias("s", "code"))
     qsv = queries.select(
         F.col(query_id),
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),

@@ -2337,8 +2337,10 @@ def _whiten_dim_expr(mean, W, j: int, base: int) -> str:
     evaluate bit-identical doubles.  ``base``: Spark arrays index from 0,
     DuckDB lists from 1."""
     terms = " + ".join(
-        f"CAST('{W[j][i]!r}' AS DOUBLE)"
-        f" * (v[{i + base}] - CAST('{mean[i]!r}' AS DOUBLE))"
+        # float() first: plain-python repr round-trips the exact bits in
+        # both engines (numpy>=2 scalar repr would emit 'np.float64(..)')
+        f"CAST('{float(W[j][i])!r}' AS DOUBLE)"
+        f" * (v[{i + base}] - CAST('{float(mean[i])!r}' AS DOUBLE))"
         for i in range(len(mean))
     )
     return R(terms, 6)

@@ -1195,3 +1195,45 @@ def test_pq_encode_matches_numpy(spark):
             err += float(d[c])
         assert got[i][0] == codes, i
         assert abs(got[i][1] - err) < 1e-9, i
+
+
+def test_image_stats_degrades_on_corrupt_blobs(spark):
+    """Corrupt/truncated blobs of every native format must yield NULL
+    rows, never abort the batch: truncated PNG headers raise
+    struct.error and corrupt deflate streams zlib.error — both must be
+    absorbed like the decoders' own ValueErrors."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d))
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    good = multimodal.encode_png(
+        np.zeros((2, 2, 3), np.uint8), filters=(1,)
+    )
+    rows = [
+        (0, bytearray(good)),                       # decodes
+        (1, bytearray(sig + b"\x00\x00\x00")),      # truncated header
+        (2, bytearray(                              # corrupt deflate
+            sig
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", b"\x99garbage-not-deflate")
+            + chunk(b"IEND", b"")
+        )),
+        (3, bytearray(b"BM\x01\x02")),              # truncated BMP
+        (4, bytearray(sig + chunk(                  # palette idx OOB
+            b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", bytes([1, 2, 3]))
+            + chunk(b"IDAT", zlib.compress(b"\x00\x07"))
+            + chunk(b"IEND", b""))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r.doc_id: r.width for r in multimodal.image_stats(df).collect()}
+    assert got[0] == 2
+    assert all(got[i] is None for i in (1, 2, 3, 4))
