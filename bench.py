@@ -114,6 +114,10 @@ CHECKSUM_VARIANTS = [
     "ext_dedup_bloom",
     "ext_quality_ccnet_buckets",
     "ext_text_winnowing",
+    # round-6 O(n)-row results
+    "ext_embed_pq",
+    "ext_multimodal_png_stats",
+    "ext_dedup_semantic_whitened",
 ]
 
 
