@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from arrow_ballista_spark.catalog import load_table
 from arrow_ballista_spark.queries import R, cround, query
-from arrow_ballista_spark.queries.extensions import _sql_hex15
+from arrow_ballista_spark.queries.extensions import _sql_dot, _sql_hex15
 
 _SOURCE_CAP = 15
 
@@ -694,6 +694,141 @@ def ext_sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         queries_df, corpus, "query_id", "corpus_id", "embedding",
         k=5, m=_PQ_M, n_codes=_PQ_K,
+    ).select(
+        "query_id",
+        "corpus_id",
+        cround(F.col("approx_dist"), 6).alias("approx_dist"),
+        "rnk",
+    )
+
+
+_IVFPQ_CELLS, _IVFPQ_NPROBE = 16, 4
+
+
+@query(
+    "ext_sim_topk_ivfpq",
+    f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), nz AS (
+  SELECT vec_id, v FROM e WHERE sqrt({_sql_dot("v", "v")}) > 0
+), cent AS (
+  SELECT v AS ce,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                            vec_id) - 1 AS cell
+  FROM nz
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                             vec_id) <= {_IVFPQ_CELLS}
+), cw AS (
+  SELECT cell, ce, sqrt({_sql_dot("ce", "ce")}) AS cen FROM cent
+), c AS (
+  SELECT vec_id AS corpus_id, v AS cv,
+         sqrt({_sql_dot("v", "v")}) AS cn
+  FROM nz
+), asg AS (
+  SELECT corpus_id, cell,
+         row_number() OVER (PARTITION BY corpus_id
+                            ORDER BY sim DESC, cell ASC) AS r
+  FROM (SELECT corpus_id, cell,
+               {_sql_dot("cv", "ce")} / nullif(cn * cen, 0.0) AS sim
+        FROM c CROSS JOIN cw)
+), idx AS (
+  SELECT corpus_id, cell FROM asg WHERE r = 1
+), qa AS (
+  SELECT vec_id AS query_id, v AS qv,
+         sqrt({_sql_dot("v", "v")}) AS qn
+  FROM e WHERE vec_id < 10
+), qs AS (
+  SELECT query_id, cell,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, cell DESC) AS r
+  FROM (SELECT query_id, cell,
+               {_sql_dot("qv", "ce")} / nullif(qn * cen, 0.0) AS sim
+        FROM qa CROSS JOIN cw)
+), pr AS (
+  SELECT query_id, cell FROM qs WHERE r <= {_IVFPQ_NPROBE}
+), cbsrc AS (
+  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                               vec_id) - 1 AS code
+  FROM e
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                             vec_id) <= {_PQ_K}
+), cb AS (
+  SELECT s, code, v[s * {_PQ_SUB} + 1 : s * {_PQ_SUB} + {_PQ_SUB}] AS cw2
+  FROM cbsrc, UNNEST(generate_series(0, {_PQ_M - 1})) AS t(s)
+), sv AS (
+  SELECT vec_id, s, v[s * {_PQ_SUB} + 1 : s * {_PQ_SUB} + {_PQ_SUB}] AS sv
+  FROM e, UNNEST(generate_series(0, {_PQ_M - 1})) AS t(s)
+), d AS (
+  SELECT vec_id, s, code,
+         list_reduce(list_transform(generate_series(1, {_PQ_SUB}),
+                     i -> (sv[i] - cw2[i]) * (sv[i] - cw2[i])),
+                     (acc, x) -> acc + x) AS dist
+  FROM sv JOIN cb USING (s)
+), best AS (
+  SELECT vec_id, s, code,
+         row_number() OVER (PARTITION BY vec_id, s
+                            ORDER BY dist, code) AS rn
+  FROM d
+), qsv AS (
+  SELECT query_id, s, qv[s * {_PQ_SUB} + 1 : s * {_PQ_SUB} + {_PQ_SUB}] AS qsv
+  FROM qa, UNNEST(generate_series(0, {_PQ_M - 1})) AS t(s)
+), tb AS (
+  SELECT query_id, s, code,
+         list_reduce(list_transform(generate_series(1, {_PQ_SUB}),
+                     i -> (qsv[i] - cw2[i]) * (qsv[i] - cw2[i])),
+                     (acc, x) -> acc + x) AS tdist
+  FROM qsv JOIN cb USING (s)
+), cand AS (
+  SELECT query_id, corpus_id
+  FROM pr JOIN idx USING (cell)
+  WHERE query_id <> corpus_id
+), sc AS (
+  SELECT cand.query_id, cand.corpus_id, SUM(tdist) AS adist
+  FROM cand
+  JOIN best ON best.vec_id = cand.corpus_id AND best.rn = 1
+  JOIN tb ON tb.query_id = cand.query_id AND tb.s = best.s
+         AND tb.code = best.code
+  GROUP BY cand.query_id, cand.corpus_id
+), rk AS (
+  SELECT query_id, corpus_id, {R("adist", 6)} AS approx_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {R("adist", 6)}, corpus_id) AS rnk
+  FROM sc
+)
+SELECT query_id, corpus_id, approx_dist, CAST(rnk AS INT) AS rnk
+FROM rk WHERE rnk <= 5
+""",
+    doc=(
+        "IVF-PQ top-5 — the standard billion-scale ANN composition (the "
+        "faiss IVFx,PQy index; Jegou 2011 SV): the IVF coarse quantizer "
+        "prunes to nprobe=4 of 16 cells, and within probed cells "
+        "distances are ADC table lookups over the 8-byte PQ codes — the "
+        "corpus floats are touched only at index time; the serving "
+        "working set is codes + cell ids.  Non-residual variant (global "
+        "codebooks; residual refinement is a codebook-source swap).  "
+        "Value-exact oracle composing the ext_sim_topk_ivf cell CTEs "
+        "(md5-ordered centroids, sim-DESC/cell-ASC assignment, "
+        "sim-DESC/cell-DESC probes) with the ext_embed_pq code CTEs and "
+        "the ADC ranking contract (6dp-rounded distance, id ties).  "
+        "Scale shape: bounded centroid/codebook driver artifacts, "
+        "map-only assignment + encode, probes broadcast, cell-"
+        "partitioned layout prunes at the file level "
+        "(operators/pq.py:ivf_pq_topk)."
+    ),
+)
+def ext_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.operators.pq import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    return ivf_pq_topk(
+        queries_df, corpus, "query_id", "corpus_id", "embedding",
+        k=5, n_cells=_IVFPQ_CELLS, nprobe=_IVFPQ_NPROBE,
+        m=_PQ_M, n_codes=_PQ_K,
     ).select(
         "query_id",
         "corpus_id",

@@ -88,6 +88,7 @@ BENCH_QUERIES = [f"tpch_q{i}" for i in range(1, 23)] + [
     "ext_graph_triangles",
     "ext_embed_pq",
     "ext_sim_topk_pq_adc",
+    "ext_sim_topk_ivfpq",
     "ext_multimodal_png_stats",
     "ext_dedup_semantic_whitened",
     # h2o db-benchmark + nyctaxi shapes (the reference's other harnesses:

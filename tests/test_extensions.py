@@ -1237,3 +1237,59 @@ def test_image_stats_degrades_on_corrupt_blobs(spark):
     got = {r.doc_id: r.width for r in multimodal.image_stats(df).collect()}
     assert got[0] == 2
     assert all(got[i] is None for i in (1, 2, 3, 4))
+
+
+def test_ivfpq_and_rerank_semantics(spark):
+    """IVF-PQ end-to-end on planted near-dups: the composed index must
+    put the planted copy at rank 1 for most queries, and the two-stage
+    refine (ADC shortlist -> exact rerank) with a full-corpus shortlist
+    must EQUAL the exact L2 top-k — the rerank is exact by construction."""
+    import random
+
+    import numpy as np
+
+    from arrow_ballista_spark.operators.pq import (
+        adc_rerank_exact,
+        ivf_pq_topk,
+        pq_adc_topk,
+        train_codebooks,
+    )
+
+    rng = random.Random(31)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(120)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [
+        (1000 + i, [float(x + rng.gauss(0, 0.02)) for x in base[i]])
+        for i in range(20)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "corpus_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(i, v) for i, v in rows[:20]],
+        "query_id long, embedding array<double>",
+    )
+    books = train_codebooks(corpus, "corpus_id", "embedding", 8, 16)
+    out = ivf_pq_topk(
+        queries, corpus, k=1, n_cells=8, nprobe=3, m=8, n_codes=16,
+        books=books,
+    )
+    got = {r.query_id: r.corpus_id for r in out.collect()}
+    hits = sum(1 for qid, cid in got.items() if cid == 1000 + qid)
+    assert hits >= 16  # >=80%: coarse prune + 8-byte codes + planted dups
+
+    # full-corpus shortlist -> rerank == exact brute force
+    short = pq_adc_topk(
+        queries, corpus, k=len(rows), m=8, n_codes=16, books=books
+    )
+    two_stage = adc_rerank_exact(short, queries, corpus, k=3)
+    X = {i: np.array(v) for i, v in rows}
+    for r in two_stage.filter(F.col("rnk") == 1).collect():
+        q = X[r.query_id]
+        dists = {
+            i: float(((q - v) ** 2).sum())
+            for i, v in X.items()
+            if i != r.query_id
+        }
+        best = min(dists, key=lambda i: (round(dists[i], 6), i))
+        assert r.corpus_id == best, r.query_id

@@ -114,6 +114,20 @@ def main():
                 }
             )
             print(rows[-1], flush=True)
+        from arrow_ballista_spark.operators.pq import pq_adc_topk
+
+        ann = topk_sets(
+            pq_adc_topk(queries, corpus, k=K, m=8, n_codes=16)
+        )
+        release_caches()
+        rows.append(
+            {
+                "fixture": label, "n": n, "method": "pq_adc",
+                "setting": "m=8 codes=16",
+                "recall": round(recall(ann, exact), 3),
+            }
+        )
+        print(rows[-1], flush=True)
         sqrt_cells = max(16, int(math.sqrt(n)))
         for n_cells, nprobe in (
             (16, 2), (16, 4), (16, 8),
