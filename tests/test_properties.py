@@ -888,3 +888,29 @@ def test_budget_select_equals_naive_prefix(spark, rows, budget, width_pow):
             break
         want[i] = cum
     assert got == want
+
+
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=6),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(h, w, filters, seed):
+    """encode_png -> decode_png is the identity for ANY image shape and
+    ANY per-row filter cycle — the decoder's five filter reversals and
+    the encoder's five filter applications are exact inverses under
+    mod-256 arithmetic, not just on the fixture shapes."""
+    import numpy as np
+
+    from arrow_ballista_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    out = decode_png(encode_png(img, filters=tuple(filters)))
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)
