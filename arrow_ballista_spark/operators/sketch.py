@@ -249,3 +249,70 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
         raw.alias("est_raw"),
         corrected.alias("est"),
     )
+
+
+def hll_build_by(
+    df: DataFrame, col: str, keys: "list[str]", p: int = 8
+) -> DataFrame:
+    """Per-group HLL registers: ``(*keys, bucket, m_j)`` — at most
+    ``n_groups * 2^p`` rows.  The GROUP BY citizenship is the whole point
+    of a mergeable sketch: one two-phase aggregation computes an
+    approximate COUNT(DISTINCT) per group with bounded state per group,
+    where exact per-group distinct state is each group's value universe.
+    Same deterministic integer register arithmetic as :func:`hll_build`
+    (bit-identical in DuckDB)."""
+    m = 1 << p
+    h = _hex15(F.concat(F.lit("hll:"), F.col(col).cast("string")))
+    w = F.shiftright(h, p)
+    lsb = w.bitwiseAND(-w)
+    rho = F.when(w == F.lit(0), F.lit(_HLL_RHO_CAP)).otherwise(
+        F.least(F.length(F.bin(lsb)), F.lit(_HLL_RHO_CAP))
+    )
+    return (
+        df.select(*keys, (h % m).alias("bucket"), rho.alias("rho"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_estimate_by(
+    registers: DataFrame, keys: "list[str]", p: int = 8
+) -> DataFrame:
+    """Per-group estimates from :func:`hll_build_by` registers:
+    ``(*keys, m, nonzero_regs, s_scaled, est_raw, est)`` — one row per
+    group, with the same exact-integer harmonic sum and Flajolet §4
+    small-range correction as :func:`hll_estimate` (``est`` IS
+    corrected; do not re-apply).  The empty-register spine is the
+    distinct-groups frame cross-joined with ``2^p`` bucket ids —
+    n_groups * m rows, never the data."""
+    m = 1 << p
+    spark = registers.sparkSession
+    spine = (
+        registers.select(*keys)
+        .distinct()
+        .crossJoin(
+            spark.range(m).select(F.col("id").cast("long").alias("bucket"))
+        )
+    )
+    mm = spine.join(registers, [*keys, "bucket"], "left").select(
+        *keys, F.coalesce(F.col("m_j"), F.lit(0)).alias("m_j")
+    )
+    weight = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_SCALE} - m_j)")
+    agg = mm.groupBy(*keys).agg(
+        F.sum(weight).alias("s_scaled"),
+        F.sum((F.col("m_j") == 0).cast("long")).alias("zeros"),
+    )
+    num = hll_alpha(m) * m * m * float(1 << _HLL_SCALE)
+    raw = F.lit(num) / F.col("s_scaled")
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("zeros") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros")),
+    ).otherwise(raw)
+    return agg.select(
+        *keys,
+        F.lit(m).cast("long").alias("m"),
+        (F.lit(m).cast("long") - F.col("zeros")).alias("nonzero_regs"),
+        F.col("s_scaled").cast("long").alias("s_scaled"),
+        raw.alias("est_raw"),
+        corrected.alias("est"),
+    )

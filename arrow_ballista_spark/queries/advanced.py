@@ -835,3 +835,91 @@ def ext_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         cround(F.col("approx_dist"), 6).alias("approx_dist"),
         "rnk",
     )
+
+
+@query(
+    "ext_sketch_hll_by_lang",
+    f"""
+WITH tok AS (
+  SELECT lang,
+         doc_id || ':' || unnest(string_split_regex(text, ' +')) AS w
+  FROM documents
+), hv AS (
+  SELECT lang, {_sql_hex15("'hll:' || w")} AS h FROM tok
+), rr AS (
+  SELECT lang, h % {_HLL_M} AS bucket, h >> {_HLL_P} AS wv FROM hv
+), rho AS (
+  SELECT lang, bucket,
+         CASE WHEN wv = 0 THEN {_HLL_RHO_CAP}
+              ELSE least(length(bin(wv & -wv)), {_HLL_RHO_CAP}) END AS rho
+  FROM rr
+), regs AS (
+  SELECT lang, bucket, MAX(rho) AS m_j FROM rho GROUP BY lang, bucket
+), spine AS (
+  SELECT lang, r AS bucket
+  FROM (SELECT DISTINCT lang FROM tok), range(0, {_HLL_M}) t(r)
+), mm AS (
+  SELECT spine.lang, COALESCE(regs.m_j, 0) AS m_j
+  FROM spine LEFT JOIN regs USING (lang, bucket)
+), agg AS (
+  SELECT lang,
+         CAST(SUM(1::BIGINT << ({_HLL_SCALE} - m_j)) AS BIGINT) AS s_scaled,
+         CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+  FROM mm GROUP BY lang
+), ex AS (
+  SELECT lang, COUNT(DISTINCT w) AS exact_distinct FROM tok GROUP BY lang
+), fin AS (
+  SELECT lang,
+         CASE WHEN {_HLL_NUM} / s_scaled <= 2.5 * {_HLL_M} AND zeros > 0
+              THEN {_HLL_M} * ln({_HLL_M} / CAST(zeros AS DOUBLE))
+              ELSE {_HLL_NUM} / s_scaled END AS est_c,
+         s_scaled, zeros
+  FROM agg
+)
+SELECT fin.lang,
+       CAST({_HLL_M} - zeros AS BIGINT) AS nonzero_regs,
+       s_scaled,
+       {R('est_c', 2)} AS est,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct
+FROM fin JOIN ex ON fin.lang = ex.lang
+""",
+    doc=(
+        "Per-GROUP HyperLogLog: approximate distinct posting count per "
+        "language in ONE two-phase aggregation — the GROUP BY "
+        "citizenship that is the whole point of a mergeable sketch "
+        "(exact per-group COUNT(DISTINCT) state is each group's value "
+        "universe; the sketch is n_groups * 256 register rows BY "
+        "CHOICE, and groups merge across shards/micro-batches by "
+        "re-MAXing registers).  Same exact-integer register arithmetic "
+        "as ext_sketch_hll, per-group empty-register spine = distinct "
+        "langs x 256 bucket ids (never the data), small-range "
+        "correction per group; est vs per-group COUNT(DISTINCT) both "
+        "emitted so the error envelope is oracled "
+        "(operators/sketch.py:hll_build_by/hll_estimate_by)."
+    ),
+)
+def ext_sketch_hll_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.operators import sketch as sk
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        F.explode(F.expr("split(text, ' +')")).alias("t"),
+        "doc_id",
+    ).select(
+        "lang",
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("t"))
+        .alias("w"),
+    )
+    regs = sk.hll_build_by(tok, "w", ["lang"], p=_HLL_P)
+    est = sk.hll_estimate_by(regs, ["lang"], p=_HLL_P)
+    exact = tok.groupBy("lang").agg(
+        F.count_distinct("w").alias("exact_distinct")
+    )
+    return est.join(exact, "lang").select(
+        "lang",
+        "nonzero_regs",
+        "s_scaled",
+        cround(F.col("est"), 2).alias("est"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+    )

@@ -79,6 +79,7 @@ BENCH_QUERIES = [f"tpch_q{i}" for i in range(1, 23)] + [
     "ext_dedup_winnowing",
     "ext_select_budget",
     "ext_sketch_count_min",
+    "ext_sketch_hll_by_lang",
     "ext_pipeline_corpus_build",
     "ext_graph_pagerank",
     "ext_dedup_canonical_central",
