@@ -178,11 +178,24 @@ def whitening_literals(
     import os
 
     import numpy as np
+    import pandas as pd
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, f"{table}.parquet")
-    t = pq.read_table(path, columns=[id_col, vec_col])
-    pdf = t.to_pandas().sort_values(id_col).head(WHITEN_SAMPLE_CAP)
+    # Stream batches and keep only the CAP smallest-id rows at any moment
+    # — driver memory is O(cap + batch), not O(corpus), so the "bounded
+    # driver work" claim holds for the READ too, not just the eigh input.
+    pf = pq.ParquetFile(path)
+    sample = None
+    for rb in pf.iter_batches(batch_size=8192, columns=[id_col, vec_col]):
+        part = rb.to_pandas()
+        sample = part if sample is None else pd.concat([sample, part])
+        sample = sample.sort_values(id_col, kind="mergesort").head(
+            WHITEN_SAMPLE_CAP
+        )
+    if sample is None:
+        raise ValueError("whitening_literals: empty input")
+    pdf = sample
     X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
     n = len(X)
     if n == 0:

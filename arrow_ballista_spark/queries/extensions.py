@@ -2356,18 +2356,34 @@ _ORACLE_SF_DIR = os.environ.get(
 )
 
 
-def _whitened_oracle() -> str | None:
+def _whitened_oracle(sf_dir: str = _ORACLE_SF_DIR) -> str | None:
     """Generated literal-W oracle (the LSH-plane / IVF-centroid pattern):
-    the deterministic driver-side whitening parameters for the DRIVER's
-    comparison SF are embedded as literals, the whitened vectors built in
-    SQL (rounded at 6dp — identical arrays both engines), and the Lloyd
-    chain + within-cluster cosine reuse the ext_dedup_semantic machinery.
-    Returns None when the fixture is absent (import must never fail)."""
+    the deterministic driver-side whitening parameters for ``sf_dir``
+    (default: the DRIVER's comparison SF) are embedded as literals, the
+    whitened vectors built in SQL (rounded at 6dp — identical arrays both
+    engines), and the Lloyd chain + within-cluster cosine reuse the
+    ext_dedup_semantic machinery.  Returns None ONLY when the fixture
+    file is genuinely absent (import must never fail on a data-less
+    host); a present-but-unreadable fixture raises loudly via a warning —
+    a silent rows-only downgrade would hide a corrupt oracle input.
+    Tests regenerate this per scale factor (tests/test_extensions.py), so
+    the sweep runs the entry at every SF, not just the pinned one."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(emb_path):
+        return None
     try:
         from arrow_ballista_spark.operators.pca import whitening_literals
 
-        mean, W = whitening_literals(_ORACLE_SF_DIR, k=_WHITEN_K)
-    except Exception:
+        mean, W = whitening_literals(sf_dir, k=_WHITEN_K)
+    except Exception as e:
+        import warnings
+
+        warnings.warn(
+            "ext_dedup_semantic_whitened oracle generation FAILED on a "
+            f"present fixture ({emb_path}): {e!r} — registering rows-only; "
+            "the correctness check for this entry is degraded.",
+            stacklevel=2,
+        )
         return None
     dims = ",\n         ".join(
         _whiten_dim_expr(mean, W, j, base=1) for j in range(_WHITEN_K)

@@ -142,8 +142,52 @@ class FlightSQLHandle:
         self._server.shutdown()
 
 
+def _marker_style(sql: str) -> str:
+    """Classify a parameterized statement as ``"positional"`` (``?``
+    markers), ``"named"`` (``:name`` markers) or ``"none"``, scanning
+    OUTSIDE string literals so a literal ``'%?%'`` or ``':tag'`` inside a
+    quoted constant never flips the classification.  Decided once at
+    create-prepared-statement time (the reference stores the parameter
+    schema with the handle, ``flight_sql.rs:636-660``) rather than
+    substring-matched at bind time."""
+    import re
+
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            quote = ch
+            i += 1
+            while i < n:
+                if sql[i] == quote:
+                    # doubled quote = escaped quote inside the literal
+                    if i + 1 < n and sql[i + 1] == quote:
+                        i += 2
+                        continue
+                    break
+                i += 1
+            i += 1
+            continue
+        if ch == "?":
+            return "positional"
+        if ch == ":" and re.match(r":[A-Za-z_][A-Za-z_0-9]*", sql[i:]):
+            # skip `::` casts
+            if i + 1 < n and sql[i + 1] == ":":
+                i += 2
+                continue
+            if i > 0 and sql[i - 1] == ":":
+                i += 1
+                continue
+            return "named"
+        i += 1
+    return "none"
+
+
 def start_flight_server(
-    spark: SparkSession, port: int = 0, host: str = "127.0.0.1"
+    spark: SparkSession,
+    port: int = 0,
+    host: str = "127.0.0.1",
+    auth_token: "str | None" = None,
 ) -> FlightSQLHandle:
     """Serve this session's SQL surface over ARROW FLIGHT — the same wire
     protocol the reference's embedded endpoint speaks
@@ -188,11 +232,13 @@ def start_flight_server(
 
     Security: ``do_get`` executes arbitrary SQL from the ticket, so the
     listener binds loopback (``127.0.0.1``) by default — matching the
-    handle's reported ``location``.  Exposing it beyond the host is an
-    explicit opt-in (``host="0.0.0.0"``) and should sit behind an
-    authenticating proxy or a ``flight.ServerMiddlewareFactory`` that
-    validates credentials, as the reference's scheduler does with its
-    Basic-auth handshake (``flight_sql.rs:485-520``).
+    handle's reported ``location``.  Exposing it beyond the host
+    (``host="0.0.0.0"``) REQUIRES ``auth_token``: every request must then
+    carry an ``authorization: Bearer <token>`` header, enforced by a
+    Flight server middleware — the Spark-side seam for the reference
+    scheduler's Basic-auth handshake (``flight_sql.rs:485-520``).  A
+    non-loopback bind without a token raises ValueError before the
+    socket opens.
     """
     try:
         import pyarrow.flight as flight
@@ -203,14 +249,49 @@ def start_flight_server(
         ) from e
 
     import json
+    import socket
+    import threading
     import uuid
+    from collections import OrderedDict
+
+    loopback = host in ("127.0.0.1", "localhost", "::1")
+    if not loopback and not auth_token:
+        raise ValueError(
+            "start_flight_server: non-loopback bind (host=%r) requires "
+            "auth_token — the endpoint executes arbitrary SQL "
+            "(reference auth seam: flight_sql.rs:485-520)." % host
+        )
+
+    class _BearerMiddleware(flight.ServerMiddleware):
+        pass
+
+    class _BearerMiddlewareFactory(flight.ServerMiddlewareFactory):
+        """Reject any call lacking `authorization: Bearer <auth_token>`."""
+
+        def start_call(self, info, headers):
+            vals = headers.get("authorization", []) or headers.get(
+                "Authorization", []
+            )
+            expect = f"Bearer {auth_token}"
+            if not any(v == expect for v in vals):
+                raise flight.FlightUnauthenticatedError(
+                    "missing or invalid bearer token"
+                )
+            return _BearerMiddleware()
+
+    # how many prepared handles a single server retains; clients that
+    # never close statements evict oldest-created first (LRU on use)
+    _PREPARED_CAP = 128
 
     class _Server(flight.FlightServerBase):
-        def __init__(self, location):
-            super().__init__(location)
+        def __init__(self, location, **kwargs):
+            super().__init__(location, **kwargs)
             self._spark = spark
-            # handle -> {"sql": str, "args": list | dict | None}
-            self._prepared: dict[str, dict] = {}
+            # handle -> {"sql": str, "style": str, "args": list|dict|None}
+            # guarded by _plock: gRPC handlers run on a thread pool, so
+            # do_put rebinds and do_get reads may interleave on one handle
+            self._prepared: "OrderedDict[str, dict]" = OrderedDict()
+            self._plock = threading.Lock()
 
         # -- statement resolution -----------------------------------
         def _parse_prepared(self, raw: bytes) -> "dict | None":
@@ -231,12 +312,14 @@ def start_flight_server(
             if ref is None:
                 return raw.decode("utf-8"), None
             handle = ref["prepared_statement_handle"]
-            st = self._prepared.get(handle)
-            if st is None:
-                raise flight.FlightServerError(
-                    f"unknown prepared statement {handle!r}"
-                )
-            return st["sql"], st.get("args")
+            with self._plock:  # read sql+args as one atomic snapshot
+                st = self._prepared.get(handle)
+                if st is None:
+                    raise flight.FlightServerError(
+                        f"unknown prepared statement {handle!r}"
+                    )
+                self._prepared.move_to_end(handle)
+                return st["sql"], st.get("args")
 
         def _run(self, sql: str, args):
             return (
@@ -259,9 +342,15 @@ def start_flight_server(
             schema = self._run(sql, args).schema  # analysis only, no job
             from pyspark.sql.pandas.types import to_arrow_schema
 
+            # advertise an address clients can actually dial: the bind
+            # host, or this machine's hostname for wildcard binds (a
+            # remote client following "0.0.0.0" would dial itself)
+            adv = host
+            if host in ("0.0.0.0", "::"):
+                adv = socket.gethostname()
             endpoint = flight.FlightEndpoint(
                 raw,
-                [flight.Location.for_grpc_tcp("localhost", self.port)],
+                [flight.Location.for_grpc_tcp(adv, self.port)],
             )
             return flight.FlightInfo(
                 to_arrow_schema(schema), descriptor, [endpoint], -1, -1
@@ -287,13 +376,27 @@ def start_flight_server(
             if action.type == "create_prepared_statement":
                 body = json.loads(action.body.to_pybytes().decode("utf-8"))
                 handle = str(uuid.uuid4())
-                self._prepared[handle] = {"sql": body["query"], "args": None}
+                sql = body["query"]
+                with self._plock:
+                    self._prepared[handle] = {
+                        "sql": sql,
+                        # binding style fixed here, not guessed at bind
+                        # time — a literal '?' inside a string constant
+                        # must not force positional binding
+                        "style": _marker_style(sql),
+                        "args": None,
+                    }
+                    while len(self._prepared) > _PREPARED_CAP:
+                        self._prepared.popitem(last=False)
                 yield json.dumps(
                     {"prepared_statement_handle": handle}
                 ).encode("utf-8")
             elif action.type == "close_prepared_statement":
                 body = json.loads(action.body.to_pybytes().decode("utf-8"))
-                self._prepared.pop(body["prepared_statement_handle"], None)
+                with self._plock:
+                    self._prepared.pop(
+                        body["prepared_statement_handle"], None
+                    )
                 yield b"{}"
             else:
                 raise flight.FlightServerError(
@@ -313,21 +416,24 @@ def start_flight_server(
                     "do_put expects a prepared_statement_handle descriptor"
                 )
             handle = ref["prepared_statement_handle"]
-            st = self._prepared.get(handle)
-            if st is None:
-                raise flight.FlightServerError(
-                    f"unknown prepared statement {handle!r}"
-                )
             batch = reader.read_all()  # one parameter batch, first row
             row = {
                 name: batch.column(name)[0].as_py()
                 for name in batch.schema.names
             }
-            # `?` markers bind positionally (column order); `:name` by name
-            if "?" in st["sql"]:
-                st["args"] = [row[n] for n in batch.schema.names]
-            else:
-                st["args"] = row
+            with self._plock:
+                st = self._prepared.get(handle)
+                if st is None:
+                    raise flight.FlightServerError(
+                        f"unknown prepared statement {handle!r}"
+                    )
+                # style was classified at create time (outside string
+                # literals): `?` binds positionally in column order,
+                # `:name` binds by column name
+                if st["style"] == "positional":
+                    st["args"] = [row[n] for n in batch.schema.names]
+                else:
+                    st["args"] = row
 
         def list_flights(self, context, criteria):
             for row in self._spark.sql("SHOW TABLES").collect():
@@ -338,5 +444,8 @@ def start_flight_server(
                 )
                 yield self.get_flight_info(context, desc)
 
-    server = _Server(f"grpc://{host}:{port}")
+    kwargs = {}
+    if auth_token:
+        kwargs["middleware"] = {"auth": _BearerMiddlewareFactory()}
+    server = _Server(f"grpc://{host}:{port}", **kwargs)
     return FlightSQLHandle(server, server.port)

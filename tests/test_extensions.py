@@ -15,17 +15,26 @@ from tests.conftest import SF_DIR, assert_same_results
 REG = load_all()
 EXT_NAMES = sorted(n for n in REG if n.startswith("ext_"))
 
-# Oracles whose generated literals pin the DRIVER's comparison SF
-# (sf0.01, see queries/extensions.py:_ORACLE_SF_DIR) — compared there in
-# a dedicated test below, not at this module's default sf0.001.
-DRIVER_SF_ORACLES = {"ext_dedup_semantic_whitened"}
+# Oracles whose generated literals pin an SF at registration time
+# (sf0.01, see queries/extensions.py:_ORACLE_SF_DIR) — the sweep
+# REGENERATES them for this module's SF so they run everywhere; the
+# dedicated test below additionally replays the driver's exact pinned
+# comparison.
+SF_REGENERATED_ORACLES = {
+    "ext_dedup_semantic_whitened": lambda sf_dir: __import__(
+        "arrow_ballista_spark.queries.extensions", fromlist=["x"]
+    )._whitened_oracle(sf_dir),
+}
 
 
 @pytest.mark.parametrize("name", EXT_NAMES)
 def test_extension_vs_duckdb(spark, oracle, name):
     qd = REG[name]
-    if name in DRIVER_SF_ORACLES:
-        pytest.skip("oracle literals pin sf0.01 — see the dedicated test")
+    if name in SF_REGENERATED_ORACLES:
+        sql = SF_REGENERATED_ORACLES[name](SF_DIR)
+        assert sql is not None
+        assert_same_results(qd.spark(spark, SF_DIR), oracle, sql)
+        return
     df = qd.spark(spark, SF_DIR)
     if qd.oracle is None:
         rows = df.collect()

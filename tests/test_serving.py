@@ -215,3 +215,83 @@ def test_flight_prepared_statement_roundtrip(spark):
     finally:
         spark.catalog.dropTempView("flight_prep")
         handle.stop()
+
+
+def test_marker_style_classification():
+    """Binding style is decided at create time by scanning OUTSIDE string
+    literals — a literal '?' inside a quoted constant must not flip a
+    named-marker statement to positional (and vice versa)."""
+    from arrow_ballista_spark.serving import _marker_style
+
+    assert _marker_style("SELECT * FROM t WHERE k < ?") == "positional"
+    assert _marker_style("SELECT * FROM t WHERE name = :nm") == "named"
+    # literal '?' inside a string constant + named marker → named
+    assert (
+        _marker_style("SELECT * FROM t WHERE name LIKE '%?%' AND k = :k")
+        == "named"
+    )
+    # literal ':tag' inside a string constant + positional marker
+    assert (
+        _marker_style("SELECT * FROM t WHERE name = ':nm' AND k = ?")
+        == "positional"
+    )
+    # escaped quote ('it''s') doesn't end the literal early
+    assert (
+        _marker_style("SELECT * FROM t WHERE name = 'it''s ?' AND k = :k")
+        == "named"
+    )
+    # `::` cast is not a named marker
+    assert _marker_style("SELECT k::string FROM t WHERE k = ?") == "positional"
+    assert _marker_style("SELECT 1") == "none"
+
+
+def test_flight_nonloopback_requires_token(spark):
+    """A non-loopback bind without auth_token must refuse to start —
+    the endpoint executes arbitrary SQL (flight_sql.rs:485-520 seam)."""
+    import pytest as _pytest
+
+    from arrow_ballista_spark import serving
+
+    with _pytest.raises(ValueError, match="auth_token"):
+        serving.start_flight_server(spark, port=0, host="0.0.0.0")
+
+
+def test_flight_bearer_auth_enforced(spark):
+    """With auth middleware active: a client without the bearer token is
+    refused; the same call with the token succeeds (the reference's
+    Basic-auth handshake seam, flight_sql.rs:485-520)."""
+    import pyarrow.flight as flight
+
+    from arrow_ballista_spark import serving
+
+    spark.createDataFrame([(1,)], "k long").createOrReplaceTempView(
+        "flight_auth_t"
+    )
+    handle = serving.start_flight_server(
+        spark, port=0, host="0.0.0.0", auth_token="s3cret"
+    )
+    try:
+        desc = flight.FlightDescriptor.for_command(
+            b"SELECT k FROM flight_auth_t"
+        )
+        url = f"grpc://127.0.0.1:{handle.port}"
+        bare = flight.connect(url)
+        with pytest.raises(flight.FlightUnauthenticatedError):
+            bare.get_flight_info(desc)
+        opts = flight.FlightCallOptions(
+            headers=[(b"authorization", b"Bearer s3cret")]
+        )
+        authed = flight.connect(url)
+        info = authed.get_flight_info(desc, options=opts)
+        # wildcard bind advertises the machine hostname, not "0.0.0.0"
+        loc = info.endpoints[0].locations[0].uri.decode()
+        assert "0.0.0.0" not in loc and "localhost" not in loc
+        got = authed.do_get(
+            info.endpoints[0].ticket, options=opts
+        ).read_all()
+        assert got.column("k").to_pylist() == [1]
+        with pytest.raises(flight.FlightUnauthenticatedError):
+            bare.do_get(info.endpoints[0].ticket).read_all()
+    finally:
+        spark.catalog.dropTempView("flight_auth_t")
+        handle.stop()
