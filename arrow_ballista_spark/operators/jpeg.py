@@ -1,0 +1,632 @@
+"""Baseline-sequential JPEG codec — stdlib + numpy only, no codec
+library.  The format is public: ITU-T T.81 / ISO 10918-1 (Annex K for
+the example quantization and Huffman tables the encoder uses; the
+decoder always reads tables from the stream's DQT/DHT segments).
+
+Scope (the overwhelmingly common crawl shape):
+
+- decode: baseline DCT (SOF0; SOF1 extended-sequential Huffman also
+  accepted — same scan structure), 8-bit samples, grayscale or YCbCr,
+  any h/v sampling factors 1-2 (covers 4:4:4, 4:2:2, 4:2:0), restart
+  markers (DRI/RSTn), APPn/COM skipped.  Progressive (SOF2),
+  arithmetic coding, 12-bit, and hierarchical modes raise
+  ``NotImplementedError``.
+- encode (fixture/test helper, the ``encode_png`` pattern): baseline,
+  quality-scaled Annex K quantization tables, Annex K Huffman tables,
+  grayscale or 4:4:4 / 4:2:0 YCbCr — so the decode path can be driven
+  with REAL entropy-coded streams and a round-trip property test.
+
+Determinism: all DCT math is float64 with fixed operation order
+(matrix IDCT, batched per component), so decoded pixels are
+bit-reproducible across runs/hosts — required for the value-oracled
+``image_stats`` registry entry.  Performance note: entropy decoding is
+an inherently sequential bit stream and runs as a Python loop (the
+PNG Average/Paeth caveat) — fine for thumbnails/fixtures; a production
+hot path swaps in a C codec behind the same ``decode_image`` seam.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _zigzag_order() -> list[int]:
+    """k-th entry = linear (row*8+col) position of the k-th coefficient
+    in zigzag scan order (T.81 Figure 5) — generated, not typed."""
+    order, r, c = [], 0, 0
+    for _ in range(64):
+        order.append(r * 8 + c)
+        if (r + c) % 2 == 0:  # moving up-right
+            if c == 7:
+                r += 1
+            elif r == 0:
+                c += 1
+            else:
+                r -= 1
+                c += 1
+        else:  # moving down-left
+            if r == 7:
+                c += 1
+            elif c == 0:
+                r += 1
+            else:
+                r += 1
+                c -= 1
+    return order
+
+
+_ZZ = np.array(_zigzag_order())
+
+# 8x8 DCT-II basis: _C[u, x] = alpha(u) / 2 * cos((2x+1) u pi / 16);
+# forward: F = C @ (f - 128) @ C.T, inverse: f = C.T @ F @ C + 128
+_C = np.zeros((8, 8))
+for _u in range(8):
+    _a = np.sqrt(0.5) if _u == 0 else 1.0
+    for _x in range(8):
+        _C[_u, _x] = 0.5 * _a * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+class _Huff:
+    """Canonical Huffman table from a DHT (bits[16], values) spec:
+    ``codes[length][code] = symbol``."""
+
+    def __init__(self, bits: list[int], values: bytes):
+        self.codes: list[dict[int, int]] = [dict() for _ in range(17)]
+        code, k = 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                self.codes[ln][code] = values[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded bytes (stuffing already
+    removed)."""
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self.pos = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.bits):
+            # past the end: T.81 pads the final byte with 1-bits
+            return 1
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode(self, table: _Huff) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | self.read_bit()
+            ln += 1
+            sym = table.codes[ln].get(code)
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, n: int) -> int:
+    """T.81 EXTEND: map the n-bit magnitude to its signed value."""
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def decode_jpeg(blob: bytes):
+    """Decode a baseline JPEG to an (h, w, 3) uint8 RGB array (grayscale
+    replicates to 3 channels — the ``decode_png`` contract)."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _Huff] = {}
+    huff_ac: dict[int, _Huff] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    while i + 4 <= len(blob):
+        if blob[i] != 0xFF:
+            raise ValueError(f"bad marker alignment at {i}")
+        marker = blob[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", blob, i + 2)
+        seg = blob[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg, np.uint8, 64, p).astype(
+                        np.int32
+                    )
+                    p += 64
+                else:  # 16-bit precision
+                    tbl = np.frombuffer(seg, ">u2", 64, p).astype(np.int32)
+                    p += 128
+                z = np.zeros(64, np.int32)
+                z[_ZZ] = tbl
+                qt[tq] = z.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = seg[p + 17 : p + 17 + nv]
+                (huff_dc if tc == 0 else huff_ac)[th] = _Huff(bits, vals)
+                p += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (Huffman sequential)
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG not supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline/extended-sequential Huffman JPEG (SOF0/"
+                f"SOF1) is supported library-free (marker 0xFF{marker:02X})"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan.append((cs, tt >> 4, tt & 0xF))
+            data_start = i + 2 + seglen
+            return _decode_scan(
+                blob, data_start, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        # APPn / COM / others: skip
+        i += 2 + seglen
+    raise ValueError("no SOS marker found")
+
+
+def _split_entropy(blob: bytes, start: int) -> list[bytes]:
+    """Entropy-coded segments from ``start``: byte-stuffing (FF 00)
+    removed, split at RSTn markers, stopping at any other marker."""
+    segs, cur = [], bytearray()
+    i, n = start, len(blob)
+    while i < n:
+        b = blob[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = blob[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:  # stuffed literal FF
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:  # restart marker
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # real marker: end of scan
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
+def _decode_scan(blob, start, frame, scan, qt, huff_dc, huff_ac, dri):
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cs, td, ta in scan:
+        c = by_id[cs]
+        c["td"], c["ta"] = td, ta
+        order.append(c)
+    # coefficient storage per component: (blocks_y, blocks_x, 8, 8)
+    for c in comps:
+        c["bx"] = mcux * c["h"]
+        c["by"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["by"], c["bx"], 8, 8), np.float64)
+
+    segs = _split_entropy(blob, start)
+    seg_i = 0
+    rd = _BitReader(segs[0])
+    pred = {c["id"]: 0 for c in comps}
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if dri and m and m % dri == 0:  # restart: next segment, reset DC
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("missing JPEG restart segment")
+            rd = _BitReader(segs[seg_i])
+            pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(m, mcux)
+        for c in order:
+            dc_t, ac_t = huff_dc[c["td"]], huff_ac[c["ta"]]
+            q = qt[c["tq"]]
+            for v in range(c["v"]):
+                for hh in range(c["h"]):
+                    zz = np.zeros(64, np.int32)
+                    s = rd.decode(dc_t)
+                    diff = _extend(rd.read(s), s)
+                    pred[c["id"]] += diff
+                    zz[0] = pred[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = rd.decode(ac_t)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC index out of range")
+                        zz[k] = _extend(rd.read(s), s)
+                        k += 1
+                    blk = np.zeros(64, np.int32)
+                    blk[_ZZ] = zz
+                    c["coef"][my * c["v"] + v, mx * c["h"] + hh] = (
+                        blk.reshape(8, 8) * q
+                    )
+
+    planes = []
+    for c in comps:
+        # batched IDCT: f = C.T @ F @ C + 128, all blocks at once
+        F = c["coef"].reshape(-1, 8, 8)
+        f = np.einsum("ux,nuv,vy->nxy", _C, F, _C) + 128.0
+        f = np.clip(np.round(f), 0, 255).astype(np.uint8)
+        plane = (
+            f.reshape(c["by"], c["bx"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["by"] * 8, c["bx"] * 8)
+        )
+        # upsample to full resolution by pixel replication, then crop
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], 0), hmax // c["h"], 1
+        )
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:  # grayscale -> replicate
+        g = planes[0]
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if len(planes) != 3:
+        raise NotImplementedError(
+            f"{len(planes)}-component JPEG not supported (expect Y/YCbCr)"
+        )
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --- encoder (fixture/test helper) ----------------------------------------
+
+# Annex K.1 example quantization tables (in natural row order)
+_QT_LUM = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], np.int32)
+_QT_CHROM = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], np.int32)
+
+# Annex K.3 example Huffman specs: (bits[16], values)
+_HT_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+              bytes(range(12)))
+_HT_DC_CHROM = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                bytes(range(12)))
+_HT_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    bytes([
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+        0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+        0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+        0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+        0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+        0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+        0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+        0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+        0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+        0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ]),
+)
+_HT_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    bytes([
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+        0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+        0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+        0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+        0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+        0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+        0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+        0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+        0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ]),
+)
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 1..100 -> per-entry scaled table in 1..255."""
+    quality = max(1, min(100, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self):
+        while self.nbits:  # pad with 1-bits (T.81 F.1.2.3)
+            self.write(1, 1)
+
+
+def _huff_codes(spec) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) for an Annex K (bits, values) spec."""
+    bits, values = spec
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[values[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, magnitude bits) for a signed coefficient (T.81 F.1.2)."""
+    if v == 0:
+        return 0, 0
+    n = abs(v).bit_length()
+    return n, (v if v >= 0 else v + (1 << n) - 1)
+
+
+def _encode_blocks(plane: np.ndarray, q: np.ndarray, dc_c, ac_c, wr,
+                   pred: int) -> int:
+    """FDCT + quantize + entropy-code every 8x8 block of a (H, W) plane
+    (H, W multiples of 8), row-major; returns the updated DC predictor."""
+    H, W = plane.shape
+    for by in range(H // 8):
+        for bx in range(W // 8):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            Fq = _C @ (blk.astype(np.float64) - 128.0) @ _C.T
+            coef = np.round(Fq / q).astype(np.int32).reshape(-1)[_ZZ]
+            diff = int(coef[0]) - pred
+            pred = int(coef[0])
+            s, mag = _magnitude(diff)
+            code, ln = dc_c[s]
+            wr.write(code, ln)
+            if s:
+                wr.write(mag, s)
+            run = 0
+            last_nz = max(np.nonzero(coef)[0]) if coef.any() else 0
+            for k in range(1, 64):
+                v = int(coef[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_c[0xF0]  # ZRL
+                    wr.write(code, ln)
+                    run -= 16
+                s, mag = _magnitude(v)
+                code, ln = ac_c[(run << 4) | s]
+                wr.write(code, ln)
+                wr.write(mag, s)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_c[0x00]  # EOB
+                wr.write(code, ln)
+    return pred
+
+
+def encode_jpeg(
+    img, quality: int = 90, subsample: bool = False, restart: int = 0
+) -> bytes:
+    """Minimal baseline JPEG writer: grayscale ((h, w) or (h, w, 1)) or
+    RGB (h, w, 3); ``subsample=True`` writes 4:2:0 chroma, else 4:4:4.
+    Annex K tables, single interleaved scan; ``restart`` > 0 writes a
+    DRI segment and RSTn markers every ``restart`` MCUs (exercises the
+    decoder's restart path)."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2 or img.shape[2] == 1
+    h, w = img.shape[:2]
+
+    def pad8(p: np.ndarray, mult: int = 8) -> np.ndarray:
+        H = -(-p.shape[0] // mult) * mult
+        W = -(-p.shape[1] // mult) * mult
+        return np.pad(p, ((0, H - p.shape[0]), (0, W - p.shape[1])),
+                      mode="edge")
+
+    qlum = _scaled_qt(_QT_LUM, quality)
+    qchrom = _scaled_qt(_QT_CHROM, quality)
+
+    def chunk(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    zz_q = qlum.reshape(-1)[_ZZ].astype(np.uint8).tobytes()
+    out += chunk(0xDB, b"\x00" + zz_q)
+    if not gray:
+        out += chunk(
+            0xDB, b"\x01" + qchrom.reshape(-1)[_ZZ].astype(np.uint8).tobytes()
+        )
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, values = spec
+        return chunk(0xC4, bytes([tc << 4 | th]) + bytes(bits) + values)
+
+    out += dht(0, 0, _HT_DC_LUM) + dht(1, 0, _HT_AC_LUM)
+    if not gray:
+        out += dht(0, 1, _HT_DC_CHROM) + dht(1, 1, _HT_AC_CHROM)
+
+    def emit_scan(mcus) -> bytes:
+        """Entropy-code the MCU list, inserting RSTn markers / resetting
+        DC predictors every ``restart`` MCUs when enabled."""
+        parts, preds, rst = [], [0, 0, 0], 0
+        wr = _BitWriter()
+        for m, blocks in enumerate(mcus):
+            if restart and m and m % restart == 0:
+                wr.flush()
+                parts.append(bytes(wr.out))
+                parts.append(bytes([0xFF, 0xD0 + (rst % 8)]))
+                rst += 1
+                wr = _BitWriter()
+                preds = [0, 0, 0]
+            for blk, q, dc_c, ac_c, ci in blocks:
+                preds[ci] = _encode_blocks(blk, q, dc_c, ac_c, wr, preds[ci])
+        wr.flush()
+        parts.append(bytes(wr.out))
+        return b"".join(parts)
+
+    if restart:
+        out += chunk(0xDD, struct.pack(">H", restart))
+    if gray:
+        plane = pad8(img if img.ndim == 2 else img[:, :, 0])
+        out += chunk(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+        out += chunk(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+        dcl, acl = _huff_codes(_HT_DC_LUM), _huff_codes(_HT_AC_LUM)
+        mcus = [
+            [(plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+              qlum, dcl, acl, 0)]
+            for by in range(plane.shape[0] // 8)
+            for bx in range(plane.shape[1] // 8)
+        ]
+        out += emit_scan(mcus)
+    else:
+        r = img[:, :, 0].astype(np.float64)
+        g = img[:, :, 1].astype(np.float64)
+        b = img[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        y, cb, cr = (np.clip(np.round(p), 0, 255) for p in (y, cb, cr))
+        if subsample:  # 4:2:0: 2x2 box mean on chroma
+            def down(p):
+                p = pad8(p, 2)
+                return np.round(
+                    (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2]
+                     + p[1::2, 1::2]) / 4.0
+                )
+
+            cb, cr = down(cb), down(cr)
+            sampling = b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+            ymult = 16
+        else:
+            sampling = b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+            ymult = 8
+        out += chunk(0xC0, struct.pack(">BHHB", 8, h, w, 3) + sampling)
+        out += chunk(0xDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+        dcl, acl = _huff_codes(_HT_DC_LUM), _huff_codes(_HT_AC_LUM)
+        dcc, acc = _huff_codes(_HT_DC_CHROM), _huff_codes(_HT_AC_CHROM)
+        yp = pad8(y, ymult)
+        # chroma blocks are 8x8 in both modes (4:2:0 chroma is already
+        # half-resolution, one block per MCU)
+        cbp, crp = pad8(cb, 8), pad8(cr, 8)
+        mcus = []
+        if subsample:
+            # interleaved MCUs: 4 Y blocks + 1 Cb + 1 Cr per MCU
+            for my in range(yp.shape[0] // 16):
+                for mx in range(yp.shape[1] // 16):
+                    blocks = []
+                    for v in range(2):
+                        for hh in range(2):
+                            blocks.append((
+                                yp[
+                                    my * 16 + v * 8 : my * 16 + v * 8 + 8,
+                                    mx * 16 + hh * 8 : mx * 16 + hh * 8 + 8,
+                                ],
+                                qlum, dcl, acl, 0,
+                            ))
+                    blocks.append((
+                        cbp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                        qchrom, dcc, acc, 1,
+                    ))
+                    blocks.append((
+                        crp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                        qchrom, dcc, acc, 2,
+                    ))
+                    mcus.append(blocks)
+        else:
+            for my in range(yp.shape[0] // 8):
+                for mx in range(yp.shape[1] // 8):
+                    mcus.append([
+                        (p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                         q, dc_c, ac_c, ci)
+                        for (p, q, dc_c, ac_c, ci) in (
+                            (yp, qlum, dcl, acl, 0),
+                            (cbp, qchrom, dcc, acc, 1),
+                            (crp, qchrom, dcc, acc, 2),
+                        )
+                    ])
+        out += emit_scan(mcus)
+    out += b"\xff\xd9"
+    return bytes(out)

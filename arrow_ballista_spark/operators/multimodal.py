@@ -10,12 +10,14 @@ The reference has no multimodal surface; this is a north-star extension
   ``mapInPandas`` stages (one Python worker per partition, whole batches
   over Arrow — never row-at-a-time UDFs);
 - decode is REAL for library-free formats — P6 PPM, uncompressed 24-bit
-  BMP, 8-bit non-interlaced PNG (stdlib zlib), PCM WAV — all value-
-  oracled; only DCT/arithmetic codecs (JPEG/WebP/MP3) stay environment-
-  gated behind ``NotImplementedError`` (no codec libs in this container;
-  production swaps in PIL/ffmpeg), with ``fake_decode_meta`` standing in
-  so the Spark-side plumbing (schema, partitioning, UDF signature, batch
-  shape, 1→N frame explosion) stays testable end-to-end regardless.
+  BMP, 8-bit non-interlaced PNG (stdlib zlib), baseline-sequential JPEG
+  (ITU T.81 Huffman + IDCT, ``operators/jpeg.py``), PCM WAV — all
+  value-oracled; only the remaining codecs (WebP/MP3, progressive JPEG)
+  stay environment-gated behind ``NotImplementedError`` (no codec libs
+  in this container; production swaps in PIL/ffmpeg), with
+  ``fake_decode_meta`` standing in so the Spark-side plumbing (schema,
+  partitioning, UDF signature, batch shape, 1→N frame explosion) stays
+  testable end-to-end regardless.
 
 Scale notes: feature extraction is map-only (zero shuffle); frame
 sampling multiplies rows ~n_bytes/frame_size so it repartitions after
@@ -318,23 +320,30 @@ def resize_nearest(img, out_w: int, out_h: int):
 
 def decode_image(blob: bytes) -> object:
     """Image decode: REAL for library-free formats — P6 PPM, uncompressed
-    24-bit BMP, and 8-bit non-interlaced PNG (stdlib zlib inflate +
-    filter reversal); only DCT/arithmetic codecs stay environment-gated.
+    24-bit BMP, 8-bit non-interlaced PNG (stdlib zlib inflate + filter
+    reversal), and baseline-sequential JPEG (ITU T.81 Huffman + IDCT,
+    ``operators/jpeg.py`` — SOF0/SOF1, gray/YCbCr, 4:4:4/4:2:2/4:2:0,
+    restart markers); only the remaining codecs (WebP, progressive
+    JPEG) stay environment-gated.
 
-    The container has no image codec libraries (no PIL / cv2), so
-    JPEG/WebP raise ``NotImplementedError`` — in production that branch
-    is ``PIL.Image.open(io.BytesIO(blob))``.  The native paths are fully
-    tested (round-trip vs numpy references)."""
+    The container has no image codec libraries (no PIL / cv2); in
+    production the gated branch is ``PIL.Image.open(io.BytesIO(blob))``.
+    The native paths are fully tested (round-trip vs numpy references)."""
     if blob.startswith(b"P6"):
         return decode_ppm(blob)
     if blob.startswith(b"BM"):
         return decode_bmp(blob)
     if blob.startswith(b"\x89PNG\r\n\x1a\n"):
         return decode_png(blob)
+    if blob.startswith(b"\xff\xd8"):
+        from arrow_ballista_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(blob)
     raise NotImplementedError(
-        "DCT image codecs (JPEG/WebP/...) are not installed in this "
-        "environment; P6 PPM / 24-bit BMP / 8-bit PNG decode natively, "
-        "or use fake_decode_meta() for deterministic plumbing tests"
+        "remaining image codecs (WebP/...) are not installed in this "
+        "environment; P6 PPM / 24-bit BMP / 8-bit PNG / baseline JPEG "
+        "decode natively, or use fake_decode_meta() for deterministic "
+        "plumbing tests"
     )
 
 

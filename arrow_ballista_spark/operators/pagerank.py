@@ -98,3 +98,91 @@ def pagerank(
         if checkpoint_dir:
             ranks = reliable_checkpoint(ranks, checkpoint_dir)
     return ranks.select(F.col("v").alias(node_col), F.col("r").alias("rank"))
+
+
+def triangle_counts(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    orient: str = "degree",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge set (unique pairs,
+    any endpoint order): ``(node, n_triangles)``.
+
+    Orientation strategy (the classic Schank/Wagner node-iterator++ /
+    Suri-Vassilvitskii MR refinement — public algorithms):
+
+    - ``orient="degree"`` (default): every edge points from its
+      lower-(degree, id) endpoint to the higher one, so each triangle is
+      counted exactly once with its MINIMUM-degree vertex as the wedge
+      pivot.  A hub of degree D that pivots O(D^2) wedges under id
+      orientation generates at most O(sum of its neighbors' out-degrees)
+      wedges here — out-degree is bounded by O(sqrt(|E|)) for every node,
+      which is what keeps the wedge count near-linear on power-law
+      graphs (measured: tools/measure_triangles.py, SCALING.md r7).
+    - ``orient="id"``: the simpler low-id -> high-id orientation (the r6
+      entry's shape) — correct, but a low-id hub explodes the wedge join.
+
+    Dataflow in both modes: two keyed equi-joins (wedge build + closing-
+    edge semijoin), one explode, one keyed count — no cartesian.  The
+    degree mode adds one up-front degree aggregation and an extra keyed
+    join to attach orientation keys; at scale that O(|E|) prepass buys a
+    quadratic->linear wedge reduction on skewed graphs.
+    """
+    if orient not in ("degree", "id"):
+        raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
+    e = edges.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    if orient == "id":
+        o = e.select(
+            F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
+        )
+    else:
+        deg = (
+            e.select(F.col("x").alias("n"))
+            .unionAll(e.select(F.col("y").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        o = (
+            e.join(deg.withColumnRenamed("n", "x"), "x")
+            .withColumnRenamed("deg", "dx")
+            .join(
+                deg.withColumnRenamed("n", "y").withColumnRenamed(
+                    "deg", "dy"
+                ),
+                "y",
+            )
+            .select(
+                F.when(
+                    (F.col("dx") < F.col("dy"))
+                    | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))),
+                    F.struct(F.col("x").alias("u"), F.col("y").alias("v")),
+                )
+                .otherwise(
+                    F.struct(F.col("y").alias("u"), F.col("x").alias("v"))
+                )
+                .alias("o")
+            )
+            .select("o.u", "o.v")
+        )
+    from arrow_ballista_spark.operators.caching import tracked_persist
+
+    op = tracked_persist(o)
+    # materialize EAGERLY: three wedge-join branches read this inside one
+    # action and a lazy persist lets them race, each recomputing the
+    # upstream pipeline (the r6 triangle lesson, 33s vs 6s at 10x)
+    op.count()
+    ab = op.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    ac = op.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    bc = op.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    # wedges pivot at a (the orientation-minimum): pairs of out-neighbors
+    # (b, c) with b < c in ID keeps each unordered pair once; the closing
+    # oriented edge may run b->c or c->b (degree order is not id order),
+    # so the semijoin matches either direction via least/greatest keys.
+    wedge = ab.join(ac, "a").filter(F.col("b") < F.col("c"))
+    closing = bc.select(
+        F.least("b", "c").alias("b"), F.greatest("b", "c").alias("c")
+    )
+    tri = wedge.join(closing, ["b", "c"])
+    nodes = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

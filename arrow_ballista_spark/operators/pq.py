@@ -343,6 +343,17 @@ def train_codebooks(
     if not rows:
         raise ValueError("train_codebooks: empty corpus")
     X = np.array([list(r["_v"]) for r in rows], dtype=np.float64)
+    return _lloyd_books(X, m, k, iters)
+
+
+def _lloyd_books(X, m: int, k: int, iters: int) -> list[list[list[float]]]:
+    """Per-subspace Lloyd's on a fixed float64 sample matrix — the shared
+    numpy kernel behind :func:`train_codebooks` (Spark sample) and
+    :func:`train_codebooks_literals` (pyarrow sample): deterministic
+    smallest-id init, argmin first-min ties, fixed iteration order, so
+    identical inputs produce bit-identical codebooks from either path."""
+    import numpy as np
+
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -360,6 +371,43 @@ def train_codebooks(
                     C[c] = members.mean(axis=0)
         books.append([[float(x) for x in row] for row in C])
     return books
+
+
+def train_codebooks_literals(
+    sf_dir: str,
+    m: int = 16,
+    k: int = 32,
+    sample: int = 4096,
+    iters: int = 10,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> list[list[list[float]]]:
+    """:func:`train_codebooks` without a SparkSession — the literal-oracle
+    twin (the ``whitening_literals`` precedent, ``operators/pca.py``):
+    stream the parquet row groups with pyarrow keeping only the ``sample``
+    smallest-id vectors (driver memory O(sample + batch), not O(corpus)),
+    then the SAME numpy Lloyd kernel.  Because both paths sort the same
+    ids and feed the same float64 matrix to :func:`_lloyd_books`, the
+    codebooks are bit-identical — so the SAME literals can drive the
+    Spark plan and a generated DuckDB oracle."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq_
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    pf = pq_.ParquetFile(path)
+    smallest = None
+    for rb in pf.iter_batches(batch_size=8192, columns=[id_col, vec]):
+        part = rb.to_pandas()
+        smallest = part if smallest is None else pd.concat([smallest, part])
+        smallest = smallest.sort_values(id_col, kind="mergesort").head(sample)
+    if smallest is None or len(smallest) == 0:
+        raise ValueError("train_codebooks_literals: empty input")
+    X = np.array(smallest[vec].tolist(), dtype=np.float64)
+    return _lloyd_books(X, m, k, iters)
 
 
 def adc_rerank_exact(

@@ -24,6 +24,9 @@ SF_REGENERATED_ORACLES = {
     "ext_dedup_semantic_whitened": lambda sf_dir: __import__(
         "arrow_ballista_spark.queries.extensions", fromlist=["x"]
     )._whitened_oracle(sf_dir),
+    "ext_sim_topk_pq_trained": lambda sf_dir: __import__(
+        "arrow_ballista_spark.queries.advanced", fromlist=["x"]
+    )._pq_trained_oracle(sf_dir),
 }
 
 
@@ -760,9 +763,9 @@ def test_raw_image_decoders_roundtrip():
     ys = (np.arange(4) * 7 // 4).clip(0, 6)
     xs = (np.arange(4) * 13 // 4).clip(0, 12)
     assert np.array_equal(small, px[ys[:, None], xs[None, :]])
-    # DCT codecs remain gated
+    # non-JPEG/PNG/PPM/BMP magic stays gated
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\xff\xd8\xff\xe0jpeg...")
+        multimodal.decode_image(b"RIFF....WEBPVP8 ")
 
 
 def test_png_decoder_roundtrip_all_filters():
@@ -1302,3 +1305,110 @@ def test_ivfpq_and_rerank_semantics(spark):
         }
         best = min(dists, key=lambda i: (round(dists[i], 6), i))
         assert r.corpus_id == best, r.query_id
+
+
+def _jpeg_chunk(marker: int, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def _handcrafted_jpeg(scan_byte: int, dc_vals: bytes, ac_spec) -> bytes:
+    """A from-scratch 8x8 grayscale baseline JPEG built WITHOUT the
+    encoder: all-ones quant table, minimal Huffman tables, one scan
+    byte — an independent known-answer vector for the decoder."""
+    import struct
+
+    ac_bits, ac_vals = ac_spec
+    return (
+        b"\xff\xd8"
+        + _jpeg_chunk(0xDB, b"\x00" + bytes([1] * 64))
+        + _jpeg_chunk(
+            0xC4, b"\x00" + bytes([1] + [0] * 15) + dc_vals
+        )
+        + _jpeg_chunk(0xC4, b"\x10" + bytes(ac_bits) + ac_vals)
+        + _jpeg_chunk(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
+        + _jpeg_chunk(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+        + bytes([scan_byte])
+        + b"\xff\xd9"
+    )
+
+
+def test_jpeg_decoder_known_answers():
+    """Decoder known-answer vectors, independent of the encoder.
+
+    (a) DC-only: category-4 DC value 10 with unit quantization ->
+    every pixel round(10/8 + 128) = 129 (pins EXTEND, dequant, the
+    IDCT DC gain of 8, and the +128 level shift).
+    (b) single AC coefficient: zigzag index 1 is F[0,1]; the decoded
+    image must match the T.81 IDCT formula computed from first
+    principles (pins the zigzag order and the cosine basis)."""
+    import numpy as np
+
+    from arrow_ballista_spark.operators.jpeg import decode_jpeg
+
+    # (a) bits: DC code "0" -> symbol 4, magnitude 1010 (=10), AC EOB "0"
+    #    -> 0 1010 0 + pad 11 = 0x53
+    blob = _handcrafted_jpeg(
+        0x53, bytes([4]), ([1] + [0] * 15, bytes([0x00]))
+    )
+    out = decode_jpeg(blob)
+    assert out.shape == (8, 8, 3)
+    assert (out == 129).all()
+
+    # (b) DC "0" (cat 0), AC sym "0"->0x04 (run 0, size 4), mag 1100
+    #     (=12), EOB "10" -> 0 0 1100 10 = 0x32; expect
+    #     f[y][x] = a(0)/2 * a(1)/2 * 2 * cos((2x+1)pi/16) * 12 + 128
+    blob = _handcrafted_jpeg(
+        0x32, bytes([0]), ([1, 1] + [0] * 14, bytes([0x04, 0x00]))
+    )
+    out = decode_jpeg(blob)
+    x = np.arange(8)
+    basis = 0.5 * np.sqrt(0.5) * 0.5 * np.cos((2 * x + 1) * np.pi / 16)
+    expect = np.clip(np.round(12 * basis[None, :] * 1.0 + 128), 0, 255)
+    for y in range(8):
+        assert np.array_equal(out[y, :, 0].astype(float), expect[0]), y
+
+
+def test_jpeg_gating_and_degradation(spark):
+    """Progressive JPEG (SOF2) stays gated with a clear error; truncated
+    and garbage streams degrade to NULL rows inside image_stats instead
+    of failing the batch; decode_image routes JPEG magic natively."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from arrow_ballista_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((16, 16), 90, np.uint8)
+    good = encode_jpeg(img, quality=95)
+    assert (multimodal.decode_image(good)[:, :, 0] == 90).all()
+
+    progressive = (
+        b"\xff\xd8"
+        + _jpeg_chunk(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
+        + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(progressive)
+
+    rows = [
+        (0, bytearray(good)),
+        (1, bytearray(good[: len(good) // 2])),  # truncated mid-scan
+        (2, bytearray(b"\xff\xd8\x00garbage")),  # bad marker alignment
+        (3, bytearray(progressive)),  # gated mode
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "blob"]),
+        "doc_id long, blob binary",
+    )
+    got = {
+        r["doc_id"]: r["width"]
+        for r in multimodal.image_stats(df).collect()
+    }
+    assert got[0] == 16
+    assert got[2] is None and got[3] is None
+    # truncated streams either pad-decode (T.81 1-bit padding) or
+    # degrade to NULL; they must never abort the batch
+    assert 1 in got

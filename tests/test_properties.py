@@ -914,3 +914,70 @@ def test_png_roundtrip_property(h, w, filters, seed):
     out = decode_png(encode_png(img, filters=tuple(filters)))
     assert out.shape == img.shape
     assert np.array_equal(out, img)
+
+
+@given(
+    bh=st.integers(1, 4),
+    bw=st.integers(1, 4),
+    quality=st.sampled_from([95, 98, 100]),
+    restart=st.integers(0, 3),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_flat_block_roundtrip_property(bh, bw, quality, restart, seed):
+    """encode_jpeg -> decode_jpeg is the IDENTITY for block-constant
+    grayscale images at quality >= 95: constant 8x8 blocks carry only a
+    DC coefficient 8*(v-128), and the quality-95+ luminance DC quantizer
+    (2 or 1) divides it exactly — zero quantization error through the
+    full Huffman/DC-prediction/restart/IDCT pipeline.  This is the
+    analytic contract the value-oracled ext_multimodal_jpeg_stats entry
+    rests on, property-tested over shapes, qualities, restart intervals,
+    and block values."""
+    import numpy as np
+
+    from arrow_ballista_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    blocks = rng.randint(0, 256, size=(bh, bw)).astype(np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+    out = decode_jpeg(encode_jpeg(img, quality=quality, restart=restart))
+    assert out.shape == (bh * 8, bw * 8, 3)
+    for ch in range(3):  # grayscale replicates
+        assert np.array_equal(out[:, :, ch], img)
+
+
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    subsample=st.booleans(),
+    restart=st.integers(0, 2),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_lossy_roundtrip_property(h, w, subsample, restart, seed):
+    """Full lossy color round-trip over arbitrary shapes: smooth images
+    reconstruct within a small tolerance (4:4:4 tighter than 4:2:0), the
+    decoded shape is exact, and restart-marker streams decode to pixels
+    IDENTICAL to the unmarked stream (restart only resegments entropy
+    coding, never changes coefficients)."""
+    import numpy as np
+
+    from arrow_ballista_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 128 + 70 * np.sin(xx / 13.0) * np.cos(yy / 11.0)
+    img = np.clip(
+        np.stack([base, np.roll(base, 3, 0), 255 - base], axis=2)
+        + rng.randn(h, w, 3) * 2,
+        0, 255,
+    ).astype(np.uint8)
+    dec0 = decode_jpeg(encode_jpeg(img, quality=92, subsample=subsample))
+    assert dec0.shape == (h, w, 3)
+    err = np.abs(dec0.astype(int) - img.astype(int)).max()
+    assert err <= (60 if subsample else 25), err
+    if restart:
+        decr = decode_jpeg(
+            encode_jpeg(img, quality=92, subsample=subsample, restart=restart)
+        )
+        assert np.array_equal(decr, dec0)

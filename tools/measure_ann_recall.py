@@ -114,7 +114,11 @@ def main():
                 }
             )
             print(rows[-1], flush=True)
-        from arrow_ballista_spark.operators.pq import pq_adc_topk
+        from arrow_ballista_spark.operators.pq import (
+            adc_rerank_exact,
+            pq_adc_topk,
+            train_codebooks,
+        )
 
         ann = topk_sets(
             pq_adc_topk(queries, corpus, k=K, m=8, n_codes=16)
@@ -125,6 +129,35 @@ def main():
                 "fixture": label, "n": n, "method": "pq_adc",
                 "setting": "m=8 codes=16",
                 "recall": round(recall(ann, exact), 3),
+            }
+        )
+        print(rows[-1], flush=True)
+        # the ext_sim_topk_pq_trained REGISTRY composition, measured at
+        # its exact registry settings (VERDICT r6 item 1 witness):
+        # Lloyd-trained m=16x32 codebooks -> ADC top-100 -> exact rerank.
+        # Truth for THIS row is exact squared-L2 (the metric the entry
+        # ranks by), computed distributed: a full query x corpus
+        # shortlist fed through the same exact-distance rerank.
+        all_pairs = (
+            queries.select("query_id")
+            .crossJoin(corpus.select("corpus_id"))
+            .filter(F.col("query_id") != F.col("corpus_id"))
+        )
+        exact_l2 = topk_sets(
+            adc_rerank_exact(all_pairs, queries, corpus, k=K)
+        )
+        release_caches()
+        books = train_codebooks(corpus, "corpus_id", "embedding", m=16, k=32)
+        sl = pq_adc_topk(
+            queries, corpus, k=100, m=16, n_codes=32, books=books
+        )
+        ann = topk_sets(adc_rerank_exact(sl, queries, corpus, k=K))
+        release_caches()
+        rows.append(
+            {
+                "fixture": label, "n": n, "method": "pq_trained_rerank",
+                "setting": "m=16 codes=32 R=100 (registry)",
+                "recall": round(recall(ann, exact_l2), 3),
             }
         )
         print(rows[-1], flush=True)
