@@ -1153,7 +1153,12 @@ def ppjoin_pairs(
     ``token``: the set universe — ``"word"`` (distinct single words; the
     general case) or ``"bigram"`` (distinct word bigrams; far more
     selective on narrow vocabularies, where nearly every doc pair shares
-    most single words and no prefix can prune).
+    most single words and no prefix can prune).  Measured on Zipf
+    fixtures (tools/measure_ppjoin_zipf.py, SCALING.md r7): word mode
+    stays sublinear at V=120 vocab (1.8x wall for 10x docs) but
+    super-linears at V=30 (9.3x — where the TRUE match set itself goes
+    quadratic); bigram mode stays flat in both.  Default to ``bigram``
+    for narrow/templated vocabularies (logs, boilerplate, code).
     """
     from pyspark.sql import Window
 

@@ -92,6 +92,9 @@ BENCH_QUERIES = [f"tpch_q{i}" for i in range(1, 23)] + [
     "ext_sim_topk_ivfpq",
     "ext_multimodal_png_stats",
     "ext_dedup_semantic_whitened",
+    # round-7 additions
+    "ext_sim_topk_pq_trained",
+    "ext_multimodal_jpeg_stats",
     # h2o db-benchmark + nyctaxi shapes (the reference's other harnesses:
     # benchmarks/db-benchmark/join-datafusion.py, src/bin/nyctaxi.rs)
     "h2o_groupby_highcard",
@@ -120,6 +123,8 @@ CHECKSUM_VARIANTS = [
     "ext_embed_pq",
     "ext_multimodal_png_stats",
     "ext_dedup_semantic_whitened",
+    # round-7 O(n)-row results
+    "ext_multimodal_jpeg_stats",
 ]
 
 

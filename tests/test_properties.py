@@ -981,3 +981,46 @@ def test_jpeg_lossy_roundtrip_property(h, w, subsample, restart, seed):
             encode_jpeg(img, quality=92, subsample=subsample, restart=restart)
         )
         assert np.array_equal(decr, dec0)
+
+
+@given(
+    n=st.integers(4, 30),
+    e=st.integers(3, 80),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=15, deadline=None)
+def test_triangle_orientation_invariance(spark, n, e, seed):
+    """Degree- and id-oriented triangle counting must agree exactly with
+    each other AND with a brute-force numpy count on random graphs —
+    orientation is a performance choice, never a semantic one
+    (operators/pagerank.py:triangle_counts)."""
+    import numpy as np
+
+    from arrow_ballista_spark.operators.pagerank import triangle_counts
+
+    rng = np.random.RandomState(seed)
+    pairs = set()
+    for _ in range(e):
+        a, b = rng.randint(0, n, 2)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    if not pairs:
+        return
+    adj = np.zeros((n, n), bool)
+    for a, b in pairs:
+        adj[a, b] = adj[b, a] = True
+    want = {}
+    for a, b in pairs:
+        for c in range(n):
+            if c > b and adj[a, c] and adj[b, c]:
+                for v in (a, b, c):
+                    want[v] = want.get(v, 0) + 1
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in sorted(pairs)], "id_a long, id_b long"
+    )
+    for orient in ("id", "degree"):
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in triangle_counts(edges, orient=orient).collect()
+        }
+        assert got == want, (orient, seed)
