@@ -27,6 +27,7 @@ hot path swaps in a C codec behind the same ``decode_image`` seam.
 
 from __future__ import annotations
 
+import functools as _functools
 import struct
 
 import numpy as np
@@ -69,51 +70,66 @@ for _u in range(8):
 
 
 class _Huff:
-    """Canonical Huffman table from a DHT (bits[16], values) spec:
-    ``codes[length][code] = symbol``."""
+    """Canonical Huffman table from a DHT (bits[16], values) spec,
+    compiled to a 16-bit prefix LUT: ``lut[next16bits] = (symbol << 5)
+    | code_length``, -1 for invalid prefixes — one array lookup per
+    symbol instead of a bit-at-a-time tree walk (the classic fast-path
+    of every production JPEG decoder; still stdlib+numpy)."""
 
     def __init__(self, bits: list[int], values: bytes):
-        self.codes: list[dict[int, int]] = [dict() for _ in range(17)]
+        self.lut = np.full(1 << 16, -1, np.int32)
         code, k = 0, 0
         for ln in range(1, 17):
             for _ in range(bits[ln - 1]):
-                self.codes[ln][code] = values[k]
+                base = code << (16 - ln)
+                self.lut[base : base + (1 << (16 - ln))] = (
+                    values[k] << 5
+                ) | ln
                 code += 1
                 k += 1
             code <<= 1
 
 
+@_functools.lru_cache(maxsize=64)
+def _huff_cached(bits: tuple, values: bytes) -> _Huff:
+    """LUT construction is ~100us; images in a corpus overwhelmingly
+    share the same (often Annex K) tables, so cache by content."""
+    return _Huff(list(bits), values)
+
+
 class _BitReader:
     """MSB-first bit reader over entropy-coded bytes (stuffing already
-    removed)."""
+    removed): byte-fed accumulator, 1-padded past the end (T.81
+    F.1.2.3)."""
 
     def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
-        self.pos = 0
+        self.data = data
+        self.n = len(data)
+        self.pos = 0  # next byte
+        self.acc = 0
+        self.nbits = 0
 
-    def read_bit(self) -> int:
-        if self.pos >= len(self.bits):
-            # past the end: T.81 pads the final byte with 1-bits
-            return 1
-        b = int(self.bits[self.pos])
-        self.pos += 1
-        return b
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            b = self.data[self.pos] if self.pos < self.n else 0xFF
+            self.pos += 1
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
 
     def read(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        self._fill(n)
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def decode(self, table: _Huff) -> int:
-        code, ln = 0, 0
-        while ln < 16:
-            code = (code << 1) | self.read_bit()
-            ln += 1
-            sym = table.codes[ln].get(code)
-            if sym is not None:
-                return sym
-        raise ValueError("invalid JPEG Huffman code")
+        self._fill(16)
+        v = int(table.lut[(self.acc >> (self.nbits - 16)) & 0xFFFF])
+        if v < 0:
+            raise ValueError("invalid JPEG Huffman code")
+        self.nbits -= v & 0x1F
+        return v >> 5
 
 
 def _extend(v: int, n: int) -> int:
@@ -162,10 +178,12 @@ def decode_jpeg(blob: bytes):
             p = 0
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 0xF
-                bits = list(seg[p + 1 : p + 17])
+                bits = tuple(seg[p + 1 : p + 17])
                 nv = sum(bits)
                 vals = seg[p + 17 : p + 17 + nv]
-                (huff_dc if tc == 0 else huff_ac)[th] = _Huff(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_cached(
+                    bits, bytes(vals)
+                )
                 p += 17 + nv
         elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (Huffman sequential)
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
@@ -241,11 +259,13 @@ def _decode_scan(blob, start, frame, scan, qt, huff_dc, huff_ac, dri):
         c = by_id[cs]
         c["td"], c["ta"] = td, ta
         order.append(c)
-    # coefficient storage per component: (blocks_y, blocks_x, 8, 8)
+    # zigzag coefficient rows per component, scattered to block slots
+    # after the scan (vectorized dezigzag + dequant, one pass per comp)
     for c in comps:
         c["bx"] = mcux * c["h"]
         c["by"] = mcuy * c["v"]
-        c["coef"] = np.zeros((c["by"], c["bx"], 8, 8), np.float64)
+        c["zzs"] = []
+        c["slots"] = []
 
     segs = _split_entropy(blob, start)
     seg_i = 0
@@ -262,10 +282,9 @@ def _decode_scan(blob, start, frame, scan, qt, huff_dc, huff_ac, dri):
         my, mx = divmod(m, mcux)
         for c in order:
             dc_t, ac_t = huff_dc[c["td"]], huff_ac[c["ta"]]
-            q = qt[c["tq"]]
             for v in range(c["v"]):
                 for hh in range(c["h"]):
-                    zz = np.zeros(64, np.int32)
+                    zz = [0] * 64
                     s = rd.decode(dc_t)
                     diff = _extend(rd.read(s), s)
                     pred[c["id"]] += diff
@@ -284,16 +303,21 @@ def _decode_scan(blob, start, frame, scan, qt, huff_dc, huff_ac, dri):
                             raise ValueError("AC index out of range")
                         zz[k] = _extend(rd.read(s), s)
                         k += 1
-                    blk = np.zeros(64, np.int32)
-                    blk[_ZZ] = zz
-                    c["coef"][my * c["v"] + v, mx * c["h"] + hh] = (
-                        blk.reshape(8, 8) * q
+                    c["zzs"].append(zz)
+                    c["slots"].append(
+                        (my * c["v"] + v) * c["bx"] + mx * c["h"] + hh
                     )
 
     planes = []
     for c in comps:
-        # batched IDCT: f = C.T @ F @ C + 128, all blocks at once
-        F = c["coef"].reshape(-1, 8, 8)
+        # vectorized dezigzag + dequant over all blocks, then scatter to
+        # block-grid order and batch the IDCT: f = C.T @ F @ C + 128
+        Z = np.array(c["zzs"], np.float64)
+        D = np.zeros_like(Z)
+        D[:, _ZZ] = Z
+        D *= qt[c["tq"]].reshape(-1).astype(np.float64)[None, :]
+        F = np.zeros((c["by"] * c["bx"], 8, 8))
+        F[np.array(c["slots"])] = D.reshape(-1, 8, 8)
         f = np.einsum("ux,nuv,vy->nxy", _C, F, _C) + 128.0
         f = np.clip(np.round(f), 0, 255).astype(np.uint8)
         plane = (
@@ -492,7 +516,9 @@ def encode_jpeg(
     img, quality: int = 90, subsample: bool = False, restart: int = 0
 ) -> bytes:
     """Minimal baseline JPEG writer: grayscale ((h, w) or (h, w, 1)) or
-    RGB (h, w, 3); ``subsample=True`` writes 4:2:0 chroma, else 4:4:4.
+    RGB (h, w, 3); ``subsample`` picks the chroma mode — ``"444"``
+    (default, also ``False``), ``"420"`` (also ``True``), or ``"422"``
+    (horizontal-only, the anisotropic-upsampling decoder path).
     Annex K tables, single interleaved scan; ``restart`` > 0 writes a
     DRI segment and RSTn markers every ``restart`` MCUs (exercises the
     decoder's restart path)."""
@@ -500,9 +526,10 @@ def encode_jpeg(
     gray = img.ndim == 2 or img.shape[2] == 1
     h, w = img.shape[:2]
 
-    def pad8(p: np.ndarray, mult: int = 8) -> np.ndarray:
-        H = -(-p.shape[0] // mult) * mult
-        W = -(-p.shape[1] // mult) * mult
+    def pad8(p: np.ndarray, mult=8) -> np.ndarray:
+        mv, mh = mult if isinstance(mult, tuple) else (mult, mult)
+        H = -(-p.shape[0] // mv) * mv
+        W = -(-p.shape[1] // mh) * mh
         return np.pad(p, ((0, H - p.shape[0]), (0, W - p.shape[1])),
                       mode="edge")
 
@@ -569,7 +596,8 @@ def encode_jpeg(
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         y, cb, cr = (np.clip(np.round(p), 0, 255) for p in (y, cb, cr))
-        if subsample:  # 4:2:0: 2x2 box mean on chroma
+        mode = {True: "420", False: "444"}.get(subsample, subsample)
+        if mode == "420":  # 2x2 box mean on chroma
             def down(p):
                 p = pad8(p, 2)
                 return np.round(
@@ -579,54 +607,51 @@ def encode_jpeg(
 
             cb, cr = down(cb), down(cr)
             sampling = b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
-            ymult = 16
-        else:
+            yh = yv = 16
+        elif mode == "422":  # horizontal-only 1x2 box mean on chroma
+            def down(p):
+                p = pad8(p, (1, 2))
+                return np.round((p[:, 0::2] + p[:, 1::2]) / 2.0)
+
+            cb, cr = down(cb), down(cr)
+            sampling = b"\x01\x21\x00\x02\x11\x01\x03\x11\x01"
+            yh, yv = 16, 8
+        elif mode == "444":
             sampling = b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
-            ymult = 8
+            yh = yv = 8
+        else:
+            raise ValueError(f"unknown subsample mode {subsample!r}")
         out += chunk(0xC0, struct.pack(">BHHB", 8, h, w, 3) + sampling)
         out += chunk(0xDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
         dcl, acl = _huff_codes(_HT_DC_LUM), _huff_codes(_HT_AC_LUM)
         dcc, acc = _huff_codes(_HT_DC_CHROM), _huff_codes(_HT_AC_CHROM)
-        yp = pad8(y, ymult)
-        # chroma blocks are 8x8 in both modes (4:2:0 chroma is already
-        # half-resolution, one block per MCU)
+        yp = pad8(y, (yv, yh))
+        # chroma is one 8x8 block per MCU in every mode (full-res for
+        # 4:4:4, half-width for 4:2:2, half-both for 4:2:0), so its
+        # block index is always (my, mx)
         cbp, crp = pad8(cb, 8), pad8(cr, 8)
         mcus = []
-        if subsample:
-            # interleaved MCUs: 4 Y blocks + 1 Cb + 1 Cr per MCU
-            for my in range(yp.shape[0] // 16):
-                for mx in range(yp.shape[1] // 16):
-                    blocks = []
-                    for v in range(2):
-                        for hh in range(2):
-                            blocks.append((
-                                yp[
-                                    my * 16 + v * 8 : my * 16 + v * 8 + 8,
-                                    mx * 16 + hh * 8 : mx * 16 + hh * 8 + 8,
-                                ],
-                                qlum, dcl, acl, 0,
-                            ))
-                    blocks.append((
-                        cbp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
-                        qchrom, dcc, acc, 1,
-                    ))
-                    blocks.append((
-                        crp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
-                        qchrom, dcc, acc, 2,
-                    ))
-                    mcus.append(blocks)
-        else:
-            for my in range(yp.shape[0] // 8):
-                for mx in range(yp.shape[1] // 8):
-                    mcus.append([
-                        (p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
-                         q, dc_c, ac_c, ci)
-                        for (p, q, dc_c, ac_c, ci) in (
-                            (yp, qlum, dcl, acl, 0),
-                            (cbp, qchrom, dcc, acc, 1),
-                            (crp, qchrom, dcc, acc, 2),
-                        )
-                    ])
+        for my in range(yp.shape[0] // yv):
+            for mx in range(yp.shape[1] // yh):
+                blocks = []
+                for v in range(yv // 8):
+                    for hh in range(yh // 8):
+                        blocks.append((
+                            yp[
+                                my * yv + v * 8 : my * yv + v * 8 + 8,
+                                mx * yh + hh * 8 : mx * yh + hh * 8 + 8,
+                            ],
+                            qlum, dcl, acl, 0,
+                        ))
+                blocks.append((
+                    cbp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                    qchrom, dcc, acc, 1,
+                ))
+                blocks.append((
+                    crp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                    qchrom, dcc, acc, 2,
+                ))
+                mcus.append(blocks)
         out += emit_scan(mcus)
     out += b"\xff\xd9"
     return bytes(out)

@@ -90,7 +90,21 @@ def main():
             df.selectExpr("count(*) AS n", "sum(hash(*)) AS cs").collect()
             status = "ok"
         except Exception as e:
-            status = f"FAIL: {type(e).__name__}"
+            cause = next(
+                (
+                    ln.strip()[:160]
+                    for ln in str(e).splitlines()
+                    if any(
+                        m in ln
+                        for m in (
+                            "OutOfMemory", "Caused by", "Total size",
+                            "larger than", "Not enough memory",
+                        )
+                    )
+                ),
+                str(e).splitlines()[0][:160] if str(e) else "",
+            )
+            status = f"FAIL: {type(e).__name__}: {cause}"
         dt = round(time.monotonic() - t0, 1)
         m1, d1 = _spill_bytes(spark)
         results.append(
