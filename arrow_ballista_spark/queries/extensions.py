@@ -542,6 +542,22 @@ def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(docs, frame_size=256)
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text) repartitioned to the session parallelism: the
+    single-file documents scan arrives as 1-2 partitions, which pins the
+    codec entries' CPU-heavy mapInPandas stages on two cores (measured:
+    jpeg_stats 12.8s -> 1.3s at sf0.1 — the ppjoin tokenize precedent)."""
+    try:
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        parts = spark.sparkContext.defaultParallelism
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(parts, "doc_id")
+    )
+
+
 @query(
     "ext_multimodal_image_stats",
     f"""
@@ -576,7 +592,7 @@ FROM px GROUP BY doc_id
 def ext_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_spread(spark, sf_dir)
 
     def mk(batches):
         for pdf in batches:
@@ -636,18 +652,7 @@ FROM px GROUP BY doc_id
 def ext_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    # spread the CPU-heavy encode/decode stages across the session
-    # parallelism (the jpeg_stats / ppjoin precedent: a single-file scan
-    # arrives as 1-2 partitions and pins the codec work on two cores)
-    try:
-        parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        parts = spark.sparkContext.defaultParallelism
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(parts, "doc_id")
-    )
+    docs = _docs_spread(spark, sf_dir)
 
     def mk(batches):
         import numpy as np
@@ -715,19 +720,7 @@ FROM px GROUP BY doc_id
 def ext_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    # spread the CPU-heavy encode/decode stages: the single parquet file
-    # arrives as 1-2 partitions, which would pin ~2.2ms/image of codec
-    # work on two cores (measured 12.8s -> 1.7s at sf0.1; the ppjoin
-    # tokenize precedent)
-    try:
-        parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        parts = spark.sparkContext.defaultParallelism
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(parts, "doc_id")
-    )
+    docs = _docs_spread(spark, sf_dir)
 
     def mk(batches):
         import numpy as np
@@ -793,7 +786,7 @@ def ext_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_spread(spark, sf_dir)
 
     def mk(batches):
         fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
