@@ -249,6 +249,16 @@ def _split_entropy(blob: bytes, start: int) -> list[bytes]:
 
 def _decode_scan(blob, start, frame, scan, qt, huff_dc, huff_ac, dri):
     w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if len(scan) != len(comps):
+        raise NotImplementedError(
+            "non-interleaved multi-scan baseline JPEG not supported "
+            f"(frame has {len(comps)} components, scan covers {len(scan)})"
+        )
+    if len(comps) == 1:
+        # T.81 A.2.2: a single-component scan has MCU = one data unit and
+        # ignores the declared sampling factors (some encoders write 2x2
+        # on grayscale SOFs)
+        comps[0]["h"] = comps[0]["v"] = 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))

@@ -804,6 +804,13 @@ FROM rk WHERE rnk <= 5
         "corpus floats are touched only at index time; the serving "
         "working set is codes + cell ids.  Non-residual variant (global "
         "codebooks; residual refinement is a codebook-source swap).  "
+        "NOTE: this entry demonstrates the DATAFLOW with md5-sample "
+        "codebooks (value-exact in plain SQL but ~0.3 recall by "
+        "construction); the production-quality composition — trained "
+        "codebooks + ADC shortlist + exact rerank, recall@10 0.984 at "
+        "registry settings — is the oracled ext_sim_topk_pq_trained "
+        "entry; compose the IVF stage on clustered corpora via "
+        "ivf_pq_topk(books=train_codebooks(...)).  "
         "Value-exact oracle composing the ext_sim_topk_ivf cell CTEs "
         "(md5-ordered centroids, sim-DESC/cell-ASC assignment, "
         "sim-DESC/cell-DESC probes) with the ext_embed_pq code CTEs and "

@@ -96,7 +96,11 @@ def test_simhash_finds_all_true_near_dups(spark):
 
 
 def test_decode_image_gates_dct_codecs():
+    # JPEG decodes natively since r7; WebP/other codecs stay gated
     with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    # a malformed JPEG is a ValueError (decode attempted), not a gate
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0jpeg...")
 
 

@@ -299,10 +299,14 @@ def test_quality_filters_are_map_only(spark):
 
 
 def test_multimodal_image_stats_map_only(spark):
-    """Blob build + decode + stats are chained mapInPandas stages with no
-    shuffle; blobs never move between executors."""
+    """Blob build + decode + stats are chained mapInPandas stages whose
+    ONLY shuffle is the deliberate up-front spread repartition
+    (_docs_spread: a single-file scan arrives as 1-2 partitions and
+    would pin the codec CPU on two cores — SCALING.md r7); the blobs
+    themselves never move between executors after the text spread."""
     rep = _report(spark, "ext_multimodal_image_stats")
-    assert rep["exchanges"] == 0, rep["exchanges"]
+    assert rep["exchanges"] == 1, rep["exchanges"]
+    assert rep["sortmerge_joins"] == 0
 
 
 def test_pca_project_single_reduce_then_map(spark):
