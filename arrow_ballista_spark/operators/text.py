@@ -603,3 +603,113 @@ def winnowing_fingerprints(
             )
         ).alias("fp"),
     )
+
+
+def bpe_train_merges(
+    docs: DataFrame, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Train the first ``k`` BPE merge rules on a corpus (Sennrich et al.
+    2016, "Neural Machine Translation of Rare Words with Subword Units" —
+    the public byte-pair-encoding algorithm every modern LLM tokenizer
+    family builds on): per iteration, count adjacent symbol pairs over
+    the word-frequency table, merge the most frequent pair everywhere,
+    repeat.  Returns ``(rank, left_tok, right_tok, pair_count)`` — one
+    row per learned merge, in training order.
+
+    Spec (deterministic, engine-portable — the DuckDB oracle unrolls the
+    same chain):
+
+    - pre-tokenize: whitespace-split words, lowercased, restricted to
+      ``^[a-z0-9]+$`` (keeps the symbol universe free of the separator
+      and marker characters);
+    - a word's symbol sequence starts as its characters + a ``</w>``
+      end-of-word marker, represented as a ``|``-separated string
+      (``|h|i|</w>|``) so a merge is ONE literal string replace —
+      ``replace(r, '|l|r|', '|lr|')`` — whose non-overlapping
+      left-to-right scan IS BPE's greedy application order in both
+      engines;
+    - argmax ties break (count DESC, left ASC, right ASC) — binary
+      collation in both engines.
+
+    Scale shape: the corpus shuffles ONCE into the word-frequency table
+    (vocabulary-sized, ~100k rows at any corpus size — Heaps' law);
+    each of the k iterations is one vocabulary-sized pair-count
+    aggregation plus a map-only merge apply, and collects exactly one
+    row (the argmax) to the driver — bounded like the IVF-centroid
+    pattern.  At 100 TB the word-count pass dominates and is the same
+    two-phase agg as ext_text_stats; iterations never touch the corpus.
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(F.split(F.col(text_col), " +")).alias("w0")
+        )
+        .select(F.lower("w0").alias("w"))
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rep = tracked_persist(
+        words.select(
+            F.concat(
+                F.regexp_replace("w", "(.)", r"|$1"), F.lit("|</w>|")
+            ).alias("r"),
+            "n",
+        )
+    )
+    rep.count()  # materialize before the iteration chain
+    merges = []
+    for rank in range(k):
+        pairs = rep.select(
+            "n",
+            F.expr(
+                "filter(split(r, '\\\\|'), x -> x != '')"
+            ).alias("s"),
+        ).select(
+            "n",
+            F.explode(
+                # guard single-symbol words: Spark sequence(1, 0) counts
+                # DOWN ([1, 0]) instead of yielding empty
+                F.expr(
+                    "CASE WHEN size(s) < 2"
+                    " THEN cast(array() as array<struct<l string, rr string>>)"
+                    " ELSE transform(sequence(1, size(s) - 1),"
+                    " i -> struct(element_at(s, i) AS l,"
+                    " element_at(s, i + 1) AS rr)) END"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.l", "p.rr")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("rr"))
+            .limit(1)
+            .collect()  # exactly one row per iteration — bounded
+        )
+        if not best:
+            break
+        b = best[0]
+        merges.append((rank, b["l"], b["rr"], int(b["cnt"])))
+        pat = f"|{b['l']}|{b['rr']}|"
+        new = f"|{b['l']}{b['rr']}|"
+        nxt = tracked_persist(
+            rep.select(
+                F.expr(
+                    "replace(r, {}, {})".format(
+                        _sql_str(pat), _sql_str(new)
+                    )
+                ).alias("r"),
+                "n",
+            )
+        )
+        nxt.count()
+        rep = nxt
+    return spark.createDataFrame(
+        merges, "rank int, left_tok string, right_tok string, pair_count bigint"
+    )
+
+
+def _sql_str(s: str) -> str:
+    """Single-quoted SQL string literal (tokens are [a-z0-9<>/] by
+    construction, but escape defensively)."""
+    return "'" + s.replace("'", "''") + "'"

@@ -1094,3 +1094,85 @@ def ext_sketch_hll_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         cround(F.col("est"), 2).alias("est"),
         F.col("exact_distinct").cast("long").alias("exact_distinct"),
     )
+
+
+_BPE_K = 8
+
+
+def _bpe_oracle(k: int = _BPE_K) -> str:
+    """Unrolled k-iteration BPE training chain in portable SQL (the
+    pagerank unrolled-CTE precedent): word-frequency table -> per
+    iteration, adjacent-pair counts over the |-separated symbol strings,
+    deterministic argmax (count DESC, left ASC, right ASC), literal
+    string-replace merge.  No generated literals — the whole algorithm
+    is SQL-expressible, so the oracle is static and SF-independent."""
+    parts = [
+        """
+WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT lower(w0) AS w
+        FROM (SELECT unnest(string_split_regex(text, ' +')) AS w0
+              FROM documents))
+  WHERE regexp_matches(w, '^[a-z0-9]+$')
+  GROUP BY w
+), r0 AS MATERIALIZED (
+  SELECT regexp_replace(w, '(.)', '|\\1', 'g') || '|</w>|' AS r, n
+  FROM words
+)"""
+    ]
+    for i in range(k):
+        parts.append(
+            f""", p{i} AS (
+  SELECT s[j] AS l, s[j + 1] AS rr, CAST(SUM(n) AS BIGINT) AS cnt
+  FROM (SELECT list_filter(string_split(r, '|'), x -> x <> '') AS s, n
+        FROM r{i}),
+       UNNEST(generate_series(1, len(s) - 1)) AS t(j)
+  GROUP BY s[j], s[j + 1]
+), b{i} AS MATERIALIZED (
+  SELECT l, rr, cnt FROM p{i} ORDER BY cnt DESC, l ASC, rr ASC LIMIT 1
+), r{i + 1} AS MATERIALIZED (
+  SELECT replace(r,
+                 '|' || (SELECT l FROM b{i}) || '|'
+                     || (SELECT rr FROM b{i}) || '|',
+                 '|' || (SELECT l FROM b{i})
+                     || (SELECT rr FROM b{i}) || '|') AS r, n
+  FROM r{i}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS rank, l AS left_tok, rr AS right_tok,"
+        f" cnt AS pair_count FROM b{i}"
+        for i in range(k)
+    )
+    return "".join(parts) + "\n" + union + "\n"
+
+
+@query(
+    "ext_text_bpe_train",
+    _bpe_oracle(),
+    doc=(
+        "Distributed BPE tokenizer-merge training (Sennrich et al. 2016 "
+        "— the public byte-pair-encoding algorithm behind modern LLM "
+        "tokenizer families): learn the first 8 merge rules on the "
+        "corpus, emitting (rank, left_tok, right_tok, pair_count) in "
+        "training order.  Engine: operators/text.py:bpe_train_merges — "
+        "the corpus shuffles ONCE into the word-frequency table "
+        "(vocabulary-sized at any corpus scale, Heaps' law); each "
+        "iteration is one vocabulary-sized pair-count agg + a map-only "
+        "literal-replace merge, collecting exactly one argmax row "
+        "(bounded driver work, the IVF-centroid pattern).  The merge "
+        "application is a single non-overlapping left-to-right string "
+        "replace on |-separated symbol strings — exactly BPE's greedy "
+        "order, identical semantics in Spark and DuckDB.  Oracle: the "
+        "same 8 iterations unrolled as a static CTE chain (the pagerank "
+        "precedent) — no generated literals, deterministic argmax ties "
+        "(count DESC, left ASC, right ASC; binary collation both "
+        "engines).  Cross-checked against a pure-Python BPE reference "
+        "in tests/test_extensions.py."
+    ),
+)
+def ext_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.operators.text import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, "text", k=_BPE_K)

@@ -1416,3 +1416,62 @@ def test_jpeg_gating_and_degradation(spark):
     # truncated streams either pad-decode (T.81 1-bit padding) or
     # degrade to NULL; they must never abort the batch
     assert 1 in got
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """bpe_train_merges must reproduce a pure-Python BPE (Sennrich 2016)
+    exactly — merges, order, counts — including the fully-merged-word
+    edge (a word collapsing to one symbol stops contributing pairs)."""
+    import re
+    from collections import Counter
+
+    from arrow_ballista_spark.operators.text import bpe_train_merges
+
+    corpus = [
+        "the cat sat on the mat",
+        "the hat of the cat",
+        "mats and hats",
+        "THE the The",
+        "a a a aa",
+        "zz zz zz zz zz zz",  # tiny word that fully merges early
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = [
+        (r["rank"], r["left_tok"], r["right_tok"], r["pair_count"])
+        for r in bpe_train_merges(docs, k=10).collect()
+    ]
+
+    wc = Counter()
+    for t in corpus:
+        for w in re.split(" +", t):
+            w = w.lower()
+            if re.fullmatch("[a-z0-9]+", w):
+                wc[w] += 1
+    reps = {w: list(w) + ["</w>"] for w in wc}
+    want = []
+    for rank in range(10):
+        cnt = Counter()
+        for w, n in wc.items():
+            s = reps[w]
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] += n
+        if not cnt:
+            break
+        (l, r), c = sorted(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        want.append((rank, l, r, c))
+        for w in wc:
+            s = reps[w]
+            ns, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    ns.append(l + r)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            reps[w] = ns
+    assert got == want
