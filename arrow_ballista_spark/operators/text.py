@@ -640,17 +640,34 @@ def bpe_train_merges(
     two-phase agg as ext_text_stats; iterations never touch the corpus.
     """
     spark = docs.sparkSession
-    words = (
-        docs.select(
-            F.explode(F.split(F.col(text_col), " +")).alias("w0")
-        )
+    merges, _ = _bpe_train(docs, text_col, k)
+    return spark.createDataFrame(
+        merges, "rank int, left_tok string, right_tok string, pair_count bigint"
+    )
+
+
+def bpe_normalized_words(docs: DataFrame, text_col: str) -> DataFrame:
+    """The BPE pre-tokenization word stream, one row per occurrence:
+    whitespace-split, lowercased, restricted to ``^[a-z0-9]+$``."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " +")).alias("w0"))
         .select(F.lower("w0").alias("w"))
         .filter(F.col("w").rlike("^[a-z0-9]+$"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _bpe_train(docs: DataFrame, text_col: str, k: int):
+    """Shared training loop: returns ``(merges, rep)`` where merges is
+    the list of (rank, left, right, count) and ``rep`` the FINAL
+    vocabulary representation ``(w, r, n)`` — each word's |-separated
+    symbol string after all k merges (the tokenizer the apply half
+    joins against)."""
+    words = bpe_normalized_words(docs, text_col).groupBy("w").agg(
+        F.count(F.lit(1)).alias("n")
     )
     rep = tracked_persist(
         words.select(
+            "w",
             F.concat(
                 F.regexp_replace("w", "(.)", r"|$1"), F.lit("|</w>|")
             ).alias("r"),
@@ -694,6 +711,7 @@ def bpe_train_merges(
         new = f"|{b['l']}{b['rr']}|"
         nxt = tracked_persist(
             rep.select(
+                "w",
                 F.expr(
                     "replace(r, {}, {})".format(
                         _sql_str(pat), _sql_str(new)
@@ -704,8 +722,50 @@ def bpe_train_merges(
         )
         nxt.count()
         rep = nxt
-    return spark.createDataFrame(
-        merges, "rank int, left_tok string, right_tok string, pair_count bigint"
+    return merges, rep
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """APPLY half of the BPE tokenizer: train ``k`` merges on the corpus
+    (:func:`_bpe_train`), then tokenize every document against the
+    final vocabulary — ``(id_col, n_words, n_chars, n_tokens)`` with
+    ``n_tokens`` the post-merge subword count (excluding the ``</w>``
+    markers) and ``n_chars`` the pre-merge symbol count, so
+    ``n_chars / n_tokens`` is the compression the learned merges buy.
+
+    Scale shape: tokenization is a WORD-keyed broadcast-or-shuffle join
+    of the document word stream against the vocabulary-sized ``rep``
+    table (each word's subword count precomputed once per DISTINCT
+    word, never per occurrence) + one keyed agg per document — the
+    trained tokenizer never re-walks characters at apply time."""
+    _, rep = _bpe_train(docs, text_col, k)
+    counts = rep.select(
+        "w",
+        F.expr(
+            "size(filter(split(r, '\\\\|'), x -> x != '')) - 1"
+        ).alias("toks"),  # minus the </w> marker
+    )
+    occ = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " +")).alias("w0"),
+        )
+        .select(id_col, F.lower("w0").alias("w"))
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+    )
+    return (
+        occ.join(counts, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).alias("n_chars"),
+            F.sum("toks").alias("n_tokens"),
+        )
     )
 
 

@@ -1116,7 +1116,7 @@ WITH words AS (
   WHERE regexp_matches(w, '^[a-z0-9]+$')
   GROUP BY w
 ), r0 AS MATERIALIZED (
-  SELECT regexp_replace(w, '(.)', '|\\1', 'g') || '|</w>|' AS r, n
+  SELECT w, regexp_replace(w, '(.)', '|\\1', 'g') || '|</w>|' AS r, n
   FROM words
 )"""
     ]
@@ -1131,7 +1131,7 @@ WITH words AS (
 ), b{i} AS MATERIALIZED (
   SELECT l, rr, cnt FROM p{i} ORDER BY cnt DESC, l ASC, rr ASC LIMIT 1
 ), r{i + 1} AS MATERIALIZED (
-  SELECT replace(r,
+  SELECT w, replace(r,
                  '|' || (SELECT l FROM b{i}) || '|'
                      || (SELECT rr FROM b{i}) || '|',
                  '|' || (SELECT l FROM b{i})
@@ -1145,6 +1145,39 @@ WITH words AS (
         for i in range(k)
     )
     return "".join(parts) + "\n" + union + "\n"
+
+
+def _bpe_tokenize_oracle(k: int = _BPE_K) -> str:
+    """The APPLY half on the same unrolled chain: per-word subword
+    counts from the final representation r{k}, joined back onto the
+    document word stream, aggregated per doc."""
+    chain = _bpe_oracle(k)
+    # reuse everything up to (and including) the last r{k} CTE, drop the
+    # train entry's UNION tail
+    cut = chain.rindex(")\n")
+    prefix = chain[: cut + 1]
+    return (
+        prefix
+        + f""", toks AS (
+  SELECT w,
+         CAST(len(list_filter(string_split(r, '|'), x -> x <> '')) - 1
+              AS BIGINT) AS toks
+  FROM r{k}
+), occ AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, lower(w0) AS w
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(text, ' +')) AS w0
+              FROM documents))
+  WHERE regexp_matches(w, '^[a-z0-9]+$')
+)
+SELECT occ.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(occ.w)) AS BIGINT) AS n_chars,
+       CAST(SUM(toks.toks) AS BIGINT) AS n_tokens
+FROM occ JOIN toks USING (w)
+GROUP BY occ.doc_id
+"""
+    )
 
 
 @query(
@@ -1176,3 +1209,30 @@ def ext_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train_merges(docs, "text", k=_BPE_K)
+
+
+@query(
+    "ext_text_bpe_tokenize",
+    _bpe_tokenize_oracle(),
+    doc=(
+        "APPLY half of the BPE tokenizer (completing ext_text_bpe_train "
+        "into a train+tokenize pair): tokenize every document against "
+        "the vocabulary learned by the 8 trained merges, emitting "
+        "(doc_id, n_words, n_chars, n_tokens) — n_chars/n_tokens is the "
+        "compression the merges buy, the statistic a token-budgeted "
+        "corpus pipeline needs per document.  Engine: "
+        "operators/text.py:bpe_token_counts — the per-word subword "
+        "count is computed ONCE per distinct word on the "
+        "vocabulary-sized representation table, then a word-keyed join "
+        "onto the document word stream + one per-doc agg; the trained "
+        "tokenizer never re-walks characters at apply time (at 100 TB "
+        "the vocab table broadcasts and apply is map-side).  Oracle: "
+        "the same unrolled 8-iteration MATERIALIZED chain extended with "
+        "the subword-count join — static SQL, no literals."
+    ),
+)
+def ext_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.operators.text import bpe_token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_counts(docs, "text", "doc_id", k=_BPE_K)

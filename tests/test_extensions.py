@@ -1475,3 +1475,23 @@ def test_bpe_train_matches_python_reference(spark):
                     i += 1
             reps[w] = ns
     assert got == want
+
+
+def test_bpe_tokenize_compression_sane(spark):
+    """bpe_token_counts invariants: n_tokens <= n_chars + n_words... no —
+    tokens can never exceed characters (every merge shrinks), and can
+    never go below n_words (a word is at least one token); compression
+    must actually happen on a repetitive corpus."""
+    from arrow_ballista_spark.operators.text import bpe_token_counts
+
+    corpus = ["the their then there the them"] * 4 + ["xyz qqq"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    rows = bpe_token_counts(docs, k=6).collect()
+    assert len(rows) == len(corpus)
+    for r in rows:
+        assert r["n_words"] <= r["n_tokens"] <= r["n_chars"]
+    rep = [r for r in rows if r["doc_id"] == 0][0]
+    # the repeated 'the'-family words must compress well below chars
+    assert rep["n_tokens"] < rep["n_chars"] * 0.7
