@@ -111,7 +111,16 @@ class _BitReader:
 
     def _fill(self, need: int) -> None:
         while self.nbits < need:
-            b = self.data[self.pos] if self.pos < self.n else 0xFF
+            if self.pos < self.n:
+                b = self.data[self.pos]
+            else:
+                # T.81 pads the final byte with 1-bits; a decoder that
+                # still wants data several bytes past the end is reading
+                # a TRUNCATED stream — fail instead of spinning the MCU
+                # loop on synthetic 1s (the image_stats degrade contract)
+                if self.pos > self.n + 4:
+                    raise ValueError("truncated JPEG entropy stream")
+                b = 0xFF
             self.pos += 1
             self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
             self.nbits += 8
@@ -150,11 +159,19 @@ def decode_jpeg(blob: bytes):
     frame = None
     restart_interval = 0
     i = 2
-    while i + 4 <= len(blob):
+    while i + 2 <= len(blob):
         if blob[i] != 0xFF:
             raise ValueError(f"bad marker alignment at {i}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while i + 1 < len(blob) and blob[i + 1] == 0xFF:
+            i += 1
         marker = blob[i + 1]
         if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn:
+            i += 2  # standalone markers carry no length field
+            continue
+        if i + 4 > len(blob):
             break
         (seglen,) = struct.unpack_from(">H", blob, i + 2)
         seg = blob[i + 4 : i + 2 + seglen]
@@ -181,6 +198,8 @@ def decode_jpeg(blob: bytes):
                 bits = tuple(seg[p + 1 : p + 17])
                 nv = sum(bits)
                 vals = seg[p + 17 : p + 17 + nv]
+                if len(bits) < 16 or len(vals) < nv:
+                    raise ValueError("truncated JPEG DHT segment")
                 (huff_dc if tc == 0 else huff_ac)[th] = _huff_cached(
                     bits, bytes(vals)
                 )
@@ -189,6 +208,14 @@ def decode_jpeg(blob: bytes):
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
+            if w == 0 or h == 0 or w * h > (1 << 26):
+                # corrupt/crafted headers must degrade, not drive an
+                # O(n_mcu) decode loop into OOM (the image_stats
+                # contract); 64M pixels is far beyond this pipeline's
+                # thumbnail shapes
+                raise ValueError(
+                    f"implausible JPEG dimensions {w}x{h}"
+                )
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)

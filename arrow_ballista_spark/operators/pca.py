@@ -151,6 +151,27 @@ def pca_components(df: DataFrame, vec_col: str, k: int):
 WHITEN_SAMPLE_CAP = 4096
 
 
+def smallest_id_sample(path: str, id_col: str, cols: list, cap: int):
+    """Stream a parquet file's row groups keeping only the ``cap``
+    smallest-``id_col`` rows at any moment — driver memory O(cap +
+    batch), not O(corpus).  The SHARED deterministic-sample kernel
+    behind every literal-oracle driver pass (whitening matrix, trained
+    PQ codebooks): one implementation so the batching/tie-break can
+    never drift between the 'bit-identical literals' claims."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    sample = None
+    for rb in pf.iter_batches(batch_size=8192, columns=[id_col, *cols]):
+        part = rb.to_pandas()
+        sample = part if sample is None else pd.concat([sample, part])
+        sample = sample.sort_values(id_col, kind="mergesort").head(cap)
+    if sample is None or len(sample) == 0:
+        raise ValueError(f"smallest_id_sample: empty input {path}")
+    return sample
+
+
 def whitening_literals(
     sf_dir: str,
     k: int = 8,
@@ -178,24 +199,9 @@ def whitening_literals(
     import os
 
     import numpy as np
-    import pandas as pd
-    import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, f"{table}.parquet")
-    # Stream batches and keep only the CAP smallest-id rows at any moment
-    # — driver memory is O(cap + batch), not O(corpus), so the "bounded
-    # driver work" claim holds for the READ too, not just the eigh input.
-    pf = pq.ParquetFile(path)
-    sample = None
-    for rb in pf.iter_batches(batch_size=8192, columns=[id_col, vec_col]):
-        part = rb.to_pandas()
-        sample = part if sample is None else pd.concat([sample, part])
-        sample = sample.sort_values(id_col, kind="mergesort").head(
-            WHITEN_SAMPLE_CAP
-        )
-    if sample is None:
-        raise ValueError("whitening_literals: empty input")
-    pdf = sample
+    pdf = smallest_id_sample(path, id_col, [vec_col], WHITEN_SAMPLE_CAP)
     X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
     n = len(X)
     if n == 0:

@@ -394,18 +394,11 @@ def train_codebooks_literals(
     import os
 
     import numpy as np
-    import pandas as pd
-    import pyarrow.parquet as pq_
+
+    from arrow_ballista_spark.operators.pca import smallest_id_sample
 
     path = os.path.join(sf_dir, f"{table}.parquet")
-    pf = pq_.ParquetFile(path)
-    smallest = None
-    for rb in pf.iter_batches(batch_size=8192, columns=[id_col, vec]):
-        part = rb.to_pandas()
-        smallest = part if smallest is None else pd.concat([smallest, part])
-        smallest = smallest.sort_values(id_col, kind="mergesort").head(sample)
-    if smallest is None or len(smallest) == 0:
-        raise ValueError("train_codebooks_literals: empty input")
+    smallest = smallest_id_sample(path, id_col, [vec], sample)
     X = np.array(smallest[vec].tolist(), dtype=np.float64)
     return _lloyd_books(X, m, k, iters)
 

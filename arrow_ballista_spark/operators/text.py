@@ -668,8 +668,16 @@ def _bpe_train(docs: DataFrame, text_col: str, k: int):
     rep = tracked_persist(
         words.select(
             "w",
+            # each symbol wrapped in its own pipes ("|a||b|...|</w>|"):
+            # adjacent merge sites then share NO characters, so the
+            # non-overlapping left-to-right replace hits every
+            # occurrence exactly as greedy BPE does ("banana" with
+            # merge (a,n) -> b an an a, not b an a n a — the
+            # single-pipe representation dropped every second
+            # consecutive occurrence because the shared delimiter was
+            # consumed by the previous match)
             F.concat(
-                F.regexp_replace("w", "(.)", r"|$1"), F.lit("|</w>|")
+                F.regexp_replace("w", "(.)", r"|$1|"), F.lit("|</w>|")
             ).alias("r"),
             "n",
         )
@@ -707,7 +715,7 @@ def _bpe_train(docs: DataFrame, text_col: str, k: int):
             break
         b = best[0]
         merges.append((rank, b["l"], b["rr"], int(b["cnt"])))
-        pat = f"|{b['l']}|{b['rr']}|"
+        pat = f"|{b['l']}||{b['rr']}|"
         new = f"|{b['l']}{b['rr']}|"
         nxt = tracked_persist(
             rep.select(
@@ -721,6 +729,7 @@ def _bpe_train(docs: DataFrame, text_col: str, k: int):
             )
         )
         nxt.count()
+        rep.unpersist()  # superseded — don't pin k+1 vocab tables
         rep = nxt
     return merges, rep
 
@@ -746,9 +755,15 @@ def bpe_token_counts(
     _, rep = _bpe_train(docs, text_col, k)
     counts = rep.select(
         "w",
+        # the </w> marker only discounts when it SURVIVES as its own
+        # symbol — a merge can absorb it ("the</w>" is one real token;
+        # size-1 would undercount it to zero)
         F.expr(
-            "size(filter(split(r, '\\\\|'), x -> x != '')) - 1"
-        ).alias("toks"),  # minus the </w> marker
+            "size(filter(split(r, '\\\\|'), x -> x != ''))"
+            " - CASE WHEN element_at("
+            "filter(split(r, '\\\\|'), x -> x != ''), -1) = '</w>'"
+            " THEN 1 ELSE 0 END"
+        ).alias("toks"),
     )
     occ = (
         docs.select(

@@ -848,8 +848,8 @@ def ext_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQT_M, _PQT_K, _PQT_SUB = 16, 32, 4
 _PQT_R, _PQT_TOPK = 100, 10
 
-_ORACLE_SF_DIR = os.environ.get(
-    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+from arrow_ballista_spark.queries.extensions import (  # noqa: E402
+    _ORACLE_SF_DIR,
 )
 
 
@@ -1116,7 +1116,7 @@ WITH words AS (
   WHERE regexp_matches(w, '^[a-z0-9]+$')
   GROUP BY w
 ), r0 AS MATERIALIZED (
-  SELECT w, regexp_replace(w, '(.)', '|\\1', 'g') || '|</w>|' AS r, n
+  SELECT w, regexp_replace(w, '(.)', '|\\1|', 'g') || '|</w>|' AS r, n
   FROM words
 )"""
     ]
@@ -1132,7 +1132,7 @@ WITH words AS (
   SELECT l, rr, cnt FROM p{i} ORDER BY cnt DESC, l ASC, rr ASC LIMIT 1
 ), r{i + 1} AS MATERIALIZED (
   SELECT w, replace(r,
-                 '|' || (SELECT l FROM b{i}) || '|'
+                 '|' || (SELECT l FROM b{i}) || '||'
                      || (SELECT rr FROM b{i}) || '|',
                  '|' || (SELECT l FROM b{i})
                      || (SELECT rr FROM b{i}) || '|') AS r, n
@@ -1160,9 +1160,10 @@ def _bpe_tokenize_oracle(k: int = _BPE_K) -> str:
         prefix
         + f""", toks AS (
   SELECT w,
-         CAST(len(list_filter(string_split(r, '|'), x -> x <> '')) - 1
+         CAST(len(s) - CASE WHEN s[-1] = '</w>' THEN 1 ELSE 0 END
               AS BIGINT) AS toks
-  FROM r{k}
+  FROM (SELECT w, list_filter(string_split(r, '|'), x -> x <> '') AS s
+        FROM r{k})
 ), occ AS (
   SELECT doc_id, w
   FROM (SELECT doc_id, lower(w0) AS w

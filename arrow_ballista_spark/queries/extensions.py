@@ -698,7 +698,10 @@ FROM px GROUP BY doc_id
 """,
     doc=(
         "REAL baseline JPEG decode, driver-witnessable (VERDICT r6 item "
-        "3): per document, tile its first 48 text bytes as 48 CONSTANT "
+        "3).  ASCII fixture contract (byte == codepoint), like the "
+        "PPM/PNG/WAV siblings: the oracle indexes characters, the "
+        "engine bytes — identical on the driver's ASCII documents.  "
+        "Per document, tile its first 48 text bytes as 48 CONSTANT "
         "8x8 blocks of a 64x48 grayscale image, encode with the "
         "library-free T.81 writer (quality 95, restart interval 3 — the "
         "DRI/RSTn path runs in the witnessed query), then decode with "

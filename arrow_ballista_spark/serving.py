@@ -145,20 +145,33 @@ class FlightSQLHandle:
 def _marker_style(sql: str) -> str:
     """Classify a parameterized statement as ``"positional"`` (``?``
     markers), ``"named"`` (``:name`` markers) or ``"none"``, scanning
-    OUTSIDE string literals so a literal ``'%?%'`` or ``':tag'`` inside a
-    quoted constant never flips the classification.  Decided once at
-    create-prepared-statement time (the reference stores the parameter
-    schema with the handle, ``flight_sql.rs:636-660``) rather than
-    substring-matched at bind time."""
+    OUTSIDE string literals and comments so a literal ``'%?%'``, a
+    backslash-escaped quote (``'don\\'t ?'`` — Spark's default
+    escapedStringLiterals=false), a ``-- ?`` line comment, or a
+    ``/* ? */`` block comment never flips the classification.  Decided
+    once at create-prepared-statement time (the reference stores the
+    parameter schema with the handle, ``flight_sql.rs:636-660``) rather
+    than substring-matched at bind time."""
     import re
 
     i, n = 0, len(sql)
     while i < n:
         ch = sql[i]
+        if ch == "-" and sql[i : i + 2] == "--":  # line comment
+            j = sql.find("\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if ch == "/" and sql[i : i + 2] == "/*":  # block comment
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
         if ch in ("'", '"'):
             quote = ch
             i += 1
             while i < n:
+                if sql[i] == "\\" and i + 1 < n:
+                    i += 2  # backslash escape consumes the next char
+                    continue
                 if sql[i] == quote:
                     # doubled quote = escaped quote inside the literal
                     if i + 1 < n and sql[i + 1] == quote:

@@ -1434,6 +1434,10 @@ def test_bpe_train_matches_python_reference(spark):
         "THE the The",
         "a a a aa",
         "zz zz zz zz zz zz",  # tiny word that fully merges early
+        # consecutive same-pair occurrences inside one word: the merge
+        # replace must hit BOTH 'an's of banana (greedy left-to-right) —
+        # the single-delimiter representation regression
+        "banana banana bandana anagrams",
     ]
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"

@@ -243,6 +243,20 @@ def test_marker_style_classification():
     # `::` cast is not a named marker
     assert _marker_style("SELECT k::string FROM t WHERE k = ?") == "positional"
     assert _marker_style("SELECT 1") == "none"
+    # backslash-escaped quote doesn't end the literal early
+    assert (
+        _marker_style("SELECT * FROM t WHERE a = 'don\\'t ?' AND k = :k")
+        == "named"
+    )
+    # markers inside comments don't count
+    assert (
+        _marker_style("SELECT k -- is this ?\nFROM t WHERE k = :k") == "named"
+    )
+    assert (
+        _marker_style("SELECT k /* ? or :x */ FROM t WHERE k = ?")
+        == "positional"
+    )
+    assert _marker_style("SELECT 1 -- trailing ?") == "none"
 
 
 def test_flight_nonloopback_requires_token(spark):
