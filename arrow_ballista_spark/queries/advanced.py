@@ -803,7 +803,9 @@ FROM rk WHERE rnk <= 5
         "distances are ADC table lookups over the 8-byte PQ codes — the "
         "corpus floats are touched only at index time; the serving "
         "working set is codes + cell ids.  Non-residual variant (global "
-        "codebooks; residual refinement is a codebook-source swap).  "
+        "codebooks; the residual composition is implemented — "
+        "pq.ivf_pq_residual_topk with a Lloyd-trained coarse quantizer, "
+        "measured in SCALING.md r7).  "
         "NOTE: this entry demonstrates the DATAFLOW with md5-sample "
         "codebooks (value-exact in plain SQL but ~0.3 recall by "
         "construction); the production-quality composition — trained "

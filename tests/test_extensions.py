@@ -1499,3 +1499,74 @@ def test_bpe_tokenize_compression_sane(spark):
     rep = [r for r in rows if r["doc_id"] == 0][0]
     # the repeated 'the'-family words must compress well below chars
     assert rep["n_tokens"] < rep["n_chars"] * 0.7
+
+
+def test_residual_ivfpq_zero_residual_and_contract(spark):
+    """Residual IVF-PQ sanity: a corpus lying EXACTLY on the trained
+    coarse centroids has all-zero residuals, so residual-book encoding
+    reconstructs perfectly (recon_err == 0) while global books on the
+    raw vectors cannot (distinct centroids, 4 codewords); the search
+    output honors the (rounded dist, id) ranking contract."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from arrow_ballista_spark.operators import ivf
+    from arrow_ballista_spark.operators.pq import (
+        ivf_pq_residual_topk,
+        pq_encode,
+        train_coarse_centroids,
+        train_residual_codebooks,
+    )
+
+    rng = np.random.RandomState(3)
+    cents = rng.randn(4, 16)
+    X = cents[np.arange(64) % 4]  # every vector IS a centroid
+    emb = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    tc = train_coarse_centroids(c, "corpus_id", "embedding", n_cells=4,
+                                iters=20)
+    rbooks = train_residual_codebooks(c, "corpus_id", "embedding", tc,
+                                      m=4, k=4)
+    centdf = spark.createDataFrame(
+        [(i, [float(x) for x in cc]) for i, cc in enumerate(tc)],
+        "cell int, ce array<double>",
+    )
+    idx = ivf.assign_cells(
+        c.select("corpus_id", F.col("embedding").alias("cv")), "cv", tc
+    ).select("corpus_id", "cell")
+    rcorp = (
+        c.join(idx, "corpus_id")
+        .join(F.broadcast(centdf), "cell")
+        .select(
+            "corpus_id",
+            F.expr(
+                "zip_with(cast(embedding as array<double>), ce,"
+                " (a, b) -> a - b)"
+            ).alias("rv"),
+        )
+    )
+    err = (
+        pq_encode(rcorp, "rv", "corpus_id", m=4, k=4, books=rbooks)
+        .agg(F.max("recon_err"))
+        .collect()[0][0]
+    )
+    assert err < 1e-18, err
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_pq_residual_topk(
+        q, c, k=5, n_cells=4, nprobe=4, m=4, n_codes=4,
+        books=rbooks, cents=tc,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rows = sorted(rows, key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(r["approx_dist"], r["corpus_id"]) for r in rows]
+        assert keys == sorted(keys)  # rounded-dist then id ordering
+        assert all(r["corpus_id"] != qid for r in rows)
