@@ -118,6 +118,38 @@ def pq_encode(
     )
 
 
+def _codebook_df(spark, books, m: int, n_codes: int):
+    """The (s, code, cw) codebook frame every ADC path broadcasts."""
+    return spark.createDataFrame(
+        [(s, c, books[s][c]) for s in range(m) for c in range(n_codes)],
+        "s int, code int, cw array<double>",
+    )
+
+
+def _ranked_topk(scored, query_id: str, corpus_id: str, k: int,
+                 dist_col: str, out_col: str):
+    """The shared engine-stability ranking tail: 6dp-rounded distance
+    then id ties, row_number window, top-k — ONE implementation of the
+    rounding/tie contract (pq_adc_topk's docstring) so a change to it
+    cannot diverge across the four search paths."""
+    from pyspark.sql import Window
+
+    rounded = (
+        F.floor(F.abs(F.col(dist_col)) * 1e6 + F.lit(0.5)) / 1e6
+    )  # dist >= 0: cround without the sign branch
+    w = Window.partitionBy(query_id).orderBy(rounded.asc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            query_id,
+            corpus_id,
+            rounded.alias(out_col),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 def pq_adc_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -147,16 +179,11 @@ def pq_adc_topk(
     the code join — the corpus side never shuffles before the partial
     (query, corpus) aggregation; per-query top-k is a bounded window.
     """
-    from pyspark.sql import Window
-
     spark = corpus.sparkSession
     if books is None:  # quality path: train_codebooks(...)
         books = pq_codebooks(corpus, corpus_id, vec, m, n_codes)
     sub = len(books[0][0])
-    cb = spark.createDataFrame(
-        [(s, c, books[s][c]) for s in range(m) for c in range(n_codes)],
-        "s int, code int, cw array<double>",
-    )
+    cb = _codebook_df(spark, books, m, n_codes)
     codes = pq_encode(
         corpus, vec, corpus_id, m=m, k=n_codes, books=books
     ).select(corpus_id, F.posexplode("codes").alias("s", "code"))
@@ -184,22 +211,8 @@ def pq_adc_topk(
         .groupBy(query_id, corpus_id)
         .agg(F.sum("tdist").alias("adist"))
     )
-    rounded = (
-        F.floor(F.abs(F.col("adist")) * 1e6 + F.lit(0.5)) / 1e6
-    )  # adist >= 0: cround without the sign branch
-    w = Window.partitionBy(query_id).orderBy(
-        rounded.asc(), F.col(corpus_id)
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(
-            query_id,
-            corpus_id,
-            rounded.alias("approx_dist"),
-            F.col("rnk").cast("int").alias("rnk"),
-        )
-    )
+    return _ranked_topk(scored, query_id, corpus_id, k, "adist",
+                        "approx_dist")
 
 
 def ivf_pq_topk(
@@ -235,8 +248,6 @@ def ivf_pq_topk(
     corpus; probes broadcast; at rest the corpus is written partitioned
     by cell so a probe prunes at the file level (the ext_sim_topk_ivf
     layout note)."""
-    from pyspark.sql import Window
-
     from arrow_ballista_spark.operators import ivf
     from arrow_ballista_spark.operators.similarity import norm
 
@@ -261,10 +272,7 @@ def ivf_pq_topk(
     codes = pq_encode(
         corpus, vec, corpus_id, m=m, k=n_codes, books=books
     ).select(corpus_id, F.posexplode("codes").alias("s", "code"))
-    cb = spark.createDataFrame(
-        [(s, c, books[s][c]) for s in range(m) for c in range(n_codes)],
-        "s int, code int, cw array<double>",
-    )
+    cb = _codebook_df(spark, books, m, n_codes)
     tables = (
         queries.select(
             F.col(query_id),
@@ -297,18 +305,8 @@ def ivf_pq_topk(
         .groupBy(query_id, corpus_id)
         .agg(F.sum("tdist").alias("adist"))
     )
-    rounded = F.floor(F.abs(F.col("adist")) * 1e6 + F.lit(0.5)) / 1e6
-    w = Window.partitionBy(query_id).orderBy(rounded.asc(), F.col(corpus_id))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(
-            query_id,
-            corpus_id,
-            rounded.alias("approx_dist"),
-            F.col("rnk").cast("int").alias("rnk"),
-        )
-    )
+    return _ranked_topk(scored, query_id, corpus_id, k, "adist",
+                        "approx_dist")
 
 
 def train_codebooks(
@@ -332,17 +330,7 @@ def train_codebooks(
     fixture jumps from ~0.3 to >0.9 — SCALING.md r6 ANN table).  Returns
     the same ``books[s][c]`` shape; feed to :func:`pq_encode` /
     :func:`pq_adc_topk` / :func:`ivf_pq_topk` via ``books=``."""
-    import numpy as np
-
-    rows = (
-        corpus.select(F.col(id_col).alias("_id"), F.col(vec).alias("_v"))
-        .orderBy("_id")
-        .limit(sample)
-        .collect()
-    )
-    if not rows:
-        raise ValueError("train_codebooks: empty corpus")
-    X = np.array([list(r["_v"]) for r in rows], dtype=np.float64)
+    X = _sample_matrix(corpus, id_col, vec, sample, nonzero=False)
     return _lloyd_books(X, m, k, iters)
 
 
@@ -427,8 +415,6 @@ def adc_rerank_exact(
     touches only those corpus rows (keyed equi-join; the scan is
     column-pruned to (id, vec)); ranking key (6dp-rounded dist, id) as
     everywhere."""
-    from pyspark.sql import Window
-
     q = queries.select(
         F.col(query_id), F.col(vec).cast("array<double>").alias("qv")
     )
@@ -447,18 +433,48 @@ def adc_rerank_exact(
             ),
         )
     )
-    rounded = F.floor(F.abs(F.col("dist")) * 1e6 + F.lit(0.5)) / 1e6
-    w = Window.partitionBy(query_id).orderBy(rounded.asc(), F.col(corpus_id))
-    return (
-        j.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(
-            query_id,
-            corpus_id,
-            rounded.alias("dist"),
-            F.col("rnk").cast("int").alias("rnk"),
-        )
-    )
+    return _ranked_topk(j, query_id, corpus_id, k, "dist", "dist")
+
+
+def _sample_matrix(
+    corpus: DataFrame,
+    id_col: str,
+    vec: str,
+    sample: int,
+    nonzero: bool = False,
+):
+    """The shared smallest-id training sample as a float64 matrix — one
+    implementation for every Spark-side trainer (train_codebooks /
+    train_residual_codebooks / train_coarse_centroids), so the sampling
+    contract can never drift between them.  ``nonzero=True`` excludes
+    zero-norm vectors, matching what the SERVING index does
+    (``ivf.choose_centroids`` / ``assign_cells`` filter norm > 0) — the
+    residual/coarse trainers must train on the population they serve.
+    (:func:`train_codebooks` keeps nonzero=False: its literal twin
+    :func:`train_codebooks_literals` pins that exact sample.)"""
+    import numpy as np
+
+    from arrow_ballista_spark.operators.similarity import norm
+
+    df = corpus.select(F.col(id_col).alias("_id"), F.col(vec).alias("_v"))
+    if nonzero:
+        df = df.filter(norm(F.col("_v")) > 0)
+    rows = df.orderBy("_id").limit(sample).collect()
+    if not rows:
+        raise ValueError("_sample_matrix: empty corpus")
+    return np.array([list(r["_v"]) for r in rows], dtype=np.float64)
+
+
+def _cosine_cells(X, C):
+    """Driver-side nearest-cosine-centroid assignment (first-max ties —
+    the :func:`ivf.assign_cells` contract)."""
+    import numpy as np
+
+    xn = np.linalg.norm(X, axis=1, keepdims=True)
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    den = xn * cn.T
+    sims = (X @ C.T) / np.where(den == 0, np.inf, den)
+    return sims.argmax(axis=1)
 
 
 def train_residual_codebooks(
@@ -470,31 +486,24 @@ def train_residual_codebooks(
     k: int = 32,
     sample: int = 4096,
     iters: int = 10,
+    X=None,
 ) -> list[list[list[float]]]:
     """RESIDUAL codebooks — the true faiss ``IVFx,PQy`` training step
     (Jegou 2011 §V.A): quantize ``v - centroid(cell(v))`` instead of the
     raw vectors, so the PQ codebooks only have to cover the within-cell
     residual distribution (much tighter than the global one).  Bounded
-    like :func:`train_codebooks`: the ``sample`` smallest-id vectors
-    collect, assign to their nearest cosine centroid driver-side (first
-    max ties — the :func:`ivf.assign_cells` contract), and the SAME
-    Lloyd kernel trains on the residual matrix."""
+    like :func:`train_codebooks`: the ``sample`` smallest-id NONZERO
+    vectors (the serving-index population) collect, assign to their
+    nearest cosine centroid driver-side, and the SAME Lloyd kernel
+    trains on the residual matrix.  ``X`` lets a caller that already
+    collected the sample (:func:`ivf_pq_residual_topk`'s default path)
+    skip the duplicate job."""
     import numpy as np
 
-    rows = (
-        corpus.select(F.col(id_col).alias("_id"), F.col(vec).alias("_v"))
-        .orderBy("_id")
-        .limit(sample)
-        .collect()
-    )
-    if not rows:
-        raise ValueError("train_residual_codebooks: empty corpus")
-    X = np.array([list(r["_v"]) for r in rows], dtype=np.float64)
+    if X is None:
+        X = _sample_matrix(corpus, id_col, vec, sample, nonzero=True)
     C = np.array(centroids, dtype=np.float64)
-    xn = np.linalg.norm(X, axis=1, keepdims=True)
-    cn = np.linalg.norm(C, axis=1, keepdims=True)
-    sims = (X @ C.T) / np.where(xn * cn.T == 0, np.inf, xn * cn.T)
-    cells = sims.argmax(axis=1)  # first-max ties, as assign_cells
+    cells = _cosine_cells(X, C)
     return _lloyd_books(X - C[cells], m, k, iters)
 
 
@@ -526,36 +535,53 @@ def ivf_pq_residual_topk(
     ``zip_with`` subtraction; query tables are nq*nprobe*m*n_codes rows
     — broadcast; the corpus shuffles only for the (query, corpus)
     partial agg."""
-    from pyspark.sql import Window
-
     from arrow_ballista_spark.operators import ivf
     from arrow_ballista_spark.operators.similarity import norm
 
     spark = corpus.sparkSession
-    if cents is None:
-        # residuals only shrink against cell MEANS — default to the
-        # Lloyd-trained coarse quantizer, not the md5 point sample
-        cents = train_coarse_centroids(corpus, corpus_id, vec, n_cells)
-    if books is None:
-        books = train_residual_codebooks(
-            corpus, corpus_id, vec, cents, m=m, k=n_codes
+    if books is not None and cents is None:
+        # residual codebooks are only meaningful in the basis of the
+        # centroids they were trained against — silently training fresh
+        # centroids here would compute ADC distances in a mismatched
+        # basis with no error signal
+        raise ValueError(
+            "ivf_pq_residual_topk: books= requires the cents= they "
+            "were trained against (train_residual_codebooks centroids)"
         )
+    if cents is None or books is None:
+        # collect the training sample ONCE for both trainers
+        X = _sample_matrix(corpus, corpus_id, vec, 4096, nonzero=True)
+        if cents is None:
+            # residuals only shrink against cell MEANS — default to the
+            # Lloyd-trained coarse quantizer, not the md5 point sample
+            cents = train_coarse_centroids(
+                corpus, corpus_id, vec, n_cells, X=X
+            )
+        if books is None:
+            books = train_residual_codebooks(
+                corpus, corpus_id, vec, cents, m=m, k=n_codes, X=X
+            )
     sub = len(books[0][0])
     centdf = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cell int, ce array<double>",
     )
-    cb = spark.createDataFrame(
-        [(s, c, books[s][c]) for s in range(m) for c in range(n_codes)],
-        "s int, code int, cw array<double>",
+    cb = _codebook_df(spark, books, m, n_codes)
+    from arrow_ballista_spark.operators.caching import tracked_persist
+
+    # persist: the cell assignment (n_cells interpreted dot folds per
+    # row — the dominant map cost) feeds BOTH the residual encode and
+    # the candidate join; without it Spark recomputes it per branch
+    # (the ivf_topk precedent, operators/ivf.py)
+    idx = tracked_persist(
+        ivf.assign_cells(
+            corpus.select(F.col(corpus_id), F.col(vec).alias("cv")).filter(
+                norm(F.col("cv")) > 0
+            ),
+            "cv",
+            cents,
+        ).select(corpus_id, "cell")
     )
-    idx = ivf.assign_cells(
-        corpus.select(F.col(corpus_id), F.col(vec).alias("cv")).filter(
-            norm(F.col("cv")) > 0
-        ),
-        "cv",
-        cents,
-    ).select(corpus_id, "cell")
     # corpus residuals: broadcast centroid join + map-only subtraction
     rcorpus = (
         corpus.select(
@@ -620,18 +646,8 @@ def ivf_pq_residual_topk(
         .groupBy(query_id, corpus_id)
         .agg(F.sum("tdist").alias("adist"))
     )
-    rounded = F.floor(F.abs(F.col("adist")) * 1e6 + F.lit(0.5)) / 1e6
-    w = Window.partitionBy(query_id).orderBy(rounded.asc(), F.col(corpus_id))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(
-            query_id,
-            corpus_id,
-            rounded.alias("approx_dist"),
-            F.col("rnk").cast("int").alias("rnk"),
-        )
-    )
+    return _ranked_topk(scored, query_id, corpus_id, k, "adist",
+                        "approx_dist")
 
 
 def train_coarse_centroids(
@@ -641,6 +657,7 @@ def train_coarse_centroids(
     n_cells: int = 16,
     sample: int = 4096,
     iters: int = 10,
+    X=None,
 ) -> list[list[float]]:
     """Lloyd-TRAINED coarse centroids for residual IVF-PQ — the faiss
     coarse quantizer is k-means, not a random sample, and this matters
@@ -654,18 +671,11 @@ def train_coarse_centroids(
     :func:`train_codebooks`."""
     import numpy as np
 
-    rows = (
-        corpus.select(F.col(id_col).alias("_id"), F.col(vec).alias("_v"))
-        .orderBy("_id")
-        .limit(sample)
-        .collect()
-    )
-    if not rows:
-        raise ValueError("train_coarse_centroids: empty corpus")
-    X = np.array([list(r["_v"]) for r in rows], dtype=np.float64)
-    C = X[:n_cells].copy()  # smallest-id init
+    if X is None:
+        X = _sample_matrix(corpus, id_col, vec, sample, nonzero=True)
+    C = X[:n_cells].copy()  # smallest-id init (nonzero by construction)
+    xn = np.linalg.norm(X, axis=1, keepdims=True)  # invariant across iters
     for _ in range(iters):
-        xn = np.linalg.norm(X, axis=1, keepdims=True)
         cn = np.linalg.norm(C, axis=1, keepdims=True)
         den = xn * cn.T
         sims = (X @ C.T) / np.where(den == 0, np.inf, den)
