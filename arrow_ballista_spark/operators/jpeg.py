@@ -219,9 +219,18 @@ def decode_jpeg(blob: bytes):
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
-                )
+                ch, cv = hv >> 4, hv & 0xF
+                if not (1 <= ch <= 2 and 1 <= cv <= 2):
+                    # h/v = 0 is corrupt (would divide by zero in the MCU
+                    # grid); 3-4 are legal JPEG but outside this decoder's
+                    # documented 4:4:4/4:2:2/4:2:0 scope and would silently
+                    # misdecode via integer repeat factors — both must take
+                    # image_stats' degrade path, not abort the batch
+                    raise ValueError(
+                        f"unsupported JPEG sampling factors {ch}x{cv} "
+                        "(supported: 1-2)"
+                    )
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):

@@ -582,6 +582,8 @@ def ivf_pq_residual_topk(
             cents,
         ).select(corpus_id, "cell")
     )
+    idx.count()  # materialize eagerly: both branches below read it inside
+    # one action, and a lazy persist races (the triangle_counts precedent)
     # corpus residuals: broadcast centroid join + map-only subtraction
     rcorpus = (
         corpus.select(
@@ -673,6 +675,14 @@ def train_coarse_centroids(
 
     if X is None:
         X = _sample_matrix(corpus, id_col, vec, sample, nonzero=True)
+    if len(X) < n_cells:
+        # silently truncating to len(X) centroids would hand callers a
+        # smaller index space than configured (mirrors the `dim not
+        # divisible by m` guard in _lloyd_books)
+        raise ValueError(
+            f"coarse-quantizer training sample has {len(X)} nonzero "
+            f"vectors < n_cells={n_cells}; lower n_cells or raise sample"
+        )
     C = X[:n_cells].copy()  # smallest-id init (nonzero by construction)
     xn = np.linalg.norm(X, axis=1, keepdims=True)  # invariant across iters
     for _ in range(iters):

@@ -606,7 +606,10 @@ def winnowing_fingerprints(
 
 
 def bpe_train_merges(
-    docs: DataFrame, text_col: str = "text", k: int = 8
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    driver_vocab_cap: int = None,
 ) -> DataFrame:
     """Train the first ``k`` BPE merge rules on a corpus (Sennrich et al.
     2016, "Neural Machine Translation of Rare Words with Subword Units" —
@@ -632,15 +635,21 @@ def bpe_train_merges(
       collation in both engines.
 
     Scale shape: the corpus shuffles ONCE into the word-frequency table
-    (vocabulary-sized, ~100k rows at any corpus size — Heaps' law);
-    each of the k iterations is one vocabulary-sized pair-count
-    aggregation plus a map-only merge apply, and collects exactly one
-    row (the argmax) to the driver — bounded like the IVF-centroid
-    pattern.  At 100 TB the word-count pass dominates and is the same
-    two-phase agg as ext_text_stats; iterations never touch the corpus.
+    (vocabulary-sized, ~100k rows at any corpus size — Heaps' law).
+    That table is collected once (bounded by ``driver_vocab_cap``) and
+    the k-merge loop runs DRIVER-SIDE with incremental pair-count
+    maintenance — zero per-merge Spark jobs, so a real tokenizer's
+    k≈32,000 merges train in seconds (vs ~2k sequential Spark jobs in
+    the pre-r8 per-merge loop, which survives as the over-cap
+    fallback).  At 100 TB the word-count pass dominates and is the
+    same two-phase agg as ext_text_stats; training never re-touches
+    the corpus.
     """
     spark = docs.sparkSession
-    merges, _ = _bpe_train(docs, text_col, k)
+    kwargs = {} if driver_vocab_cap is None else {
+        "driver_vocab_cap": driver_vocab_cap
+    }
+    merges, _ = _bpe_train(docs, text_col, k, **kwargs)
     return spark.createDataFrame(
         merges, "rank int, left_tok string, right_tok string, pair_count bigint"
     )
@@ -656,15 +665,135 @@ def bpe_normalized_words(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def _bpe_train(docs: DataFrame, text_col: str, k: int):
+#: Driver-side merge-loop vocabulary cap.  Heaps' law keeps the DISTINCT
+#: normalized-word table in the low hundreds of thousands at any corpus
+#: size (the 100 TB word-count shuffle produces the same ~10^5-row table
+#: as sf0.1 does), so collecting it once is bounded driver memory (~tens
+#: of MB) — the price of making k no longer a per-merge Spark-job count.
+_BPE_DRIVER_VOCAB_CAP = 200_000
+
+
+def _bpe_train_driver(vocab, k: int):
+    """Driver-side BPE merge loop over the collected word-frequency
+    table: the exact Sennrich trainer with incremental pair-count
+    maintenance (pair -> candidate-word index + lazy max-heap), so k
+    merges cost O(affected-word updates + P log P) instead of k full
+    recounts — k=32,000 real-tokenizer training becomes seconds, not
+    64k sequential Spark jobs.
+
+    Semantics are BYTE-IDENTICAL to the distributed loop (and the
+    DuckDB oracle chain): greedy left-to-right non-overlapping merge
+    application per word; argmax ties break (count DESC, left ASC,
+    right ASC) — Python tuple comparison on ASCII tokens IS binary
+    collation.  Returns ``(merges, rep_rows)`` with rep_rows =
+    ``[(w, piped_repr, n)]`` in the ``|a||b||</w>|`` wrapped-symbol
+    format the apply half splits."""
+    import heapq
+
+    words = [[list(w) + ["</w>"], int(n), w] for w, n in vocab]
+    pair_counts: dict = {}
+    index: dict = {}
+    for wid, (syms, n, _) in enumerate(words):
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + n
+            index.setdefault((a, b), set()).add(wid)
+    heap = [(-c, l, r, c) for (l, r), c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges = []
+    for rank in range(k):
+        best = None
+        while heap:  # lazy invalidation: skip entries whose snapshot
+            negc, l, r, snap = heapq.heappop(heap)  # count went stale
+            if pair_counts.get((l, r)) == snap:
+                best = (l, r, snap)
+                break
+        if best is None:
+            break
+        l, r, cnt = best
+        merges.append((rank, l, r, cnt))
+        new_sym = l + r
+        deltas: dict = {}
+        for wid in index.pop((l, r), ()):  # candidates (may be stale)
+            syms, n, _ = words[wid]
+            out, i, changed = [], 0, False
+            L = len(syms)
+            while i < L:  # greedy left-to-right non-overlapping — the
+                # same scan order as replace('|l||r|', '|lr|')
+                if i + 1 < L and syms[i] == l and syms[i + 1] == r:
+                    out.append(new_sym)
+                    i += 2
+                    changed = True
+                else:
+                    out.append(syms[i])
+                    i += 1
+            if not changed:
+                continue
+            for a, b in zip(syms, syms[1:]):
+                deltas[(a, b)] = deltas.get((a, b), 0) - n
+            for a, b in zip(out, out[1:]):
+                deltas[(a, b)] = deltas.get((a, b), 0) + n
+                index.setdefault((a, b), set()).add(wid)
+            words[wid][0] = out
+        for p, d in deltas.items():
+            if d == 0:
+                continue
+            c = pair_counts.get(p, 0) + d
+            if c <= 0:
+                pair_counts.pop(p, None)
+            else:
+                pair_counts[p] = c
+                heapq.heappush(heap, (-c, p[0], p[1], c))
+    rep_rows = [
+        (w, "".join(f"|{s}|" for s in syms), n) for syms, n, w in words
+    ]
+    return merges, rep_rows
+
+
+def _bpe_train(
+    docs: DataFrame,
+    text_col: str,
+    k: int,
+    driver_vocab_cap: int = _BPE_DRIVER_VOCAB_CAP,
+):
     """Shared training loop: returns ``(merges, rep)`` where merges is
     the list of (rank, left, right, count) and ``rep`` the FINAL
     vocabulary representation ``(w, r, n)`` — each word's |-separated
     symbol string after all k merges (the tokenizer the apply half
-    joins against)."""
-    words = bpe_normalized_words(docs, text_col).groupBy("w").agg(
-        F.count(F.lit(1)).alias("n")
+    joins against).
+
+    Scale shape: the corpus shuffles ONCE into the Heaps-bounded
+    word-frequency table.  When that table fits ``driver_vocab_cap``
+    (it does for any real corpus — see :data:`_BPE_DRIVER_VOCAB_CAP`),
+    it is collected once and the k-merge loop runs driver-side with
+    incremental pair maintenance (:func:`_bpe_train_driver`) — zero
+    per-merge Spark jobs, so k=32k real-tokenizer training is feasible.
+    Above the cap the exact distributed loop below is the fallback:
+    one vocab-sized pair-count agg + map-only literal replace + a 1-row
+    collect per merge (bounded but k-sequential — honest at small k)."""
+    spark = docs.sparkSession
+    words = tracked_persist(
+        bpe_normalized_words(docs, text_col)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
+    words.count()  # materialize: read by the cap probe AND the loop
+    head = words.limit(driver_vocab_cap + 1).collect()
+    if len(head) <= driver_vocab_cap:
+        words.unpersist()
+        merges, rep_rows = _bpe_train_driver(
+            [(r["w"], r["n"]) for r in head], k
+        )
+        rep = spark.createDataFrame(
+            rep_rows, "w string, r string, n bigint"
+        )
+        return merges, rep
+    return _bpe_train_distributed(words, k)
+
+
+def _bpe_train_distributed(words: DataFrame, k: int):
+    """Over-cap fallback: the original distributed merge loop (one
+    vocab-sized agg + 1-row collect per merge) over the persisted
+    word-frequency table."""
     rep = tracked_persist(
         words.select(
             "w",

@@ -430,6 +430,17 @@ def start_flight_server(
                 )
             handle = ref["prepared_statement_handle"]
             batch = reader.read_all()  # one parameter batch, first row
+            if batch.num_rows == 0:
+                # surface a clear error instead of an opaque IndexError
+                # through the gRPC internals
+                raise flight.FlightServerError(
+                    "parameter batch has zero rows; send exactly one row"
+                )
+            if batch.num_rows > 1:
+                raise flight.FlightServerError(
+                    f"parameter batch has {batch.num_rows} rows; batch "
+                    "bind is not supported — send exactly one row"
+                )
             row = {
                 name: batch.column(name)[0].as_py()
                 for name in batch.schema.names

@@ -1418,6 +1418,49 @@ def test_jpeg_gating_and_degradation(spark):
     assert 1 in got
 
 
+def test_jpeg_rejects_bad_sampling_factors(spark):
+    """SOF sampling factors outside 1-2 must raise ValueError (inside
+    image_stats' degrade tuple): h/v = 0 would divide the MCU grid by
+    zero; 3-4 are legal JPEG but outside the documented 4:2:0 scope and
+    would silently misdecode via integer repeat factors."""
+    import struct
+
+    import pandas as pd
+    import pytest
+
+    from arrow_ballista_spark.operators.jpeg import decode_jpeg
+
+    def sof_with(hv_bytes):
+        comps = b"".join(
+            bytes([i + 1]) + bytes([hv]) + b"\x00"
+            for i, hv in enumerate(hv_bytes)
+        )
+        return (
+            b"\xff\xd8"
+            + _jpeg_chunk(
+                0xC0,
+                struct.pack(">BHHB", 8, 16, 16, len(hv_bytes)) + comps,
+            )
+            + b"\xff\xd9"
+        )
+
+    zero = sof_with([0x10, 0x11, 0x11])  # v=0 on component 1
+    four = sof_with([0x41, 0x11, 0x11])  # h=4: legal JPEG, out of scope
+    for blob in (zero, four):
+        with pytest.raises(ValueError):
+            decode_jpeg(blob)
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, bytearray(zero)), (1, bytearray(four))],
+            columns=["doc_id", "blob"],
+        ),
+        "doc_id long, blob binary",
+    )
+    got = {r["doc_id"]: r["width"] for r in multimodal.image_stats(df).collect()}
+    assert got[0] is None and got[1] is None  # degraded, batch intact
+
+
 def test_bpe_train_matches_python_reference(spark):
     """bpe_train_merges must reproduce a pure-Python BPE (Sennrich 2016)
     exactly — merges, order, counts — including the fully-merged-word
@@ -1479,6 +1522,31 @@ def test_bpe_train_matches_python_reference(spark):
                     i += 1
             reps[w] = ns
     assert got == want
+
+
+def test_bpe_driver_loop_matches_distributed_fallback(spark):
+    """The r8 driver-side merge loop (incremental pair maintenance +
+    lazy heap) must produce byte-identical merges to the distributed
+    per-merge fallback (forced via driver_vocab_cap=0), including the
+    final vocabulary representation the apply half joins against."""
+    from arrow_ballista_spark.operators.text import _bpe_train
+
+    corpus = [
+        "the cat sat on the mat",
+        "the hat of the cat",
+        "banana banana bandana anagrams",
+        "zz zz zz zz aa aa a",
+        "repeat repeat repeated repeating",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    m_drv, rep_drv = _bpe_train(docs, "text", 15)
+    m_dist, rep_dist = _bpe_train(docs, "text", 15, driver_vocab_cap=0)
+    assert m_drv == m_dist
+    d = {r["w"]: (r["r"], r["n"]) for r in rep_drv.collect()}
+    f = {r["w"]: (r["r"], r["n"]) for r in rep_dist.collect()}
+    assert d == f
 
 
 def test_bpe_tokenize_compression_sane(spark):
@@ -1570,3 +1638,18 @@ def test_residual_ivfpq_zero_residual_and_contract(spark):
         keys = [(r["approx_dist"], r["corpus_id"]) for r in rows]
         assert keys == sorted(keys)  # rounded-dist then id ordering
         assert all(r["corpus_id"] != qid for r in rows)
+
+
+def test_train_coarse_centroids_rejects_undersized_sample(spark):
+    """Asking for more cells than the nonzero training sample holds must
+    raise, not silently hand back a truncated index space."""
+    import pytest
+
+    from arrow_ballista_spark.operators.pq import train_coarse_centroids
+
+    c = spark.createDataFrame(
+        [(i, [float(i + 1), 0.0]) for i in range(3)],
+        "corpus_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="n_cells"):
+        train_coarse_centroids(c, "corpus_id", "embedding", n_cells=8)

@@ -217,6 +217,50 @@ def test_flight_prepared_statement_roundtrip(spark):
         handle.stop()
 
 
+def test_flight_do_put_rejects_bad_row_counts(spark):
+    """A zero-row parameter batch must surface a clear FlightServerError
+    (not an opaque IndexError through gRPC), and a multi-row batch must
+    be rejected rather than silently binding only its first row."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.flight as flight
+    import pytest
+
+    from arrow_ballista_spark import serving
+
+    spark.createDataFrame([(1,)], "k long").createOrReplaceTempView(
+        "flight_rows"
+    )
+    handle = serving.start_flight_server(spark, port=0)
+    try:
+        client = flight.connect(handle.location)
+        res = list(
+            client.do_action(
+                flight.Action(
+                    "create_prepared_statement",
+                    json.dumps(
+                        {"query": "SELECT k FROM flight_rows WHERE k = ?"}
+                    ).encode(),
+                )
+            )
+        )
+        ps = json.loads(res[0].body.to_pybytes().decode())
+        desc = flight.FlightDescriptor.for_command(json.dumps(ps).encode())
+        schema = pa.schema([("p0", pa.int64())])
+        for bad in (
+            pa.table({"p0": pa.array([], pa.int64())}),
+            pa.table({"p0": [1, 2]}),
+        ):
+            with pytest.raises(flight.FlightError, match="row"):
+                w, _ = client.do_put(desc, schema)
+                w.write_table(bad)
+                w.close()
+    finally:
+        spark.catalog.dropTempView("flight_rows")
+        handle.stop()
+
+
 def test_marker_style_classification():
     """Binding style is decided at create time by scanning OUTSIDE string
     literals — a literal '?' inside a quoted constant must not flip a
