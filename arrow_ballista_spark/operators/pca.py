@@ -151,13 +151,18 @@ def pca_components(df: DataFrame, vec_col: str, k: int):
 WHITEN_SAMPLE_CAP = 4096
 
 
-def smallest_id_sample(path: str, id_col: str, cols: list, cap: int):
+def smallest_id_sample(
+    path: str, id_col: str, cols: list, cap: int, nonzero_vec: str = None
+):
     """Stream a parquet file's row groups keeping only the ``cap``
     smallest-``id_col`` rows at any moment — driver memory O(cap +
     batch), not O(corpus).  The SHARED deterministic-sample kernel
     behind every literal-oracle driver pass (whitening matrix, trained
     PQ codebooks): one implementation so the batching/tie-break can
-    never drift between the 'bit-identical literals' claims."""
+    never drift between the 'bit-identical literals' claims.
+    ``nonzero_vec`` names a vector column whose zero-norm rows are
+    dropped BEFORE the head(cap) — the ``_sample_matrix(nonzero=True)``
+    serving-population contract of the residual IVF-PQ trainers."""
     import pandas as pd
     import pyarrow.parquet as pq
 
@@ -165,6 +170,11 @@ def smallest_id_sample(path: str, id_col: str, cols: list, cap: int):
     sample = None
     for rb in pf.iter_batches(batch_size=8192, columns=[id_col, *cols]):
         part = rb.to_pandas()
+        if nonzero_vec is not None:
+            keep = part[nonzero_vec].map(
+                lambda v: any(float(x) != 0.0 for x in v)
+            )
+            part = part[keep]
         sample = part if sample is None else pd.concat([sample, part])
         sample = sample.sort_values(id_col, kind="mergesort").head(cap)
     if sample is None or len(sample) == 0:

@@ -671,10 +671,19 @@ def train_coarse_centroids(
     first-max ties) + mean update — spherical k-means on the bounded
     smallest-id sample; same deterministic-driver contract as
     :func:`train_codebooks`."""
-    import numpy as np
-
     if X is None:
         X = _sample_matrix(corpus, id_col, vec, sample, nonzero=True)
+    return _spherical_kmeans(X, n_cells, iters)
+
+
+def _spherical_kmeans(X, n_cells: int, iters: int) -> list[list[float]]:
+    """Spherical-k-means numpy kernel on a fixed float64 sample matrix —
+    shared by :func:`train_coarse_centroids` (Spark sample) and
+    :func:`train_residual_literals` (pyarrow sample) so the two paths
+    produce bit-identical centroids from identical inputs (the
+    :func:`_lloyd_books` precedent)."""
+    import numpy as np
+
     if len(X) < n_cells:
         # silently truncating to len(X) centroids would hand callers a
         # smaller index space than configured (mirrors the `dim not
@@ -695,3 +704,39 @@ def train_coarse_centroids(
             if len(members):
                 C[c] = members.mean(axis=0)
     return [[float(x) for x in row] for row in C]
+
+
+def train_residual_literals(
+    sf_dir: str,
+    n_cells: int = 16,
+    m: int = 16,
+    k: int = 32,
+    sample: int = 4096,
+    iters: int = 10,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+):
+    """:func:`train_coarse_centroids` + :func:`train_residual_codebooks`
+    without a SparkSession — the literal-oracle twin for the residual
+    IVF-PQ registry entry (the :func:`train_codebooks_literals`
+    precedent): stream the parquet row groups keeping the ``sample``
+    smallest-id NONZERO vectors (the serving-index population —
+    ``_sample_matrix(nonzero=True)``'s exact contract), then the SAME
+    numpy kernels.  Returns ``(cents, books)`` bit-identical to the
+    Spark-side trainers on the same file, so the same literals can
+    drive the Spark plan and a generated DuckDB oracle."""
+    import os
+
+    import numpy as np
+
+    from arrow_ballista_spark.operators.pca import smallest_id_sample
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    smallest = smallest_id_sample(path, id_col, [vec], sample,
+                                  nonzero_vec=vec)
+    X = np.array(smallest[vec].tolist(), dtype=np.float64)
+    cents = _spherical_kmeans(X, n_cells, iters)
+    C = np.array(cents, dtype=np.float64)
+    books = _lloyd_books(X - C[_cosine_cells(X, C)], m, k, iters)
+    return cents, books

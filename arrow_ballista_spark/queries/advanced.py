@@ -1010,6 +1010,228 @@ def ext_sim_topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# residual IVF-PQ registry settings: 16 Lloyd-trained coarse cells,
+# nprobe=12 (the isotropic sf fixture is the worst case for cell
+# pruning — nprobe=4 caps rerank recall at 0.87, 12 reaches 0.97;
+# measured, SCALING.md r8), residual m=16x32 codebooks, ADC shortlist
+# R=100, exact rerank top-10
+_RIVF_CELLS, _RIVF_NPROBE, _RIVF_R = 16, 12, 100
+
+
+def _ivfpq_residual_oracle(sf_dir: str = _ORACLE_SF_DIR) -> str | None:
+    """Generated literal oracle for the RESIDUAL IVF-PQ quality path
+    (VERDICT r7 item 2 — the faiss ``IVFx,PQy`` composition, Jegou 2011
+    §V.A): the Lloyd-trained coarse centroids AND residual codebooks
+    for ``sf_dir`` come from the same deterministic bounded driver pass
+    the Spark entry uses (operators/pq.py:train_residual_literals —
+    bit-identical float64, verified by test), embedded as VALUES
+    tables; the oracle replays cell assignment (sim DESC / cell ASC
+    ties — the ivf.assign_cells contract), nprobe probing (sim DESC /
+    cell DESC — probe_cells), residual encode, per-probed-cell ADC
+    tables over the QUERY residual, shortlist top-R, and the exact-L2
+    rerank to top-10.  Returns None only when the fixture is absent;
+    warns loudly on a present-but-failing fixture."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(emb_path):
+        return None
+    try:
+        from arrow_ballista_spark.operators.pq import train_residual_literals
+
+        cents, books = train_residual_literals(
+            sf_dir, n_cells=_RIVF_CELLS, m=_PQT_M, k=_PQT_K
+        )
+    except Exception as e:
+        import warnings
+
+        warnings.warn(
+            "ext_sim_topk_ivfpq_residual oracle generation FAILED on a "
+            f"present fixture ({emb_path}): {e!r} — registering rows-only.",
+            stacklevel=2,
+        )
+        return None
+    cent_rows = ",\n    ".join(
+        "({}, [{}])".format(
+            i, ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c)
+        )
+        for i, c in enumerate(cents)
+    )
+    cb_rows = ",\n    ".join(
+        "({}, {}, [{}])".format(
+            s,
+            c,
+            ", ".join(
+                f"CAST('{float(x)!r}' AS DOUBLE)" for x in books[s][c]
+            ),
+        )
+        for s in range(_PQT_M)
+        for c in range(_PQT_K)
+    )
+    sq = (
+        f"list_reduce(list_transform(generate_series(1, {_PQT_SUB}),"
+        " i -> ({v}[i] - cw[i]) * ({v}[i] - cw[i])),"
+        " (acc, x) -> acc + x)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cent(cell, ce) AS (
+  VALUES
+    {cent_rows}
+), cw AS (
+  SELECT cell, ce, sqrt({_sql_dot("ce", "ce")}) AS cen FROM cent
+), cb(s, code, cwv) AS (
+  VALUES
+    {cb_rows}
+), c AS (
+  SELECT vec_id AS corpus_id, v AS cv, sqrt({_sql_dot("v", "v")}) AS cn
+  FROM e WHERE sqrt({_sql_dot("v", "v")}) > 0
+), asg AS (
+  SELECT corpus_id, cell,
+         row_number() OVER (PARTITION BY corpus_id
+                            ORDER BY sim DESC, cell ASC) AS r
+  FROM (SELECT corpus_id, cell,
+               {_sql_dot("cv", "ce")} / nullif(cn * cen, 0.0) AS sim
+        FROM c CROSS JOIN cw)
+), idx AS (
+  SELECT corpus_id, cell FROM asg WHERE r = 1
+), rc AS (
+  SELECT c.corpus_id, idx.cell,
+         list_transform(generate_series(1, len(c.cv)),
+                        i -> c.cv[i] - cent.ce[i]) AS rv
+  FROM c JOIN idx USING (corpus_id) JOIN cent USING (cell)
+), sv AS (
+  SELECT corpus_id, s,
+         rv[s * {_PQT_SUB} + 1 : s * {_PQT_SUB} + {_PQT_SUB}] AS svv
+  FROM rc, UNNEST(generate_series(0, {_PQT_M - 1})) AS t(s)
+), d AS (
+  SELECT corpus_id, s, code,
+         {sq.format(v="svv").replace("cw[", "cwv[")} AS dist
+  FROM sv JOIN cb USING (s)
+), best AS (
+  SELECT corpus_id, s, code,
+         row_number() OVER (PARTITION BY corpus_id, s
+                            ORDER BY dist, code) AS rn
+  FROM d
+), qa AS (
+  SELECT vec_id AS query_id, v AS qv, sqrt({_sql_dot("v", "v")}) AS qn
+  FROM e WHERE vec_id < 10
+), qs AS (
+  SELECT query_id, cell,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, cell DESC) AS r
+  FROM (SELECT query_id, cell,
+               {_sql_dot("qv", "ce")} / nullif(qn * cen, 0.0) AS sim
+        FROM qa CROSS JOIN cw)
+), pr AS (
+  SELECT query_id, cell FROM qs WHERE r <= {_RIVF_NPROBE}
+), qr AS (
+  SELECT qa.query_id, pr.cell,
+         list_transform(generate_series(1, len(qa.qv)),
+                        i -> qa.qv[i] - cent.ce[i]) AS qrv
+  FROM qa JOIN pr USING (query_id) JOIN cent USING (cell)
+), qsv AS (
+  SELECT query_id, cell, s,
+         qrv[s * {_PQT_SUB} + 1 : s * {_PQT_SUB} + {_PQT_SUB}] AS qsvv
+  FROM qr, UNNEST(generate_series(0, {_PQT_M - 1})) AS t(s)
+), tb AS (
+  SELECT query_id, cell, s, code,
+         {sq.format(v="qsvv").replace("cw[", "cwv[")} AS tdist
+  FROM qsv JOIN cb USING (s)
+), cand AS (
+  SELECT pr.query_id, idx.corpus_id, pr.cell
+  FROM pr JOIN idx USING (cell)
+  WHERE pr.query_id <> idx.corpus_id
+), sc AS (
+  SELECT cand.query_id, cand.corpus_id, SUM(tb.tdist) AS adist
+  FROM cand
+  JOIN best ON best.corpus_id = cand.corpus_id AND best.rn = 1
+  JOIN tb ON tb.query_id = cand.query_id AND tb.cell = cand.cell
+         AND tb.s = best.s AND tb.code = best.code
+  GROUP BY cand.query_id, cand.corpus_id
+), sl AS (
+  SELECT query_id, corpus_id
+  FROM (SELECT query_id, corpus_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {R("adist", 6)}, corpus_id)
+                 AS srnk
+        FROM sc)
+  WHERE srnk <= {_RIVF_R}
+), rr AS (
+  SELECT sl.query_id, sl.corpus_id,
+         list_reduce(list_transform(generate_series(1, len(qa.qv)),
+                     i -> (qa.qv[i] - ce2.v[i]) * (qa.qv[i] - ce2.v[i])),
+                     (acc, x) -> acc + x) AS dist
+  FROM sl
+  JOIN qa ON qa.query_id = sl.query_id
+  JOIN e ce2 ON ce2.vec_id = sl.corpus_id
+)
+SELECT query_id, corpus_id, {R("dist", 6)} AS dist, CAST(rnk AS INT) AS rnk
+FROM (SELECT query_id, corpus_id, dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {R("dist", 6)}, corpus_id) AS rnk
+      FROM rr)
+WHERE rnk <= {_PQT_TOPK}
+"""
+
+
+@query(
+    "ext_sim_topk_ivfpq_residual",
+    _ivfpq_residual_oracle(),
+    doc=(
+        "RESIDUAL IVF-PQ with exact rerank — the faiss-complete "
+        "``IVFx,PQy`` composition (Jegou 2011 §V.A), promoted from a "
+        "library path to a witnessed entry (VERDICT r7 item 2): a "
+        "Lloyd-TRAINED coarse quantizer (16 spherical-k-means cells "
+        "over the bounded smallest-id nonzero sample — trained cell "
+        "MEANS are what make residuals shrink; a random point sample "
+        "makes them 1.3x WORSE, measured in SCALING.md r7) prunes to "
+        "nprobe=12 cells; corpus vectors PQ-encode their residual "
+        "v - centroid(cell(v)) against m=16x32 residual codebooks; "
+        "each query builds per-probed-cell ADC tables over its own "
+        "residual; the top-100 ADC shortlist reranks with exact "
+        "squared-L2 to top-10.  Recall@10 vs exact-L2 at these exact "
+        "registry settings: 0.97 on the isotropic sf0.01 fixture "
+        "(nprobe=4 would cap it at 0.87 — cell pruning is the "
+        "structure-dependent layer; measured, SCALING.md r8).  "
+        "Value-exact oracle via the literal pattern: "
+        "train_residual_literals streams the parquet row groups "
+        "(O(sample) driver memory) and produces bit-identical "
+        "centroids+codebooks to the Spark-side trainers (pinned by "
+        "test), embedded as VALUES tables; assignment/probe tie "
+        "contracts as ext_sim_topk_ivfpq, ranking by 6dp-rounded "
+        "distance then id.  Scale shape: centroids+codebooks are "
+        "bounded broadcast artifacts; assignment and residual encode "
+        "are map-only over a broadcast centroid join; candidates come "
+        "from the probed-cell equi-join (never all-pairs); rerank "
+        "touches nq*R corpus rows via a keyed equi-join."
+    ),
+)
+def ext_sim_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_ballista_spark.operators.pq import (
+        adc_rerank_exact,
+        ivf_pq_residual_topk,
+        train_residual_literals,
+    )
+
+    cents, books = train_residual_literals(
+        sf_dir, n_cells=_RIVF_CELLS, m=_PQT_M, k=_PQT_K
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    shortlist = ivf_pq_residual_topk(
+        queries_df, corpus, "query_id", "corpus_id", "embedding",
+        k=_RIVF_R, n_cells=_RIVF_CELLS, nprobe=_RIVF_NPROBE,
+        m=_PQT_M, n_codes=_PQT_K, books=books, cents=cents,
+    )
+    return adc_rerank_exact(
+        shortlist, queries_df, corpus,
+        "query_id", "corpus_id", "embedding", k=_PQT_TOPK,
+    )
+
+
 @query(
     "ext_sketch_hll_by_lang",
     f"""

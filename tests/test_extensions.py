@@ -27,6 +27,9 @@ SF_REGENERATED_ORACLES = {
     "ext_sim_topk_pq_trained": lambda sf_dir: __import__(
         "arrow_ballista_spark.queries.advanced", fromlist=["x"]
     )._pq_trained_oracle(sf_dir),
+    "ext_sim_topk_ivfpq_residual": lambda sf_dir: __import__(
+        "arrow_ballista_spark.queries.advanced", fromlist=["x"]
+    )._ivfpq_residual_oracle(sf_dir),
 }
 
 
@@ -1638,6 +1641,30 @@ def test_residual_ivfpq_zero_residual_and_contract(spark):
         keys = [(r["approx_dist"], r["corpus_id"]) for r in rows]
         assert keys == sorted(keys)  # rounded-dist then id ordering
         assert all(r["corpus_id"] != qid for r in rows)
+
+
+def test_residual_literals_bit_identical_to_spark_trainers(spark):
+    """train_residual_literals (pyarrow row-group stream) must produce
+    bit-identical centroids AND residual codebooks to the Spark-side
+    trainers on the same file — the claim that lets the same literals
+    drive both the Spark plan and the generated DuckDB oracle."""
+    from arrow_ballista_spark.operators.pq import (
+        _sample_matrix,
+        train_coarse_centroids,
+        train_residual_codebooks,
+        train_residual_literals,
+    )
+
+    cents_l, books_l = train_residual_literals(SF_DIR, n_cells=16, m=16, k=32)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    X = _sample_matrix(corpus, "corpus_id", "embedding", 4096, nonzero=True)
+    cents_s = train_coarse_centroids(corpus, "corpus_id", "embedding", 16, X=X)
+    books_s = train_residual_codebooks(
+        corpus, "corpus_id", "embedding", cents_s, m=16, k=32, X=X
+    )
+    assert cents_l == cents_s
+    assert books_l == books_s
 
 
 def test_train_coarse_centroids_rejects_undersized_sample(spark):
