@@ -677,6 +677,45 @@ def test_model_score_pluggable_scorer(spark):
     assert got == expect
 
 
+def test_numpy_logistic_scorer_matches_scalar_reference():
+    """numpy_logistic_scorer's batched matmul must equal a scalar-Python
+    logistic over the same features (weights applied one term at a
+    time), including the 1e-9 floor rounding and the empty-string row."""
+    import math
+
+    import pandas as pd
+
+    from arrow_ballista_spark.operators.inference import (
+        LOGISTIC_WEIGHTS,
+        numpy_logistic_scorer,
+    )
+
+    texts = pd.Series(
+        [
+            "The quick brown fox, it jumps!  12 times?",
+            "",
+            "aaaa",
+            "0123456789" * 30,
+            "no punct here just words and more words",
+        ]
+    )
+    got = numpy_logistic_scorer()(texts).tolist()
+    w = LOGISTIC_WEIGHTS
+    want = []
+    for t in texts:
+        z = (
+            w["bias"]
+            + w["n_chars"] * len(t)
+            + w["n_spaces"] * t.count(" ")
+            + w["n_digits"] * sum(c.isdigit() for c in t)
+            + w["n_punct"] * sum(c in ".,;:!?" for c in t)
+            + w["n_vowels"] * sum(c in "aeiou" for c in t)
+        )
+        p = 1.0 / (1.0 + math.exp(-z))
+        want.append(math.floor(p * 1e9 + 0.5) / 1e9)
+    assert got == want
+
+
 def test_vectorized_kernels_agree_with_exact(spark):
     """The numpy scale-path kernels (matmul assignment, per-cluster Gram
     pairwise) must agree with the oracle-exact fold kernels on the driver

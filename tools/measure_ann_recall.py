@@ -161,6 +161,26 @@ def main():
             }
         )
         print(rows[-1], flush=True)
+        # the DEFAULT library composition (pq_rerank_topk, R=None →
+        # adaptive_shortlist_size) — the VERDICT r7 item 3 done-bar:
+        # ≥0.95 at 10x and clustered-20k with DEFAULT settings
+        from arrow_ballista_spark.operators.pq import (
+            adaptive_shortlist_size,
+            pq_rerank_topk,
+        )
+
+        ann = topk_sets(
+            pq_rerank_topk(queries, corpus, k=K, books=books)
+        )
+        release_caches()
+        rows.append(
+            {
+                "fixture": label, "n": n, "method": "pq_rerank_default",
+                "setting": f"m=16 codes=32 R=auto({adaptive_shortlist_size(n, K)})",
+                "recall": round(recall(ann, exact_l2), 3),
+            }
+        )
+        print(rows[-1], flush=True)
         sqrt_cells = max(16, int(math.sqrt(n)))
         for n_cells, nprobe in (
             (16, 2), (16, 4), (16, 8),
