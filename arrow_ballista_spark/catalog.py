@@ -70,6 +70,11 @@ def _configure_reader(spark: SparkSession) -> None:
             "spark.sql.shuffle.partitions",
             _os.environ.get("SPARK_GRAFT_CPUS", "32"),
         )
+    # constrained local heap: trade non-spillable broadcast builds for
+    # spillable shuffled joins (the 1500m OOM class, SCALING.md r8)
+    from arrow_ballista_spark.operators.memguard import apply_heap_guard
+
+    apply_heap_guard(spark)
     _ship_package(spark)
     _CONFIGURED[spark] = True
 

@@ -64,25 +64,34 @@ def pagerank(
         return nodes.select(
             F.col(node_col), F.lit(0.0).alias("rank")
         ).limit(0)
+    from arrow_ballista_spark.operators.memguard import spill_safe_side
+
     # tracked persists: every iteration re-references the edge list and
     # degrees — without them an expensive upstream edge generator (e.g.
     # the LSH dedup pipeline) re-runs once per iteration per reference
     # (measured 45s -> 7s at sf0.01).  Released via release_caches().
-    edges = tracked_persist(edges)
-    deg = tracked_persist(
-        edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # spill_safe_side: under a constrained local heap the small rank/
+    # degree frames auto-broadcast and the non-spillable build OOMs
+    # (the 1500m sweep, SCALING.md) — hint sort-merge there instead.
+    edges = spill_safe_side(tracked_persist(edges))
+    deg = spill_safe_side(
+        tracked_persist(
+            edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        )
     )
     base = float((1.0 - d) / n)
     ranks = nodes.select(
         F.col(node_col).alias("v"), F.lit(float(1.0 / n)).alias("r")
     )
     for _ in range(iters):
+        ranks = spill_safe_side(ranks)
         contrib = (
             edges.join(ranks, edges.src == ranks.v)
             .join(deg, "src")
             .groupBy("dst")
             .agg(F.sum(F.col("r") / F.col("deg")).alias("contrib"))
         )
+        contrib = spill_safe_side(contrib)
         ranks = (
             nodes.select(F.col(node_col).alias("v"))
             .join(contrib, F.col("v") == contrib.dst, "left")
@@ -129,15 +138,22 @@ def triangle_counts(
     join to attach orientation keys; at scale that O(|E|) prepass buys a
     quadratic->linear wedge reduction on skewed graphs.
     """
+    from arrow_ballista_spark.operators.memguard import spill_safe_side
+
     if orient not in ("degree", "id"):
         raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
-    e = edges.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    # under a constrained local heap the edge/degree frames auto-
+    # broadcast and the non-spillable build OOMs (the 1500m sweep,
+    # SCALING.md) — hint sort-merge there; plans are unchanged otherwise
+    e = spill_safe_side(
+        edges.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    )
     if orient == "id":
         o = e.select(
             F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
         )
     else:
-        deg = (
+        deg = spill_safe_side(
             e.select(F.col("x").alias("n"))
             .unionAll(e.select(F.col("y").alias("n")))
             .groupBy("n")
@@ -172,6 +188,7 @@ def triangle_counts(
     # action and a lazy persist lets them race, each recomputing the
     # upstream pipeline (the r6 triangle lesson, 33s vs 6s at 10x)
     op.count()
+    op = spill_safe_side(op)
     ab = op.select(F.col("u").alias("a"), F.col("v").alias("b"))
     ac = op.select(F.col("u").alias("a"), F.col("v").alias("c"))
     bc = op.select(F.col("u").alias("b"), F.col("v").alias("c"))
