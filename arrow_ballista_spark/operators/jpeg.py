@@ -1,20 +1,29 @@
-"""Baseline-sequential JPEG codec — stdlib + numpy only, no codec
+"""Sequential + progressive JPEG codec — stdlib + numpy only, no codec
 library.  The format is public: ITU-T T.81 / ISO 10918-1 (Annex K for
 the example quantization and Huffman tables the encoder uses; the
-decoder always reads tables from the stream's DQT/DHT segments).
+decoder always reads tables from the stream's DQT/DHT segments; Annex G
+for the progressive mode).
 
-Scope (the overwhelmingly common crawl shape):
+Scope (the overwhelmingly common crawl shapes):
 
 - decode: baseline DCT (SOF0; SOF1 extended-sequential Huffman also
-  accepted — same scan structure), 8-bit samples, grayscale or YCbCr,
-  any h/v sampling factors 1-2 (covers 4:4:4, 4:2:2, 4:2:0), restart
-  markers (DRI/RSTn), APPn/COM skipped.  Progressive (SOF2),
-  arithmetic coding, 12-bit, and hierarchical modes raise
-  ``NotImplementedError``.
-- encode (fixture/test helper, the ``encode_png`` pattern): baseline,
-  quality-scaled Annex K quantization tables, Annex K Huffman tables,
-  grayscale or 4:4:4 / 4:2:0 YCbCr — so the decode path can be driven
-  with REAL entropy-coded streams and a round-trip property test.
+  accepted — same scan structure) AND progressive (SOF2: spectral
+  selection + successive approximation, DC/AC first and refinement
+  scans, EOB runs — coefficients accumulate across scans and
+  reconstruct at EOI), 8-bit samples, grayscale or YCbCr, any h/v
+  sampling factors 1-2 (covers 4:4:4, 4:2:2, 4:2:0), restart markers
+  (DRI/RSTn), APPn/COM skipped.  Arithmetic coding, 12-bit, and
+  hierarchical modes raise ``NotImplementedError``.
+- encode (fixture/test helper, the ``encode_png`` pattern): baseline or
+  progressive (``progressive=True``: interleaved DC first/refine at
+  Al=1->0, per-component AC spectral bands at Al=1, AC refinement —
+  exercising every Annex G decode path incl. EOB runs and per-scan
+  restarts), quality-scaled Annex K quantization tables, Annex K
+  Huffman tables (+ a flat custom AC table for the progressive EOBn
+  symbols), grayscale or 4:4:4 / 4:2:2 / 4:2:0 YCbCr — so the decode
+  path can be driven with REAL entropy-coded streams and the
+  progressive==baseline pixel-identity property test (both encoders
+  carry the same quantized coefficients).
 
 Determinism: all DCT math is float64 with fixed operation order
 (matrix IDCT, batched per component), so decoded pixels are
@@ -204,7 +213,7 @@ def decode_jpeg(blob: bytes):
                     bits, bytes(vals)
                 )
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (Huffman sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
@@ -231,12 +240,14 @@ def decode_jpeg(blob: bytes):
                         "(supported: 1-2)"
                     )
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "prog": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline/extended-sequential Huffman JPEG (SOF0/"
-                f"SOF1) is supported library-free (marker 0xFF{marker:02X})"
+                "only sequential (SOF0/SOF1) and progressive (SOF2) "
+                "Huffman JPEG are supported library-free "
+                f"(marker 0xFF{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -249,18 +260,34 @@ def decode_jpeg(blob: bytes):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan.append((cs, tt >> 4, tt & 0xF))
             data_start = i + 2 + seglen
+            if frame.get("prog"):
+                # T.81 Annex G: accumulate coefficients across scans,
+                # reconstruct at EOI
+                ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+                _prog_init(frame)
+                i = _decode_prog_scan(
+                    blob, data_start, frame, scan,
+                    (ss, se, ahal >> 4, ahal & 0xF),
+                    huff_dc, huff_ac, restart_interval,
+                )
+                continue
             return _decode_scan(
                 blob, data_start, frame, scan, qt, huff_dc, huff_ac,
                 restart_interval,
             )
         # APPn / COM / others: skip
         i += 2 + seglen
+    if frame is not None and frame.get("prog") and frame.get("inited"):
+        return _planes_to_rgb(frame, qt)
     raise ValueError("no SOS marker found")
 
 
-def _split_entropy(blob: bytes, start: int) -> list[bytes]:
+def _split_entropy(blob: bytes, start: int) -> tuple[list[bytes], int]:
     """Entropy-coded segments from ``start``: byte-stuffing (FF 00)
-    removed, split at RSTn markers, stopping at any other marker."""
+    removed, split at RSTn markers, stopping at any other marker.
+    Returns ``(segments, end_index)`` — end_index points at the 0xFF of
+    the terminating marker (or len(blob)), so a multi-scan decoder can
+    resume the marker walk there."""
     segs, cur = [], bytearray()
     i, n = start, len(blob)
     while i < n:
@@ -280,7 +307,7 @@ def _split_entropy(blob: bytes, start: int) -> list[bytes]:
         else:  # real marker: end of scan
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, min(i, n)
 
 
 def _decode_scan(blob, start, frame, scan, qt, huff_dc, huff_ac, dri):
@@ -313,7 +340,7 @@ def _decode_scan(blob, start, frame, scan, qt, huff_dc, huff_ac, dri):
         c["zzs"] = []
         c["slots"] = []
 
-    segs = _split_entropy(blob, start)
+    segs, _ = _split_entropy(blob, start)
     seg_i = 0
     rd = _BitReader(segs[0])
     pred = {c["id"]: 0 for c in comps}
@@ -354,16 +381,30 @@ def _decode_scan(blob, start, frame, scan, qt, huff_dc, huff_ac, dri):
                         (my * c["v"] + v) * c["bx"] + mx * c["h"] + hh
                     )
 
+    for c in comps:
+        # dense zigzag coefficient grid: the shared reconstruction input
+        coef = np.zeros((c["by"] * c["bx"], 64), np.int32)
+        if c["zzs"]:
+            coef[np.array(c["slots"])] = np.array(c["zzs"], np.int32)
+        c["coef"] = coef
+    return _planes_to_rgb(frame, qt)
+
+
+def _planes_to_rgb(frame, qt):
+    """Shared reconstruction: per component, dequantize the dense
+    zigzag coefficient grid (``c["coef"]``, shape (by*bx, 64)), batch
+    the IDCT (f = C.T @ F @ C + 128), upsample by pixel replication,
+    crop, and color-convert — used by both the baseline single-scan
+    path and the progressive multi-scan accumulator."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
     for c in comps:
-        # vectorized dezigzag + dequant over all blocks, then scatter to
-        # block-grid order and batch the IDCT: f = C.T @ F @ C + 128
-        Z = np.array(c["zzs"], np.float64)
-        D = np.zeros_like(Z)
-        D[:, _ZZ] = Z
+        D = np.zeros((c["coef"].shape[0], 64))
+        D[:, _ZZ] = c["coef"].astype(np.float64)
         D *= qt[c["tq"]].reshape(-1).astype(np.float64)[None, :]
-        F = np.zeros((c["by"] * c["bx"], 8, 8))
-        F[np.array(c["slots"])] = D.reshape(-1, 8, 8)
+        F = D.reshape(-1, 8, 8)
         f = np.einsum("ux,nuv,vy->nxy", _C, F, _C) + 128.0
         f = np.clip(np.round(f), 0, 255).astype(np.uint8)
         plane = (
@@ -392,6 +433,205 @@ def _decode_scan(blob, start, frame, scan, qt, huff_dc, huff_ac, dri):
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --- progressive decode (T.81 Annex G) -------------------------------------
+
+
+def _prog_init(frame) -> None:
+    """One-time per-frame setup for progressive decoding: MCU grid,
+    per-component dense zigzag coefficient accumulators (zeros), and the
+    per-component non-interleaved block dimensions (T.81 A.1.1: the
+    actual ceil(comp_size/8) grid, NOT the MCU-padded one)."""
+    if frame.get("inited"):
+        return
+    comps = frame["comps"]
+    if len(comps) == 1:
+        # single-component frame: MCU = one data unit, declared sampling
+        # factors ignored (the baseline A.2.2 hack, applied frame-wide)
+        comps[0]["h"] = comps[0]["v"] = 1
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    frame["mcux"], frame["mcuy"] = mcux, mcuy
+    for c in comps:
+        c["bx"] = mcux * c["h"]
+        c["by"] = mcuy * c["v"]
+        # non-interleaved scan coverage: the component's real block grid
+        c["nbx"] = -(-(-(-w * c["h"] // hmax)) // 8)
+        c["nby"] = -(-(-(-h * c["v"] // vmax)) // 8)
+        c["coef"] = np.zeros((c["by"] * c["bx"], 64), np.int32)
+        c["pred"] = 0
+        c["eobrun"] = 0
+    frame["inited"] = True
+
+
+def _decode_prog_scan(
+    blob, start, frame, scan, band, huff_dc, huff_ac, dri
+) -> int:
+    """Decode one progressive scan into the frame's coefficient
+    accumulators; returns the blob index of the next marker.
+
+    ``band`` = (Ss, Se, Ah, Al).  DC scans (Ss=0) may be interleaved;
+    AC scans cover exactly one component (T.81 G.1.1).  First scans
+    (Ah=0) establish coefficient values at ``<< Al``; refinement scans
+    (Ah=Al+1) add one magnitude bit per coefficient.  Restart markers
+    reset the DC predictors and the EOB run."""
+    ss, se, ah, al = band
+    by_id = {c["id"]: c for c in frame["comps"]}
+    segs, end = _split_entropy(blob, start)
+    seg_i = 0
+    rd = _BitReader(segs[0])
+
+    def next_segment():
+        nonlocal seg_i, rd
+        seg_i += 1
+        if seg_i >= len(segs):
+            raise ValueError("missing JPEG restart segment")
+        rd = _BitReader(segs[seg_i])
+        for cc in frame["comps"]:
+            cc["pred"] = 0
+            cc["eobrun"] = 0
+
+    if ss == 0:  # DC scan (interleaved or single-component)
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        scomps = []
+        for cs, td, ta in scan:
+            c = by_id[cs]
+            c["td"] = td
+            scomps.append(c)
+        if len(scomps) > 1:  # interleaved: MCU order
+            mcux, mcuy = frame["mcux"], frame["mcuy"]
+            n_mcu = mcux * mcuy
+            for m in range(n_mcu):
+                if dri and m and m % dri == 0:
+                    next_segment()
+                my, mx = divmod(m, mcux)
+                for c in scomps:
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            slot = (
+                                (my * c["v"] + v) * c["bx"]
+                                + mx * c["h"] + hh
+                            )
+                            _dc_unit(rd, c, slot, ah, al, huff_dc)
+        else:  # single component: its real block grid, row-major
+            c = scomps[0]
+            nb = c["nby"] * c["nbx"]
+            for b in range(nb):
+                if dri and b and b % dri == 0:
+                    next_segment()
+                row, col = divmod(b, c["nbx"])
+                _dc_unit(rd, c, row * c["bx"] + col, ah, al, huff_dc)
+        return end
+
+    # AC scan: exactly one component, non-interleaved (T.81 G.1.1)
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must cover one component")
+    cs, td, ta = scan[0]
+    c = by_id[cs]
+    ac_t = huff_ac[ta]
+    nb = c["nby"] * c["nbx"]
+    for b in range(nb):
+        if dri and b and b % dri == 0:
+            next_segment()
+        row, col = divmod(b, c["nbx"])
+        zz = c["coef"][row * c["bx"] + col]
+        if ah == 0:
+            _ac_first_unit(rd, c, zz, ss, se, al, ac_t)
+        else:
+            _ac_refine_unit(rd, c, zz, ss, se, al, ac_t)
+    return end
+
+
+def _dc_unit(rd, c, slot, ah, al, huff_dc):
+    """One block's DC contribution (G.1.2.1): first scan decodes the
+    Huffman-coded diff and stores ``pred << Al``; refinement reads one
+    raw bit into bit position Al."""
+    if ah == 0:
+        s = rd.decode(huff_dc[c["td"]])
+        c["pred"] += _extend(rd.read(s), s)
+        c["coef"][slot, 0] = c["pred"] << al
+    else:
+        if rd.read(1):
+            c["coef"][slot, 0] |= 1 << al
+
+
+def _ac_first_unit(rd, c, zz, ss, se, al, ac_t):
+    """AC first-scan band decode with EOB runs (G.1.2.2)."""
+    if c["eobrun"] > 0:
+        c["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = rd.decode(ac_t)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            # EOBn: run length 2^r - 1 + appended bits, covers this block
+            c["eobrun"] = (1 << r) - 1 + (rd.read(r) if r else 0)
+            return
+        k += r
+        if k > se:
+            raise ValueError("progressive AC index out of band")
+        zz[k] = _extend(rd.read(s), s) << al
+        k += 1
+
+
+def _ac_refine_unit(rd, c, zz, ss, se, al, ac_t):
+    """AC refinement band decode (G.1.2.3): correction bits for
+    already-nonzero coefficients, plus newly-significant ±1<<Al
+    insertions positioned by zero-history run lengths."""
+    bit = 1 << al
+
+    def refine_nonzero(k):
+        """One correction bit for a history-nonzero coefficient; the
+        guard tests the coefficient's bit (two's complement, int32 —
+        the libjpeg check) so a corrupt double-correction can't drift."""
+        if rd.read(1) and not (int(zz[k]) & bit):
+            zz[k] += bit if zz[k] > 0 else -bit
+
+    if c["eobrun"] > 0:
+        # EOB-run block: only correction bits for existing nonzeros
+        for k in range(ss, se + 1):
+            if zz[k] != 0:
+                refine_nonzero(k)
+        c["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = rd.decode(ac_t)
+        r, s = rs >> 4, rs & 0xF
+        newval = 0
+        if s == 0:
+            if r != 15:
+                # EOBn: refine the rest of the band, start the run
+                c["eobrun"] = (1 << r) - 1 + (rd.read(r) if r else 0)
+                for kk in range(k, se + 1):
+                    if zz[kk] != 0:
+                        refine_nonzero(kk)
+                return
+            # ZRL: skip 16 zero-history positions (refining en route)
+        elif s == 1:
+            newval = bit if rd.read(1) else -bit
+        else:
+            raise ValueError("invalid refinement magnitude")
+        while k <= se:
+            if zz[k] != 0:
+                refine_nonzero(k)
+            else:
+                if r == 0:
+                    if newval:
+                        zz[k] = newval
+                    k += 1
+                    break
+                r -= 1
+            k += 1
 
 
 # --- encoder (fixture/test helper) ----------------------------------------
@@ -558,8 +798,234 @@ def _encode_blocks(plane: np.ndarray, q: np.ndarray, dc_c, ac_c, wr,
     return pred
 
 
+# progressive AC scans need EOBn symbols (n<<4 for n>=1) that the
+# sequential Annex K AC tables do not define; one flat custom table
+# (every (run, size) symbol for size 0..10 at 8 bits, 176 codes) covers
+# first and refinement scans for all components
+_HT_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    bytes((a << 4) | b for a in range(16) for b in range(11)),
+)
+
+
+def _plane_coefs(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """FDCT + quantize every 8x8 block of a padded plane into a
+    (bh, bw, 64) zigzag-order int32 grid — the same per-block float64
+    expression as the sequential ``_encode_blocks`` path, so progressive
+    and baseline encodes of one image carry IDENTICAL coefficients."""
+    H, W = plane.shape
+    bh, bw = H // 8, W // 8
+    out = np.zeros((bh, bw, 64), np.int32)
+    for by in range(bh):
+        for bx in range(bw):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            Fq = _C @ (blk.astype(np.float64) - 128.0) @ _C.T
+            out[by, bx] = np.round(Fq / q).astype(np.int32).reshape(-1)[_ZZ]
+    return out
+
+
+class _ProgScanWriter:
+    """Per-scan entropy writer with restart support: every ``restart``
+    units the EOB run and buffered correction bits flush, the bit
+    stream pads, and an RSTn marker lands (predictors reset by the
+    caller via ``on_restart``)."""
+
+    def __init__(self, ac_c, restart: int):
+        self.ac_c = ac_c
+        self.restart = restart
+        self.wr = _BitWriter()
+        self.parts: list[bytes] = []
+        self.rst = 0
+        self.eobrun = 0
+        self.bits: list[int] = []
+
+    def unit_boundary(self, m: int, on_restart) -> None:
+        if self.restart and m and m % self.restart == 0:
+            self.flush_eobrun()
+            self.wr.flush()
+            self.parts.append(bytes(self.wr.out))
+            self.parts.append(bytes([0xFF, 0xD0 + (self.rst % 8)]))
+            self.rst += 1
+            self.wr = _BitWriter()
+            on_restart()
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            n = self.eobrun.bit_length() - 1
+            code, ln = self.ac_c[n << 4]
+            self.wr.write(code, ln)
+            if n:
+                self.wr.write(self.eobrun - (1 << n), n)
+            for b in self.bits:
+                self.wr.write(b, 1)
+            self.bits = []
+            self.eobrun = 0
+
+    def finish(self) -> bytes:
+        self.flush_eobrun()
+        self.wr.flush()
+        self.parts.append(bytes(self.wr.out))
+        return b"".join(self.parts)
+
+
+def _enc_ac_first_block(sw: _ProgScanWriter, zz, ss, se, al) -> None:
+    """G.1.2.2: one block's AC first-scan band (point-transformed
+    coefficients, run/size symbols, EOB runs)."""
+    t = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t.append(v >> al if v >= 0 else -((-v) >> al))
+    if not any(t):
+        sw.eobrun += 1
+        if sw.eobrun == 0x7FFF:
+            sw.flush_eobrun()
+        return
+    sw.flush_eobrun()
+    last = max(i for i, v in enumerate(t) if v)
+    r = 0
+    for i in range(last + 1):
+        v = t[i]
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = sw.ac_c[0xF0]
+            sw.wr.write(code, ln)
+            r -= 16
+        s, mag = _magnitude(v)
+        code, ln = sw.ac_c[(r << 4) | s]
+        sw.wr.write(code, ln)
+        sw.wr.write(mag, s)
+        r = 0
+    if last < se - ss:
+        sw.eobrun += 1
+        if sw.eobrun == 0x7FFF:
+            sw.flush_eobrun()
+
+
+def _enc_ac_refine_block(sw: _ProgScanWriter, zz, ss, se, al) -> None:
+    """G.1.2.3 (the libjpeg encode_mcu_AC_refine structure): correction
+    bits for history-nonzero coefficients buffer until the next emitted
+    symbol; newly-significant coefficients code as (run, 1) + sign."""
+    t = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = -1
+    for i, a in enumerate(t):
+        if a == 1:
+            eob = i
+    r = 0
+    br: list[int] = []
+    for i, a in enumerate(t):
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob:
+            sw.flush_eobrun()
+            code, ln = sw.ac_c[0xF0]
+            sw.wr.write(code, ln)
+            r -= 16
+            for b in br:
+                sw.wr.write(b, 1)
+            br = []
+        if a > 1:
+            br.append(a & 1)
+            continue
+        sw.flush_eobrun()
+        code, ln = sw.ac_c[(r << 4) | 1]
+        sw.wr.write(code, ln)
+        sw.wr.write(1 if int(zz[ss + i]) > 0 else 0, 1)
+        for b in br:
+            sw.wr.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        sw.eobrun += 1
+        sw.bits.extend(br)
+        if sw.eobrun == 0x7FFF:
+            sw.flush_eobrun()
+
+
+def _emit_progressive(out, comps, restart: int) -> None:
+    """Emit the progressive scan script: interleaved DC first (Al=1),
+    DC refinement, then per component AC first scans over two spectral
+    bands (Al=1) and an AC refinement scan (Al=0) — exercising spectral
+    selection, DC and AC successive approximation, EOB runs, and
+    (when ``restart`` is set) per-scan restart resync.
+
+    ``comps`` entries: (id, coef (bh, bw, 64), nbx, nby, h, v, dc_codes,
+    td, ta)."""
+    import struct as _struct
+
+    ac_c = _huff_codes(_HT_AC_PROG)
+    mcuy = comps[0][1].shape[0] // comps[0][5]
+    mcux = comps[0][1].shape[1] // comps[0][4]
+
+    def sos(scan_comps, ss, se, ah, al, body: bytes):
+        payload = bytes([len(scan_comps)])
+        for cid, td, ta in scan_comps:
+            payload += bytes([cid, (td << 4) | ta])
+        payload += bytes([ss, se, (ah << 4) | al])
+        out.extend(_struct.pack(">BBH", 0xFF, 0xDA, len(payload) + 2))
+        out.extend(payload)
+        out.extend(body)
+
+    # 1) DC first, interleaved, Al=1
+    sw = _ProgScanWriter(ac_c, restart)
+    preds = {c[0]: 0 for c in comps}
+
+    def reset_preds():
+        for k in preds:
+            preds[k] = 0
+
+    for m in range(mcux * mcuy):
+        sw.unit_boundary(m, reset_preds)
+        my, mx = divmod(m, mcux)
+        for cid, coef, nbx, nby, ch, cv, dc_c, td, ta in comps:
+            for v in range(cv):
+                for hh in range(ch):
+                    dc = int(coef[my * cv + v, mx * ch + hh, 0]) >> 1
+                    diff = dc - preds[cid]
+                    preds[cid] = dc
+                    s, mag = _magnitude(diff)
+                    code, ln = dc_c[s]
+                    sw.wr.write(code, ln)
+                    if s:
+                        sw.wr.write(mag, s)
+    sos([(c[0], c[7], 0) for c in comps], 0, 0, 0, 1, sw.finish())
+
+    # 2) DC refinement, interleaved, Ah=1 Al=0 (raw bits, no table)
+    sw = _ProgScanWriter(ac_c, restart)
+    for m in range(mcux * mcuy):
+        sw.unit_boundary(m, lambda: None)
+        my, mx = divmod(m, mcux)
+        for cid, coef, nbx, nby, ch, cv, dc_c, td, ta in comps:
+            for v in range(cv):
+                for hh in range(ch):
+                    sw.wr.write(int(coef[my * cv + v, mx * ch + hh, 0]) & 1, 1)
+    sos([(c[0], c[7], 0) for c in comps], 0, 0, 1, 0, sw.finish())
+
+    # 3) AC first scans per component, two spectral bands, Al=1
+    for ss, se in ((1, 5), (6, 63)):
+        for cid, coef, nbx, nby, ch, cv, dc_c, td, ta in comps:
+            sw = _ProgScanWriter(ac_c, restart)
+            for b in range(nby * nbx):
+                sw.unit_boundary(b, lambda: None)
+                row, col = divmod(b, nbx)
+                _enc_ac_first_block(sw, coef[row, col], ss, se, 1)
+            sos([(cid, 0, ta)], ss, se, 0, 1, sw.finish())
+
+    # 4) AC refinement per component, Ah=1 Al=0
+    for cid, coef, nbx, nby, ch, cv, dc_c, td, ta in comps:
+        sw = _ProgScanWriter(ac_c, restart)
+        for b in range(nby * nbx):
+            sw.unit_boundary(b, lambda: None)
+            row, col = divmod(b, nbx)
+            _enc_ac_refine_block(sw, coef[row, col], 1, 63, 0)
+        sos([(cid, 0, ta)], 1, 63, 1, 0, sw.finish())
+
+
 def encode_jpeg(
-    img, quality: int = 90, subsample: bool = False, restart: int = 0
+    img, quality: int = 90, subsample: bool = False, restart: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Minimal baseline JPEG writer: grayscale ((h, w) or (h, w, 1)) or
     RGB (h, w, 3); ``subsample`` picks the chroma mode — ``"444"``
@@ -600,6 +1066,10 @@ def encode_jpeg(
     out += dht(0, 0, _HT_DC_LUM) + dht(1, 0, _HT_AC_LUM)
     if not gray:
         out += dht(0, 1, _HT_DC_CHROM) + dht(1, 1, _HT_AC_CHROM)
+    if progressive:
+        # progressive AC scans need EOBn symbols the K tables lack:
+        # redefine both AC table slots with the flat custom table
+        out += dht(1, 0, _HT_AC_PROG) + dht(1, 1, _HT_AC_PROG)
 
     def emit_scan(mcus) -> bytes:
         """Entropy-code the MCU list, inserting RSTn markers / resetting
@@ -624,7 +1094,18 @@ def encode_jpeg(
         out += chunk(0xDD, struct.pack(">H", restart))
     if gray:
         plane = pad8(img if img.ndim == 2 else img[:, :, 0])
-        out += chunk(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+        sof = 0xC2 if progressive else 0xC0
+        out += chunk(sof, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+        if progressive:
+            coef = _plane_coefs(plane, qlum)
+            bh, bw = coef.shape[:2]
+            _emit_progressive(
+                out,
+                [(1, coef, bw, bh, 1, 1, _huff_codes(_HT_DC_LUM), 0, 0)],
+                restart,
+            )
+            out += b"\xff\xd9"
+            return bytes(out)
         out += chunk(0xDA, b"\x01\x01\x00\x00\x3f\x00")
         dcl, acl = _huff_codes(_HT_DC_LUM), _huff_codes(_HT_AC_LUM)
         mcus = [
@@ -667,7 +1148,28 @@ def encode_jpeg(
             yh = yv = 8
         else:
             raise ValueError(f"unknown subsample mode {subsample!r}")
-        out += chunk(0xC0, struct.pack(">BHHB", 8, h, w, 3) + sampling)
+        sof = 0xC2 if progressive else 0xC0
+        out += chunk(sof, struct.pack(">BHHB", 8, h, w, 3) + sampling)
+        if progressive:
+            yp = pad8(y, (yv, yh))
+            cbp, crp = pad8(cb, 8), pad8(cr, 8)
+            hmax, vmax = yh // 8, yv // 8
+            dcl, dcc = _huff_codes(_HT_DC_LUM), _huff_codes(_HT_DC_CHROM)
+            comps = []
+            for cid, plane, q, ch, cv, dc_c, td in (
+                (1, yp, qlum, hmax, vmax, dcl, 0),
+                (2, cbp, qchrom, 1, 1, dcc, 1),
+                (3, crp, qchrom, 1, 1, dcc, 1),
+            ):
+                coef = _plane_coefs(plane, q)
+                nbx = -(-(-(-w * ch // hmax)) // 8)
+                nby = -(-(-(-h * cv // vmax)) // 8)
+                comps.append(
+                    (cid, coef, nbx, nby, ch, cv, dc_c, td, td)
+                )
+            _emit_progressive(out, comps, restart)
+            out += b"\xff\xd9"
+            return bytes(out)
         out += chunk(0xDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
         dcl, acl = _huff_codes(_HT_DC_LUM), _huff_codes(_HT_AC_LUM)
         dcc, acc = _huff_codes(_HT_DC_CHROM), _huff_codes(_HT_AC_CHROM)

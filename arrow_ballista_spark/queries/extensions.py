@@ -697,26 +697,31 @@ SELECT doc_id,
 FROM px GROUP BY doc_id
 """,
     doc=(
-        "REAL baseline JPEG decode, driver-witnessable (VERDICT r6 item "
-        "3).  ASCII fixture contract (byte == codepoint), like the "
-        "PPM/PNG/WAV siblings: the oracle indexes characters, the "
-        "engine bytes — identical on the driver's ASCII documents.  "
-        "Per document, tile its first 48 text bytes as 48 CONSTANT "
-        "8x8 blocks of a 64x48 grayscale image, encode with the "
-        "library-free T.81 writer (quality 95, restart interval 3 — the "
-        "DRI/RSTn path runs in the witnessed query), then decode with "
-        "the library-free T.81 reader (marker walk, DQT/DHT parse, "
-        "Huffman entropy decode with byte-unstuffing and restart "
-        "resync, DC prediction, dequant, batched float64 IDCT — "
-        "operators/jpeg.py) and take channel means.  Why a LOSSY codec "
+        "REAL JPEG decode — baseline AND progressive — driver-"
+        "witnessable (VERDICT r6 item 3; r7 item 6).  ASCII fixture "
+        "contract (byte == codepoint), like the PPM/PNG/WAV siblings: "
+        "the oracle indexes characters, the engine bytes — identical "
+        "on the driver's ASCII documents.  Per document, tile its "
+        "first 48 text bytes as 48 CONSTANT 8x8 blocks of a 64x48 "
+        "grayscale image; EVEN doc_ids encode with the library-free "
+        "T.81 Annex G PROGRESSIVE writer (SOF2: interleaved DC "
+        "first+refinement at Al=1->0, spectral-band AC scans, EOB "
+        "runs, per-scan restart resync), odd doc_ids with the baseline "
+        "writer (quality 95, restart interval 3) — then everything "
+        "decodes through the library-free T.81 reader (marker walk, "
+        "DQT/DHT parse, Huffman entropy decode with byte-unstuffing "
+        "and restart resync, multi-scan coefficient accumulation for "
+        "SOF2, DC prediction, dequant, batched float64 IDCT — "
+        "operators/jpeg.py) into channel means.  Why a LOSSY codec "
         "can be value-exact: a constant block has only a DC "
         "coefficient, 8*(v-128), and the quality-95 luminance DC "
         "quantizer is 2, which divides it exactly — zero quantization "
-        "error, so decode is the identity and the means equal the "
-        "INDEPENDENT byte-level SQL average or the hash breaks.  "
-        "Lossy-path fidelity (AC coefficients, 4:2:0 chroma, color "
-        "convert) is covered by the round-trip property tests "
-        "(tests/test_multimodal.py).  Map-only Arrow batches; blobs "
+        "error, so both decode paths are the identity and the means "
+        "equal the INDEPENDENT byte-level SQL average or the hash "
+        "breaks.  Lossy-path fidelity (AC coefficients, chroma "
+        "subsampling, successive approximation) is covered by the "
+        "progressive==baseline pixel-identity property test "
+        "(tests/test_properties.py).  Map-only Arrow batches; blobs "
         "never leave the executor."
     ),
 )
@@ -732,12 +737,21 @@ def ext_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             blobs = []
-            for t in pdf["text"]:
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
                 codes = np.frombuffer(
                     t.encode("utf-8").ljust(48, b" ")[:48], np.uint8
                 ).reshape(6, 8)
                 img = np.repeat(np.repeat(codes, 8, 0), 8, 1)
-                blobs.append(encode_jpeg(img, quality=95, restart=3))
+                # even docs take the PROGRESSIVE path (SOF2 multi-scan
+                # accumulate: DC first+refine, AC bands, EOB runs), odd
+                # docs baseline — both value-exact on constant blocks,
+                # so one oracle witnesses both decoders
+                blobs.append(
+                    encode_jpeg(
+                        img, quality=95, restart=3,
+                        progressive=(int(doc_id) % 2 == 0),
+                    )
+                )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"), "blob": blobs}
             )

@@ -1378,9 +1378,10 @@ def test_jpeg_decoder_known_answers():
 
 
 def test_jpeg_gating_and_degradation(spark):
-    """Progressive JPEG (SOF2) stays gated with a clear error; truncated
-    and garbage streams degrade to NULL rows inside image_stats instead
-    of failing the batch; decode_image routes JPEG magic natively."""
+    """Arithmetic-coded JPEG (SOF9) stays gated with a clear error;
+    truncated, garbage, and scanless-progressive streams degrade to
+    NULL rows inside image_stats instead of failing the batch; real
+    progressive (SOF2) streams decode natively."""
     import struct
 
     import numpy as np
@@ -1391,20 +1392,31 @@ def test_jpeg_gating_and_degradation(spark):
     img = np.full((16, 16), 90, np.uint8)
     good = encode_jpeg(img, quality=95)
     assert (multimodal.decode_image(good)[:, :, 0] == 90).all()
+    prog_good = encode_jpeg(img, quality=95, progressive=True)
+    assert (multimodal.decode_image(prog_good)[:, :, 0] == 90).all()
 
-    progressive = (
+    arithmetic = (
+        b"\xff\xd8"
+        + _jpeg_chunk(0xC9, struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
+        + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(arithmetic)
+    scanless_prog = (  # SOF2 frame with no SOS: corrupt, must ValueError
         b"\xff\xd8"
         + _jpeg_chunk(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
         + b"\xff\xd9"
     )
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(progressive)
+    with pytest.raises(ValueError):
+        decode_jpeg(scanless_prog)
 
     rows = [
         (0, bytearray(good)),
         (1, bytearray(good[: len(good) // 2])),  # truncated mid-scan
         (2, bytearray(b"\xff\xd8\x00garbage")),  # bad marker alignment
-        (3, bytearray(progressive)),  # gated mode
+        (3, bytearray(arithmetic)),  # gated mode
+        (4, bytearray(prog_good)),  # progressive decodes natively
+        (5, bytearray(scanless_prog)),  # corrupt progressive degrades
     ]
     df = spark.createDataFrame(
         pd.DataFrame(rows, columns=["doc_id", "blob"]),
@@ -1414,8 +1426,8 @@ def test_jpeg_gating_and_degradation(spark):
         r["doc_id"]: r["width"]
         for r in multimodal.image_stats(df).collect()
     }
-    assert got[0] == 16
-    assert got[2] is None and got[3] is None
+    assert got[0] == 16 and got[4] == 16
+    assert got[2] is None and got[3] is None and got[5] is None
     # truncated streams either pad-decode (T.81 1-bit padding) or
     # degrade to NULL; they must never abort the batch
     assert 1 in got

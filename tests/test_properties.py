@@ -1024,6 +1024,42 @@ def test_jpeg_lossy_roundtrip_property(h, w, subsample, restart, seed):
 
 
 @given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    mode=st.sampled_from(["gray", "444", "420", "422"]),
+    quality=st.sampled_from([50, 75, 92, 98]),
+    restart=st.integers(0, 3),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_progressive_matches_baseline_property(
+    h, w, mode, quality, restart, seed
+):
+    """Progressive (SOF2) encode -> decode must produce pixels
+    IDENTICAL to the baseline encode -> decode of the same image: both
+    writers quantize the same coefficients with the same float64
+    expression, and Annex G's multi-scan representation (spectral
+    selection, DC/AC successive approximation, EOB runs, per-scan
+    restarts) is lossless over them — so any pixel difference is a
+    coefficient bug in one of the two coders.  Random (worst-case)
+    pixels, every chroma mode, odd dimensions, restart intervals."""
+    import numpy as np
+
+    from arrow_ballista_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if mode == "gray" else (h, w, 3)
+    img = rng.randint(0, 256, size=shape).astype(np.uint8)
+    kw = {} if mode == "gray" else {"subsample": mode}
+    base = decode_jpeg(encode_jpeg(img, quality=quality, restart=restart, **kw))
+    prog = decode_jpeg(
+        encode_jpeg(img, quality=quality, restart=restart,
+                    progressive=True, **kw)
+    )
+    assert np.array_equal(base, prog)
+
+
+@given(
     n=st.integers(4, 30),
     e=st.integers(3, 80),
     seed=st.integers(0, 2**31 - 1),
