@@ -10,9 +10,10 @@ The reference has no multimodal surface; this is a north-star extension
   ``mapInPandas`` stages (one Python worker per partition, whole batches
   over Arrow — never row-at-a-time UDFs);
 - decode is REAL for library-free formats — P6 PPM, uncompressed 24-bit
-  BMP, 8-bit non-interlaced PNG (stdlib zlib), baseline-sequential JPEG
-  (ITU T.81 Huffman + IDCT, ``operators/jpeg.py``), PCM WAV — all
-  value-oracled; only the remaining codecs (WebP/MP3, progressive JPEG)
+  BMP, 8-bit PNG incl. Adam7 interlace (stdlib zlib), sequential AND
+  progressive JPEG (ITU T.81 Huffman + IDCT + Annex G,
+  ``operators/jpeg.py``), PCM WAV — all value-oracled; only the
+  remaining codecs (WebP/MP3, arithmetic/12-bit JPEG)
   stay environment-gated behind ``NotImplementedError`` (no codec libs
   in this container; production swaps in PIL/ffmpeg), with
   ``fake_decode_meta`` standing in so the Spark-side plumbing (schema,
@@ -142,62 +143,26 @@ def decode_wav(blob: bytes):
     return samples, rate
 
 
-def decode_png(blob: bytes):
-    """Decode PNG — stdlib ``zlib`` inflate + per-row filter reversal,
-    no codec library (the format is public: RFC 2083 / W3C PNG spec).
+# Adam7 pass geometry (RFC 2083 §8.2): (x_offset, y_offset, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Supports the overwhelmingly common web shape: 8-bit depth, color
-    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
-    non-interlaced.  Returns an (h, w, 3) uint8 RGB array — gray
-    replicates, alpha is DROPPED (not composited), palette indices
-    resolve through PLTE.  All five row filters (None/Sub/Up/Average/
-    Paeth) are reversed; Sub is vectorized per byte lane (cumsum mod
-    256), Average/Paeth are inherently sequential in x and run as
-    scalar loops — fine for thumbnails/fixtures; a production hot path
-    would use a C codec.  16-bit depth and interlacing raise
-    ``NotImplementedError`` (rare in web crawls; Adam7 needs 7-pass
-    reassembly)."""
-    import struct
-    import zlib
 
+def _png_unfilter(raw: bytes, pos: int, h: int, w: int, nch: int):
+    """Reverse per-row filters over one (sub-)image of ``h`` scanlines of
+    ``w`` pixels starting at ``pos`` in the inflated stream; returns
+    ``((h, w*nch) uint8 array, next pos)``.  The shared kernel behind
+    the non-interlaced path (one call) and Adam7 (one call per pass —
+    each pass's filter chain is independent, RFC 2083 §8.2)."""
     import numpy as np
 
-    if blob[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG")
-    i, idat, plte, hdr = 8, [], None, None
-    while i + 8 <= len(blob):
-        (length,) = struct.unpack_from(">I", blob, i)
-        ctype = blob[i + 4 : i + 8]
-        data = blob[i + 8 : i + 8 + length]
-        if ctype == b"IHDR":
-            hdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"PLTE":
-            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-        i += 12 + length  # len + type + data + crc
-    if hdr is None or not idat:
-        raise ValueError("missing IHDR/IDAT")
-    w, h, depth, color, comp, filt, interlace = hdr
-    if depth != 8 or comp != 0 or filt != 0:
-        raise NotImplementedError(
-            f"PNG depth={depth}/compression={comp}/filter-method={filt} "
-            "not supported library-free (8-bit, method 0 only)"
-        )
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
-    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    if nch is None:
-        raise ValueError(f"bad PNG color type {color}")
-    raw = zlib.decompress(b"".join(idat))
     stride, bpp = w * nch, nch
-    if len(raw) < (stride + 1) * h:
+    if len(raw) - pos < (stride + 1) * h:
         raise ValueError("truncated PNG scanline data")
     out = np.zeros((h, stride), np.uint8)
     prev = np.zeros(stride, np.int32)
-    pos = 0
     for y in range(h):
         ft = raw[pos]
         line = np.frombuffer(
@@ -231,7 +196,72 @@ def decode_png(blob: bytes):
             raise ValueError(f"bad PNG filter type {ft}")
         out[y] = rec.astype(np.uint8)
         prev = rec
-    img = out.reshape(h, w, nch)
+    return out, pos
+
+
+def decode_png(blob: bytes):
+    """Decode PNG — stdlib ``zlib`` inflate + per-row filter reversal,
+    no codec library (the format is public: RFC 2083 / W3C PNG spec).
+
+    Supports the overwhelmingly common web shapes: 8-bit depth, color
+    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced OR Adam7-interlaced (RFC 2083 §8.2: seven pass
+    sub-images, each with its own filter chain, reassembled by the
+    pass geometry).  Returns an (h, w, 3) uint8 RGB array — gray
+    replicates, alpha is DROPPED (not composited), palette indices
+    resolve through PLTE.  All five row filters (None/Sub/Up/Average/
+    Paeth) are reversed; Sub is vectorized per byte lane (cumsum mod
+    256), Average/Paeth are inherently sequential in x and run as
+    scalar loops — fine for thumbnails/fixtures; a production hot path
+    would use a C codec.  16-bit depth raises ``NotImplementedError``."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    i, idat, plte, hdr = 8, [], None, None
+    while i + 8 <= len(blob):
+        (length,) = struct.unpack_from(">I", blob, i)
+        ctype = blob[i + 4 : i + 8]
+        data = blob[i + 8 : i + 8 + length]
+        if ctype == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + length  # len + type + data + crc
+    if hdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = hdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth}/compression={comp}/filter-method={filt} "
+            "not supported library-free (8-bit, method 0 only)"
+        )
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if nch is None:
+        raise ValueError(f"bad PNG color type {color}")
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        out, _ = _png_unfilter(raw, 0, h, w, nch)
+        img = out.reshape(h, w, nch)
+    elif interlace == 1:  # Adam7 (RFC 2083 §8.2): 7 sub-image passes
+        img = np.zeros((h, w, nch), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass carries NO bytes, not even filters
+            sub, pos = _png_unfilter(raw, pos, ph, pw, nch)
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, nch)
+    else:
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
@@ -243,25 +273,19 @@ def decode_png(blob: bytes):
     return np.ascontiguousarray(img)
 
 
-def encode_png(img, filters=(0,)) -> bytes:
-    """Minimal RGB8 PNG writer (stdlib zlib) — fixture/test helper so the
-    decode path can be driven with REAL deflate streams and every row
-    filter.  ``filters`` cycles per row over the five spec filter types;
-    encoding applies the exact inverse of the decoder's reversal."""
-    import struct
-    import zlib
-
+def _png_filter_rows(rows, filters, bpp: int) -> bytearray:
+    """Apply the per-row filter cycle to one (sub-)image's scanlines
+    ((h, stride) uint8) — the exact inverse of :func:`_png_unfilter`,
+    with its own filter chain (prev starts at zero, as each Adam7 pass
+    requires)."""
     import numpy as np
 
-    img = np.ascontiguousarray(img, dtype=np.uint8)
-    h, w, nch = img.shape
-    assert nch == 3, "encode_png writes color type 2 (RGB8) only"
-    stride, bpp = w * 3, 3
+    h, stride = rows.shape
     raw = bytearray()
     prev = np.zeros(stride, np.int32)
     for y in range(h):
         ft = filters[y % len(filters)]
-        line = img[y].reshape(-1).astype(np.int32)
+        line = rows[y].astype(np.int32)
         if ft == 0:
             enc = line.copy()
         elif ft == 1:
@@ -289,6 +313,36 @@ def encode_png(img, filters=(0,)) -> bytes:
         raw.append(ft)
         raw += (enc % 256).astype(np.uint8).tobytes()
         prev = line
+    return raw
+
+
+def encode_png(img, filters=(0,), interlace: bool = False) -> bytes:
+    """Minimal RGB8 PNG writer (stdlib zlib) — fixture/test helper so the
+    decode path can be driven with REAL deflate streams and every row
+    filter.  ``filters`` cycles per row over the five spec filter types;
+    encoding applies the exact inverse of the decoder's reversal.
+    ``interlace=True`` writes Adam7 (RFC 2083 §8.2): the seven pass
+    sub-images serialize in order, each with its own filter chain —
+    driving the decoder's interlaced reassembly with real streams."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, nch = img.shape
+    assert nch == 3, "encode_png writes color type 2 (RGB8) only"
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass: no bytes at all
+            raw += _png_filter_rows(
+                sub.reshape(sub.shape[0], -1), filters, 3
+            )
+    else:
+        raw = _png_filter_rows(img.reshape(h, -1), filters, 3)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -298,7 +352,7 @@ def encode_png(img, filters=(0,)) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -320,11 +374,11 @@ def resize_nearest(img, out_w: int, out_h: int):
 
 def decode_image(blob: bytes) -> object:
     """Image decode: REAL for library-free formats — P6 PPM, uncompressed
-    24-bit BMP, 8-bit non-interlaced PNG (stdlib zlib inflate + filter
-    reversal), and baseline-sequential JPEG (ITU T.81 Huffman + IDCT,
-    ``operators/jpeg.py`` — SOF0/SOF1, gray/YCbCr, 4:4:4/4:2:2/4:2:0,
-    restart markers); only the remaining codecs (WebP, progressive
-    JPEG) stay environment-gated.
+    24-bit BMP, 8-bit PNG incl. Adam7 interlace (stdlib zlib inflate +
+    filter reversal), and sequential+progressive JPEG (ITU T.81 Huffman
+    + IDCT + Annex G, ``operators/jpeg.py`` — SOF0/SOF1/SOF2,
+    gray/YCbCr, 4:4:4/4:2:2/4:2:0, restart markers); only the remaining
+    codecs (WebP, arithmetic/12-bit JPEG) stay environment-gated.
 
     The container has no image codec libraries (no PIL / cv2); in
     production the gated branch is ``PIL.Image.open(io.BytesIO(blob))``.

@@ -637,16 +637,20 @@ SELECT doc_id,
 FROM px GROUP BY doc_id
 """,
     doc=(
-        "REAL PNG decode, driver-witnessable: per document, deflate-"
-        "compress its first 192 text bytes into an actual 8x8 RGB PNG "
-        "whose rows cycle ALL FIVE spec filters (None/Sub/Up/Average/"
-        "Paeth), then run the stdlib-zlib decoder + channel statistics "
+        "REAL PNG decode — sequential AND Adam7-interlaced — driver-"
+        "witnessable: per document, deflate-compress its first 192 "
+        "text bytes into an actual 8x8 RGB PNG whose rows cycle ALL "
+        "FIVE spec filters (None/Sub/Up/Average/Paeth); even doc_ids "
+        "write the Adam7 interlaced layout (RFC 2083 §8.2: seven pass "
+        "sub-images, per-pass filter chains — r8), odd the sequential "
+        "one; then run the stdlib-zlib decoder + channel statistics "
         "(operators/multimodal.py:decode_png — chunk walk, inflate, "
-        "per-row filter reversal all real) and check against the same "
-        "INDEPENDENT byte-level SQL channel means as the PPM entry: the "
-        "encode/decode round-trip must be the identity or the hash "
-        "breaks.  PNG is the most common web-crawl image format (VERDICT "
-        "r5 item 5); JPEG/WebP stay env-gated.  Map-only Arrow batches."
+        "per-row filter reversal, pass reassembly all real) and check "
+        "against the same INDEPENDENT byte-level SQL channel means as "
+        "the PPM entry: the encode/decode round-trip must be the "
+        "identity or the hash breaks.  PNG is the most common "
+        "web-crawl image format (VERDICT r5 item 5); WebP stays "
+        "env-gated.  Map-only Arrow batches."
     ),
 )
 def ext_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -659,12 +663,19 @@ def ext_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             blobs = []
-            for t in pdf["text"]:
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
                 px = np.frombuffer(
                     t.encode("utf-8").ljust(192, b" ")[:192], np.uint8
                 ).reshape(8, 8, 3)
+                # even docs take the Adam7-INTERLACED path (seven pass
+                # sub-images, per-pass filter chains), odd docs the
+                # sequential layout — PNG is lossless, so one oracle
+                # witnesses both decode paths
                 blobs.append(
-                    multimodal.encode_png(px, filters=(0, 1, 2, 3, 4))
+                    multimodal.encode_png(
+                        px, filters=(0, 1, 2, 3, 4),
+                        interlace=(int(doc_id) % 2 == 0),
+                    )
                 )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"), "blob": blobs}

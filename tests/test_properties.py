@@ -933,14 +933,17 @@ def test_budget_select_equals_naive_prefix(spark, rows, budget, width_pow):
     h=st.integers(1, 24),
     w=st.integers(1, 24),
     filters=st.lists(st.integers(0, 4), min_size=1, max_size=6),
+    interlace=st.booleans(),
     seed=st.integers(0, 2**31 - 1),
 )
 @settings(max_examples=40, deadline=None)
-def test_png_roundtrip_property(h, w, filters, seed):
+def test_png_roundtrip_property(h, w, filters, interlace, seed):
     """encode_png -> decode_png is the identity for ANY image shape and
-    ANY per-row filter cycle — the decoder's five filter reversals and
-    the encoder's five filter applications are exact inverses under
-    mod-256 arithmetic, not just on the fixture shapes."""
+    ANY per-row filter cycle, non-interlaced AND Adam7 — the decoder's
+    five filter reversals and the encoder's five filter applications
+    are exact inverses under mod-256 arithmetic, and the seven-pass
+    interlace scatter/gather are exact inverses of each other
+    (including empty passes on tiny images, which carry zero bytes)."""
     import numpy as np
 
     from arrow_ballista_spark.operators.multimodal import (
@@ -950,7 +953,9 @@ def test_png_roundtrip_property(h, w, filters, seed):
 
     rng = np.random.RandomState(seed)
     img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
-    out = decode_png(encode_png(img, filters=tuple(filters)))
+    out = decode_png(
+        encode_png(img, filters=tuple(filters), interlace=interlace)
+    )
     assert out.shape == img.shape
     assert np.array_equal(out, img)
 
