@@ -106,8 +106,45 @@ def decode_bmp(blob: bytes):
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+def _g711_ulaw_table():
+    """256-entry µ-law expansion LUT (ITU-T G.711): linear int16 per
+    code byte — the canonical bias-132 segmented expansion."""
+    import numpy as np
+
+    out = np.zeros(256, np.int16)
+    for code in range(256):
+        u = ~code & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        out[code] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    return out
+
+
+def _g711_alaw_table():
+    """256-entry A-law expansion LUT (ITU-T G.711): the 0x55-inverted
+    segmented expansion."""
+    import numpy as np
+
+    out = np.zeros(256, np.int16)
+    for code in range(256):
+        a = code ^ 0x55
+        seg = (a & 0x70) >> 4
+        t = (a & 0x0F) << 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        out[code] = t if (a & 0x80) else -t
+    return out
+
+
 def decode_wav(blob: bytes):
-    """Decode RIFF/WAVE PCM (8/16/32-bit int) — pure struct/numpy.
+    """Decode RIFF/WAVE — pure struct/numpy: PCM (8/16/32-bit int,
+    format tag 1) plus the G.711 companded telephony formats (A-law
+    tag 6, µ-law tag 7 — one 256-entry expansion LUT each, ITU-T
+    G.711).
 
     Returns ``(samples, sample_rate)`` with samples shaped
     (n_frames, n_channels) as float64 in [-1, 1]."""
@@ -129,9 +166,15 @@ def decode_wav(blob: bytes):
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, n_ch, rate, _, _, bits = fmt
+    if audio_format in (6, 7):  # G.711 A-law / µ-law: 8-bit codes
+        lut = _g711_alaw_table() if audio_format == 6 else _g711_ulaw_table()
+        codes = np.frombuffer(data, np.uint8)
+        codes = codes[: (len(codes) // n_ch) * n_ch].reshape(-1, n_ch)
+        return lut[codes].astype(np.float64) / 32768.0, rate
     if audio_format != 1:
         raise NotImplementedError(
-            f"only PCM WAV is library-free (format tag {audio_format})"
+            f"only PCM and G.711 WAV are library-free (format tag "
+            f"{audio_format})"
         )
     dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
     raw = np.frombuffer(data, dtype=dtype)

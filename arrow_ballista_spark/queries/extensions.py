@@ -842,6 +842,75 @@ def ext_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_multimodal_mulaw_stats",
+    f"""
+WITH smp AS (
+  SELECT doc_id,
+         255 - ascii(substring(rpad(text, 96, ' '), j, 1)) AS u
+  FROM documents, unnest(generate_series(1, 96)) AS g(j)
+), lin AS (
+  SELECT doc_id,
+         CAST(CASE WHEN u >= 128
+              THEN 132 - (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)))
+              ELSE (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))) - 132
+              END AS DOUBLE) / 32768.0 AS s
+  FROM smp
+)
+SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+       CAST(96 AS BIGINT) AS n_frames, CAST(1 AS INT) AS n_channels,
+       {R("sqrt(avg(s * s))", 6)} AS rms,
+       {R("max(abs(s))", 6)} AS peak
+FROM lin GROUP BY doc_id
+""",
+    doc=(
+        "REAL G.711 µ-law telephony decode, driver-witnessable (the "
+        "companded-WAV sibling of ext_multimodal_audio_stats, r8): per "
+        "document, wrap its first 96 text bytes as the CODE bytes of a "
+        "format-tag-7 (µ-law) mono 8 kHz WAV, decode through the "
+        "library-free RIFF parser + 256-entry G.711 expansion LUT "
+        "(operators/multimodal.py:decode_wav / _g711_ulaw_table — the "
+        "canonical bias-132 segmented expansion), and compare RMS/peak "
+        "against an INDEPENDENT closed-form replay of the expansion in "
+        "SQL (complement, mantissa*8+132 shifted by the exponent "
+        "segment, sign fold) — the LUT and the formula must agree on "
+        "every code byte or the hash breaks.  A-law (tag 6) shares the "
+        "code path and is pinned by unit test.  Map-only Arrow batches."
+    ),
+)
+def ext_multimodal_mulaw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    import pandas as pd
+
+    docs = _docs_spread(spark, sf_dir)
+
+    def mk(batches):
+        fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+        for pdf in batches:
+            blobs = []
+            for t in pdf["text"]:
+                data = t.encode("utf-8").ljust(96, b" ")[:96]
+                blobs.append(
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "blob": blobs}
+            )
+
+    blobs = docs.mapInPandas(mk, "doc_id bigint, blob binary")
+    out = multimodal.audio_stats(blobs)
+    return out.select(
+        "doc_id", "sample_rate", "n_frames", "n_channels",
+        cround("rms", 6).alias("rms"),
+        cround("peak", 6).alias("peak"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming (Spark-side extension; reference is batch-only,
 # SURVEY.md §2.B.10).  Each runs the incremental plan over all available

@@ -1433,6 +1433,45 @@ def test_jpeg_gating_and_degradation(spark):
     assert 1 in got
 
 
+def test_g711_expansion_tables_and_wav_decode():
+    """The G.711 LUTs must match the canonical anchors (µ-law: both
+    zero codes 0xFF/0x7F -> 0, code 0x00 -> -32124; A-law: 0xD5 -> +8,
+    0x55 -> -8, 0x2A -> -32256 and 0xAA -> +32256 extremes) and be
+    odd-symmetric under the sign-bit flip; a format-tag-7 WAV decodes
+    through them."""
+    import struct
+
+    import numpy as np
+
+    from arrow_ballista_spark.operators.multimodal import (
+        _g711_alaw_table,
+        _g711_ulaw_table,
+        decode_wav,
+    )
+
+    ut, at = _g711_ulaw_table(), _g711_alaw_table()
+    assert ut[0xFF] == 0 and ut[0x7F] == 0
+    assert ut[0x00] == -32124 and ut[0x80] == 32124
+    assert at[0xD5] == 8 and at[0x55] == -8
+    assert at[0xAA] == 32256 and at[0x2A] == -32256
+    # sign-bit flip negates the magnitude in both laws
+    for tbl in (ut, at):
+        codes = np.arange(128)
+        assert (tbl[codes] == -tbl[codes ^ 0x80]).all() or (
+            tbl[codes ^ 0x80] == -tbl[codes]
+        ).all()
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    data = bytes(range(0, 96))
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    samples, rate = decode_wav(wav)
+    assert rate == 8000 and samples.shape == (96, 1)
+    assert np.allclose(samples[:, 0], ut[np.arange(96)] / 32768.0)
+
+
 def test_jpeg_rejects_bad_sampling_factors(spark):
     """SOF sampling factors outside 1-2 must raise ValueError (inside
     image_stats' degrade tuple): h/v = 0 would divide the MCU grid by
