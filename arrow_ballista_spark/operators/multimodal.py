@@ -186,6 +186,277 @@ def decode_wav(blob: bytes):
     return samples, rate
 
 
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int):
+    """GIF-variant LZW decode (GIF89a spec appendix F): variable code
+    width starting at ``min_code_size + 1``, CLEAR and EOI codes, table
+    grows to 4095 entries then freezes until CLEAR.  Returns a list of
+    ``n_expected`` palette indices (extra codes past the expected pixel
+    count are ignored, as real decoders do)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    # bit reader: LSB-first within bytes (GIF's packing order)
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while len(out) < n_expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first GIF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            if len(table) < 4096:
+                table.append(entry)
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out.extend(entry)
+        prev = entry
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+    if len(out) < n_expected:
+        raise ValueError("GIF LZW stream ended early")
+    return out[:n_expected]
+
+
+# GIF interlace row order (GIF89a spec §20): (start row, step) per pass
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(blob: bytes):
+    """Decode GIF87a/GIF89a — pure stdlib+numpy, no codec library (the
+    format is public: the CompuServe GIF89a specification).
+
+    Returns the FIRST frame as an (h, w, 3) uint8 RGB array (the
+    representative-frame convention for image stats; animation frames
+    are exposed via :func:`gif_frame_count`): logical-screen + global
+    color table, graphic-control/comment/application extensions
+    skipped, local color tables honored, variable-width LZW decode
+    (CLEAR/EOI, table freeze at 4095, the KwKwK case), 4-pass row
+    interlace deinterlaced, transparency ignored (no compositing —
+    the alpha-DROPPED contract of :func:`decode_png`).  Frames smaller
+    than the logical screen composite onto the screen-sized canvas
+    (background color index)."""
+    import struct
+
+    import numpy as np
+
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, packed, bg, _ = struct.unpack_from("<HHBBB", blob, 6)
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(blob, np.uint8, n * 3, i).reshape(-1, 3)
+        i += n * 3
+    canvas = None
+    while i < len(blob):
+        b0 = blob[i]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(blob) and blob[i] != 0:
+                i += 1 + blob[i]
+            i += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"bad GIF block 0x{b0:02X}")
+        fx, fy, fw, fh, fpacked = struct.unpack_from("<HHHHB", blob, i + 1)
+        i += 10
+        ct = gct
+        if fpacked & 0x80:  # local color table
+            n = 2 << (fpacked & 0x07)
+            ct = np.frombuffer(blob, np.uint8, n * 3, i).reshape(-1, 3)
+            i += n * 3
+        if ct is None:
+            raise ValueError("GIF frame without a color table")
+        min_code = blob[i]
+        i += 1
+        data = bytearray()
+        while i < len(blob) and blob[i] != 0:
+            sz = blob[i]
+            data += blob[i + 1 : i + 1 + sz]
+            i += 1 + sz
+        i += 1  # block terminator
+        idx = np.array(
+            _lzw_decode(bytes(data), min_code, fw * fh), np.int32
+        )
+        if (idx >= len(ct)).any():
+            raise ValueError("GIF pixel index outside color table")
+        frame = np.zeros((fh, fw), np.int32)
+        if fpacked & 0x40:  # interlaced: 4-pass row order
+            rows = [r for start, step in _GIF_INTERLACE
+                    for r in range(start, fh, step)]
+            frame[np.array(rows, np.int64)] = idx.reshape(fh, fw)
+        else:
+            frame = idx.reshape(fh, fw)
+        canvas = np.full(
+            (h, w), bg if gct is not None and bg < len(gct) else 0,
+            np.int32,
+        )
+        canvas[fy : fy + fh, fx : fx + fw] = frame
+        return np.ascontiguousarray(ct[canvas])  # FIRST frame only
+    raise ValueError("GIF contains no image frame")
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW encode — the fixture/test twin of
+    :func:`_lzw_decode` (emits CLEAR up front, EOI at the end, grows
+    code width at table-size boundaries, re-CLEARs at 4095)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}
+
+    width = min_code_size + 1
+    table = fresh()
+    next_code = eoi + 1
+    emit(clear, width)
+    cur = b""
+    for v in indices:
+        nxt = cur + bytes([int(v)])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        # width-growth boundary: the decoder adds its k-th entry one
+        # code LATER than the encoder (its first read adds nothing), so
+        # the encoder grows when next_code EXCEEDS 2^width — one step
+        # after the table reaches it — to stay in lockstep
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table = fresh()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        cur = bytes([int(v)])  # LZW restarts matching at the new symbol
+    if cur:
+        emit(table[cur], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(img, interlace: bool = False) -> bytes:
+    """Minimal GIF89a writer (fixture/test helper): quantizes the RGB
+    input to its distinct colors (must be ≤256 — fixtures control
+    this), writes a global color table + one image frame with real
+    LZW compression, optionally in the 4-pass interlaced row order —
+    driving :func:`decode_gif` with genuine variable-width LZW
+    streams."""
+    import struct
+
+    import numpy as np
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif fixtures must use <=256 colors")
+    # color-table size: power of two >= max(2, n_colors)
+    bits = max(1, int(np.ceil(np.log2(max(2, len(colors))))))
+    n = 1 << bits
+    ct = np.zeros((n, 3), np.uint8)
+    ct[: len(colors)] = colors
+    idx = inverse.reshape(h, w)
+    if interlace:
+        rows = [r for start, step in _GIF_INTERLACE
+                for r in range(start, h, step)]
+        stream = idx[np.array(rows, np.int64)].reshape(-1)
+    else:
+        stream = idx.reshape(-1)
+    min_code = max(2, bits)
+    lzw = _lzw_encode(stream, min_code)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += ct.tobytes()
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )
+    out.append(min_code)
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def gif_frame_count(blob: bytes) -> int:
+    """Number of image frames in a GIF (animation length) — a cheap
+    block walk, no LZW decode."""
+    import struct
+
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    packed = blob[10]
+    i = 13 + ((2 << (packed & 0x07)) * 3 if packed & 0x80 else 0)
+    frames = 0
+    while i < len(blob) and blob[i] != 0x3B:
+        if blob[i] == 0x21:
+            i += 2
+            while i < len(blob) and blob[i] != 0:
+                i += 1 + blob[i]
+            i += 1
+            continue
+        if blob[i] != 0x2C:
+            raise ValueError(f"bad GIF block 0x{blob[i]:02X}")
+        fpacked = struct.unpack_from("<HHHHB", blob, i + 1)[4]
+        i += 10
+        if fpacked & 0x80:
+            i += (2 << (fpacked & 0x07)) * 3
+        i += 1  # LZW min code size
+        while i < len(blob) and blob[i] != 0:
+            i += 1 + blob[i]
+        i += 1
+        frames += 1
+    return frames
+
+
 # Adam7 pass geometry (RFC 2083 §8.2): (x_offset, y_offset, x_step, y_step)
 _ADAM7 = (
     (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -418,10 +689,12 @@ def resize_nearest(img, out_w: int, out_h: int):
 def decode_image(blob: bytes) -> object:
     """Image decode: REAL for library-free formats — P6 PPM, uncompressed
     24-bit BMP, 8-bit PNG incl. Adam7 interlace (stdlib zlib inflate +
-    filter reversal), and sequential+progressive JPEG (ITU T.81 Huffman
+    filter reversal), sequential+progressive JPEG (ITU T.81 Huffman
     + IDCT + Annex G, ``operators/jpeg.py`` — SOF0/SOF1/SOF2,
-    gray/YCbCr, 4:4:4/4:2:2/4:2:0, restart markers); only the remaining
-    codecs (WebP, arithmetic/12-bit JPEG) stay environment-gated.
+    gray/YCbCr, 4:4:4/4:2:2/4:2:0, restart markers), and GIF87a/89a
+    (variable-width LZW, local color tables, 4-pass interlace); only
+    the remaining codecs (WebP, arithmetic/12-bit JPEG) stay
+    environment-gated.
 
     The container has no image codec libraries (no PIL / cv2); in
     production the gated branch is ``PIL.Image.open(io.BytesIO(blob))``.
@@ -436,9 +709,11 @@ def decode_image(blob: bytes) -> object:
         from arrow_ballista_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(blob)
+    if blob.startswith((b"GIF87a", b"GIF89a")):
+        return decode_gif(blob)
     raise NotImplementedError(
         "remaining image codecs (WebP/...) are not installed in this "
-        "environment; P6 PPM / 24-bit BMP / 8-bit PNG / baseline JPEG "
+        "environment; P6 PPM / 24-bit BMP / 8-bit PNG / GIF / JPEG "
         "decode natively, or use fake_decode_meta() for deterministic "
         "plumbing tests"
     )

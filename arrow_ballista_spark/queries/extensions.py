@@ -911,6 +911,72 @@ def ext_multimodal_mulaw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_multimodal_gif_stats",
+    f"""
+WITH px AS (
+  SELECT doc_id, i,
+         ascii(substring(rpad(text, 64, ' '), i, 1)) AS code
+  FROM documents, unnest(generate_series(1, 64)) AS g(i)
+)
+SELECT doc_id,
+       CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       {R("avg(CAST(code AS DOUBLE))", 4)} AS mean_r,
+       {R("avg(CAST(code AS DOUBLE))", 4)} AS mean_g,
+       {R("avg(CAST(code AS DOUBLE))", 4)} AS mean_b
+FROM px GROUP BY doc_id
+""",
+    doc=(
+        "REAL GIF decode, driver-witnessable (r8 — completes the "
+        "PPM/BMP/PNG/JPEG/WAV codec family with the remaining common "
+        "web image format): per document, its first 64 text bytes "
+        "become an 8x8 grayscale image written as a REAL GIF89a — "
+        "global color table, genuine variable-width LZW compression "
+        "(CLEAR/EOI, width growth at table boundaries, the KwKwK "
+        "case), even doc_ids in the 4-pass INTERLACED row order — then "
+        "decoded through the library-free reader "
+        "(operators/multimodal.py:decode_gif — block walk, LZW with "
+        "table freeze/re-CLEAR, deinterlace) into channel means, "
+        "checked against the independent byte-level SQL average.  GIF "
+        "is LOSSLESS palette indexing, so decode must be the identity "
+        "or the hash breaks.  Map-only Arrow batches."
+    ),
+)
+def ext_multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = _docs_spread(spark, sf_dir)
+
+    def mk(batches):
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                codes = np.frombuffer(
+                    t.encode("utf-8").ljust(64, b" ")[:64], np.uint8
+                ).reshape(8, 8)
+                img = np.repeat(codes[:, :, None], 3, axis=2)
+                blobs.append(
+                    multimodal.encode_gif(
+                        img, interlace=(int(doc_id) % 2 == 0)
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "blob": blobs}
+            )
+
+    blobs = docs.mapInPandas(mk, "doc_id bigint, blob binary")
+    out = multimodal.image_stats(blobs, thumb=4)
+    return out.select(
+        "doc_id", "width", "height", "channels",
+        cround("mean_r", 4).alias("mean_r"),
+        cround("mean_g", 4).alias("mean_g"),
+        cround("mean_b", 4).alias("mean_b"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming (Spark-side extension; reference is batch-only,
 # SURVEY.md §2.B.10).  Each runs the incremental plan over all available

@@ -1433,6 +1433,45 @@ def test_jpeg_gating_and_degradation(spark):
     assert 1 in got
 
 
+def test_gif_degradation_and_frame_count(spark):
+    """Corrupt/truncated GIFs degrade to NULL rows inside image_stats;
+    multi-frame GIFs report their frame count and decode_gif returns
+    the FIRST frame."""
+    import numpy as np
+    import pandas as pd
+
+    from arrow_ballista_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+        gif_frame_count,
+    )
+
+    img = np.full((8, 8, 3), 77, np.uint8)
+    good = encode_gif(img)
+    assert gif_frame_count(good) == 1
+    # two-frame animation: splice the second blob's image block in
+    img2 = np.full((8, 8, 3), 33, np.uint8)
+    second = encode_gif(img2)
+    two = good[:-1] + second[13 + 2 * 3 :]  # drop trailer; skip hdr+GCT
+    assert gif_frame_count(two) == 2
+    assert (decode_gif(two)[:, :, 0] == 77).all()  # first frame wins
+
+    rows = [
+        (0, bytearray(good)),
+        (1, bytearray(good[: len(good) // 2])),  # truncated LZW
+        (2, bytearray(b"GIF89a\x00")),  # truncated header
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "blob"]),
+        "doc_id long, blob binary",
+    )
+    got = {
+        r["doc_id"]: r["width"]
+        for r in multimodal.image_stats(df).collect()
+    }
+    assert got[0] == 8 and got[1] is None and got[2] is None
+
+
 def test_g711_expansion_tables_and_wav_decode():
     """The G.711 LUTs must match the canonical anchors (µ-law: both
     zero codes 0xFF/0x7F -> 0, code 0x00 -> -32124; A-law: 0xD5 -> +8,

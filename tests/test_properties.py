@@ -1065,6 +1065,38 @@ def test_jpeg_progressive_matches_baseline_property(
 
 
 @given(
+    h=st.integers(1, 32),
+    w=st.integers(1, 32),
+    ncol=st.sampled_from([2, 3, 5, 16, 64, 256]),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_property(h, w, ncol, interlace, seed):
+    """encode_gif -> decode_gif is the identity for ANY shape, palette
+    size, and interlace mode: GIF is lossless palette indexing, so the
+    variable-width LZW coder (CLEAR/EOI, width growth at table
+    boundaries, the KwKwK case, 4095-table re-CLEAR) and the 4-pass
+    interlace scatter/gather must be exact inverses."""
+    import numpy as np
+
+    from arrow_ballista_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(seed)
+    palette = np.stack(
+        [np.arange(ncol) % 256, (np.arange(ncol) * 7) % 256,
+         (np.arange(ncol) * 13) % 256], axis=1
+    ).astype(np.uint8)
+    img = palette[rng.randint(0, ncol, (h, w))]
+    out = decode_gif(encode_gif(img, interlace=interlace))
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)
+
+
+@given(
     n=st.integers(4, 30),
     e=st.integers(3, 80),
     seed=st.integers(0, 2**31 - 1),
