@@ -26,6 +26,9 @@ QUERIES = sys.argv[1:] or [
     "ext_model_score",
     "ext_multimodal_jpeg_stats",
     "ext_text_bpe_train",
+    "ext_multimodal_gif_stats",
+    "ext_multimodal_mulaw_stats",
+    "ext_multimodal_png_stats",
 ]
 FIXTURES = [("sf0.1", "/root/testdata/sf0.1"), ("10x", "/tmp/scale10x")]
 
