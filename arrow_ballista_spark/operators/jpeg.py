@@ -533,6 +533,9 @@ def _decode_prog_scan(
         raise ValueError("progressive AC scan must cover one component")
     cs, td, ta = scan[0]
     c = by_id[cs]
+    c["eobrun"] = 0  # EOB runs never span scans (libjpeg zeroes per
+    # scan); a stale run from a corrupt prior scan must not silently
+    # skip this scan's leading blocks
     ac_t = huff_ac[ta]
     nb = c["nby"] * c["nbx"]
     for b in range(nb):

@@ -33,7 +33,11 @@ def local_heap_mb(spark) -> float | None:
     == all executors), else None (cluster mode: executor heaps are not
     observable from here and broadcast stays the default)."""
     try:
-        if not spark.sparkContext.master.startswith("local"):
+        master = spark.sparkContext.master
+        # 'local' / 'local[k]' / 'local[*]' only — NOT 'local-cluster',
+        # whose executors are separate JVMs whose heaps the driver's
+        # Runtime.maxMemory() does not reflect
+        if master != "local" and not master.startswith("local["):
             return None
         return (
             spark._jvm.java.lang.Runtime.getRuntime().maxMemory()

@@ -28,6 +28,7 @@ collects to the driver.
 
 from __future__ import annotations
 
+import functools as _functools
 import hashlib
 import struct as _struct
 import zlib as _zlib
@@ -106,9 +107,12 @@ def decode_bmp(blob: bytes):
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+@_functools.lru_cache(maxsize=1)
 def _g711_ulaw_table():
     """256-entry µ-law expansion LUT (ITU-T G.711): linear int16 per
-    code byte — the canonical bias-132 segmented expansion."""
+    code byte — the canonical bias-132 segmented expansion.  Cached:
+    decode_wav runs once per blob inside the batch hot path (the
+    _huff_cached precedent, operators/jpeg.py)."""
     import numpy as np
 
     out = np.zeros(256, np.int16)
@@ -120,9 +124,10 @@ def _g711_ulaw_table():
     return out
 
 
+@_functools.lru_cache(maxsize=1)
 def _g711_alaw_table():
     """256-entry A-law expansion LUT (ITU-T G.711): the 0x55-inverted
-    segmented expansion."""
+    segmented expansion.  Cached like its µ-law twin."""
     import numpy as np
 
     out = np.zeros(256, np.int16)
@@ -167,6 +172,13 @@ def decode_wav(blob: bytes):
         raise ValueError("missing fmt/data chunk")
     audio_format, n_ch, rate, _, _, bits = fmt
     if audio_format in (6, 7):  # G.711 A-law / µ-law: 8-bit codes
+        if bits != 8:
+            # a tag-6/7 stream declaring non-8-bit samples is corrupt;
+            # splitting its samples into bogus code bytes would produce
+            # plausible-looking garbage instead of the NULL degrade row
+            raise ValueError(
+                f"G.711 WAV must be 8-bit (fmt declares {bits})"
+            )
         lut = _g711_alaw_table() if audio_format == 6 else _g711_ulaw_table()
         codes = np.frombuffer(data, np.uint8)
         codes = codes[: (len(codes) // n_ch) * n_ch].reshape(-1, n_ch)
@@ -315,12 +327,17 @@ def decode_gif(blob: bytes):
             frame[np.array(rows, np.int64)] = idx.reshape(fh, fw)
         else:
             frame = idx.reshape(fh, fw)
-        canvas = np.full(
-            (h, w), bg if gct is not None and bg < len(gct) else 0,
-            np.int32,
-        )
-        canvas[fy : fy + fh, fx : fx + fw] = frame
-        return np.ascontiguousarray(ct[canvas])  # FIRST frame only
+        if fy + fh > h or fx + fw > w:
+            raise ValueError("GIF frame exceeds the logical screen")
+        # composite in RGB space: the background index resolves through
+        # the GLOBAL table, frame pixels through their own (possibly
+        # LOCAL) table — mapping bg through the local table indexed the
+        # wrong palette (and crashed on small local tables)
+        canvas = np.zeros((h, w, 3), np.uint8)
+        if gct is not None and bg < len(gct):
+            canvas[:] = gct[bg]
+        canvas[fy : fy + fh, fx : fx + fw] = ct[frame]
+        return np.ascontiguousarray(canvas)  # FIRST frame only
     raise ValueError("GIF contains no image frame")
 
 

@@ -171,10 +171,20 @@ def smallest_id_sample(
     for rb in pf.iter_batches(batch_size=8192, columns=[id_col, *cols]):
         part = rb.to_pandas()
         if nonzero_vec is not None:
-            keep = part[nonzero_vec].map(
-                lambda v: any(float(x) != 0.0 for x in v)
-            )
-            part = part[keep]
+            # the EXACT serving-population predicate is norm(v) > 0 (the
+            # Spark trainers' filter): a sequential sum-of-squares in
+            # IEEE double, so denormal vectors whose squares underflow
+            # to 0 are EXCLUDED and NaNs compare false — `any(x != 0)`
+            # would include both and break the bit-identical-sample
+            # contract between the literal and Spark trainers
+            def _norm_pos(v):
+                s = 0.0
+                for x in v:
+                    x = float(x)
+                    s += x * x
+                return s > 0.0
+
+            part = part[part[nonzero_vec].map(_norm_pos)]
         sample = part if sample is None else pd.concat([sample, part])
         sample = sample.sort_values(id_col, kind="mergesort").head(cap)
     if sample is None or len(sample) == 0:

@@ -828,17 +828,22 @@ def test_png_decoder_roundtrip_all_filters():
     )
     out = multimodal.decode_png(png)
     assert np.array_equal(out[0], [[1, 2, 3], [4, 5, 6]])
-    # 16-bit depth and interlacing are gated, not wrong
-    for hdr in [
-        struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 1),
-        struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0),
-    ]:
-        png = (
-            sig + chunk(b"IHDR", hdr)
-            + chunk(b"IDAT", zlib.compress(b"\x00" * 7)) + chunk(b"IEND", b"")
-        )
-        with pytest.raises(NotImplementedError):
-            multimodal.decode_png(png)
+    # 16-bit depth is gated, not wrong
+    png = (
+        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 7)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_png(png)
+    # Adam7 decodes natively since r8; a TRUNCATED interlaced stream
+    # (this 7-byte payload is shorter than the passes need) degrades
+    # with ValueError rather than misdecoding
+    png = (
+        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 7)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        multimodal.decode_png(png)
 
 
 def test_wav_decoder_and_audio_stats(spark):
@@ -1472,6 +1477,36 @@ def test_gif_degradation_and_frame_count(spark):
     assert got[0] == 8 and got[1] is None and got[2] is None
 
 
+def test_gif_local_table_and_background_compositing():
+    """A frame smaller than the logical screen with a LOCAL color table
+    must composite onto a background resolved through the GLOBAL table
+    — even when the background index exceeds the local table's size
+    (the r8 review repro: this used to IndexError)."""
+    import struct
+
+    import numpy as np
+
+    from arrow_ballista_spark.operators.multimodal import (
+        _lzw_encode,
+        decode_gif,
+    )
+
+    gct = bytes([0, 0, 0, 10, 20, 30, 40, 50, 60, 200, 100, 50])  # 4 RGB
+    lct = bytes([255, 0, 0, 0, 255, 0])  # 2 entries: red, green
+    lzw = _lzw_encode(np.array([1]), 2)  # one pixel -> local index 1
+    blob = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 2, 2, 0x80 | 1, 3, 0)  # 4-entry GCT, bg=3
+        + gct
+        + b"\x2c" + struct.pack("<HHHHB", 1, 1, 1, 1, 0x80 | 0)  # local CT
+        + lct
+        + bytes([2, len(lzw)]) + lzw + b"\x00\x3b"
+    )
+    out = decode_gif(blob)
+    assert np.array_equal(out[1, 1], [0, 255, 0])  # frame: local green
+    assert np.array_equal(out[0, 0], [200, 100, 50])  # bg: GLOBAL idx 3
+
+
 def test_g711_expansion_tables_and_wav_decode():
     """The G.711 LUTs must match the canonical anchors (µ-law: both
     zero codes 0xFF/0x7F -> 0, code 0x00 -> -32124; A-law: 0xD5 -> +8,
@@ -1509,6 +1544,16 @@ def test_g711_expansion_tables_and_wav_decode():
     samples, rate = decode_wav(wav)
     assert rate == 8000 and samples.shape == (96, 1)
     assert np.allclose(samples[:, 0], ut[np.arange(96)] / 32768.0)
+    # a tag-7 stream declaring non-8-bit samples is corrupt: must take
+    # the ValueError degrade path, not split samples into bogus codes
+    bad_fmt = struct.pack("<HHIIHH", 7, 1, 8000, 16000, 2, 16)
+    bad = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(bad_fmt) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_wav(bad)
 
 
 def test_jpeg_rejects_bad_sampling_factors(spark):
