@@ -91,19 +91,38 @@ _CANARIES = [
     "ext_dedup_semantic", "ext_merge_upsert", "ext_sim_topk_ivf",
 ]
 
+# Entries whose ORACLE or fixture semantics changed since their last
+# driver-green round: the old evidence witnessed different code, so they
+# rank as never-witnessed until re-witnessed.  Maintained by hand when a
+# round changes an existing entry (tools/update_rotation.py will restore
+# their true age once a newer CORRECTNESS file shows them green again —
+# remove them here at that point).
+_EVIDENCE_RESET = {
+    # r8: real numpy logistic model replaced the length stub (new oracle)
+    "ext_model_score",
+    # r8: even doc_ids now encode progressive JPEG / Adam7-interlaced PNG
+    # — same oracle values, NEW decode paths the old evidence never ran
+    "ext_multimodal_jpeg_stats",
+    "ext_multimodal_png_stats",
+}
+
 
 def _derive_head_rotation(names: list[str]) -> list[str]:
     """Oldest-external-evidence-first window head (ties: registry order).
 
     Positions 0..fill hold the argmin of last-driver-green-round over the
-    whole registry (never-witnessed entries rank as round 0); the canary
-    block fills the window tail.  Asserted by tests/test_registry.py.
+    whole registry (never-witnessed entries — and entries whose oracle or
+    fixture changed since their evidence, ``_EVIDENCE_RESET`` — rank as
+    round 0); the canary block fills the window tail.  Asserted by
+    tests/test_registry.py.
     """
     from arrow_ballista_spark.queries.rotation_state import LAST_GREEN
 
     by_age = sorted(
         (n for n in names if n not in _CANARIES),
-        key=lambda n: LAST_GREEN.get(n, 0),
+        key=lambda n: (
+            0 if n in _EVIDENCE_RESET else LAST_GREEN.get(n, 0)
+        ),
     )  # sort is stable -> registry order breaks round ties
     fill = max(0, _WINDOW - len(_CANARIES))
     return [*by_age[:fill], *[c for c in _CANARIES if c in names]]

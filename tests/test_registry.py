@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from arrow_ballista_spark.queries import (
     _CANARIES,
+    _EVIDENCE_RESET,
     _WINDOW,
     _derive_head_rotation,
     load_all,
@@ -20,24 +21,30 @@ from arrow_ballista_spark.queries.rotation_state import LAST_GREEN
 REG = load_all()
 
 
+def _age(n: str) -> int:
+    # effective evidence age: oracle/fixture changes reset to 0
+    return 0 if n in _EVIDENCE_RESET else LAST_GREEN.get(n, 0)
+
+
 def test_head_is_argmin_of_last_green_round():
     names = list(REG)
     head = _derive_head_rotation(names)
     fill = _WINDOW - len(_CANARIES)
-    ages = [LAST_GREEN.get(n, 0) for n in names if n not in _CANARIES]
-    ages.sort()
-    head_ages = [LAST_GREEN.get(n, 0) for n in head[:fill]]
+    ages = sorted(_age(n) for n in names if n not in _CANARIES)
+    head_ages = [_age(n) for n in head[:fill]]
     # the non-canary head IS the fill smallest evidence ages, in order
     assert head_ages == ages[:fill]
     # and the very first entry is a global argmin
-    assert LAST_GREEN.get(head[0], 0) == min(
-        LAST_GREEN.get(n, 0) for n in names
-    )
+    assert _age(head[0]) == min(_age(n) for n in names)
 
 
 def test_never_witnessed_entries_lead_the_window():
     head = list(REG)[:_WINDOW]
-    never = [n for n in REG if n not in LAST_GREEN and n not in _CANARIES]
+    never = [
+        n for n in REG
+        if (n not in LAST_GREEN or n in _EVIDENCE_RESET)
+        and n not in _CANARIES
+    ]
     k = len(never)
     assert k <= _WINDOW - len(_CANARIES), (
         "more never-witnessed entries than window fill — grow _WINDOW or "
