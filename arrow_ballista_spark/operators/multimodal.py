@@ -107,6 +107,171 @@ def decode_bmp(blob: bytes):
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+_TIFF_TAGS = {
+    256: "width", 257: "height", 258: "bits", 259: "compression",
+    262: "photometric", 273: "strip_offsets", 277: "spp",
+    278: "rows_per_strip", 279: "strip_counts",
+}
+
+
+def decode_tiff(blob: bytes):
+    """Decode baseline TIFF 6.0 — pure struct/numpy, no codec library
+    (the format is public: the Adobe TIFF 6.0 specification).
+
+    Supports the uncompressed baseline shapes scanned-document corpora
+    carry: either byte order (II/MM), 8-bit grayscale (photometric 0/1,
+    with 0 = WhiteIsZero inverted) or RGB (photometric 2), strip
+    layout (any rows-per-strip).  Compressed TIFF (LZW/PackBits/JPEG),
+    tiles, and non-8-bit depths raise ``NotImplementedError``.
+    Returns an (h, w, 3) uint8 RGB array (gray replicates — the
+    :func:`decode_png` contract).  Only the FIRST IFD (first page) is
+    decoded."""
+    import struct
+
+    import numpy as np
+
+    if blob[:2] == b"II":
+        en = "<"
+    elif blob[:2] == b"MM":
+        en = ">"
+    else:
+        raise ValueError("not a TIFF (missing II/MM byte order)")
+    magic, ifd_off = struct.unpack_from(en + "HI", blob, 2)
+    if magic != 42:
+        raise ValueError("not a TIFF (bad magic)")
+    (n_entries,) = struct.unpack_from(en + "H", blob, ifd_off)
+    tags: dict = {}
+    _TYPE = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4)}
+    for k in range(n_entries):
+        off = ifd_off + 2 + 12 * k
+        tag, typ, count = struct.unpack_from(en + "HHI", blob, off)
+        name = _TIFF_TAGS.get(tag)
+        if name is None or typ not in _TYPE:
+            continue
+        fmt, sz = _TYPE[typ]
+        total = sz * count
+        src = off + 8
+        if total > 4:  # value doesn't fit inline: offset to the data
+            (src,) = struct.unpack_from(en + "I", blob, off + 8)
+        vals = struct.unpack_from(en + fmt * count, blob, src)
+        tags[name] = list(vals)
+    for req in ("width", "height", "strip_offsets", "strip_counts"):
+        if req not in tags:
+            raise ValueError(f"TIFF missing required tag {req}")
+    comp = tags.get("compression", [1])[0]
+    if comp != 1:
+        raise NotImplementedError(
+            f"only uncompressed baseline TIFF is library-free "
+            f"(compression {comp})"
+        )
+    bits = tags.get("bits", [8])
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"{bits}-bit TIFF not supported")
+    w, h = tags["width"][0], tags["height"][0]
+    spp = tags.get("spp", [1])[0]
+    photo = tags.get("photometric", [1])[0]
+    if photo not in (0, 1, 2) or spp not in (1, 3):
+        raise NotImplementedError(
+            f"TIFF photometric {photo} / {spp} samples not supported"
+        )
+    raw = bytearray()
+    for off, cnt in zip(tags["strip_offsets"], tags["strip_counts"]):
+        raw += blob[off : off + cnt]
+    if len(raw) < w * h * spp:
+        raise ValueError("truncated TIFF strip data")
+    img = np.frombuffer(bytes(raw), np.uint8, w * h * spp).reshape(
+        h, w, spp
+    )
+    if photo == 0:  # WhiteIsZero: invert to the usual BlackIsZero
+        img = 255 - img
+    if spp == 1:
+        img = np.repeat(img, 3, axis=2)
+    return np.ascontiguousarray(img)
+
+
+def encode_tiff(
+    img, big_endian: bool = False, rows_per_strip: int = 0,
+    white_is_zero: bool = False,
+) -> bytes:
+    """Minimal baseline TIFF 6.0 writer (fixture/test helper): 8-bit
+    grayscale ((h, w)) or RGB ((h, w, 3)), uncompressed strips in
+    either byte order — drives :func:`decode_tiff` with real IFD
+    layouts, multi-strip data, and both endiannesses."""
+    import struct
+
+    import numpy as np
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    spp = 1 if gray else img.shape[2]
+    en = ">" if big_endian else "<"
+    if white_is_zero:
+        if not gray:
+            raise ValueError("WhiteIsZero is a grayscale photometric")
+        img = 255 - img
+    rps = rows_per_strip or h
+    data = img.tobytes()
+    row_bytes = w * spp
+    strips = [
+        data[r * row_bytes : min(r + rps, h) * row_bytes]
+        for r in range(0, h, rps)
+    ]
+    photo = (0 if white_is_zero else 1) if gray else 2
+    entries = [  # (tag, type, count, value-or-values)
+        (256, 4, 1, [w]), (257, 4, 1, [h]),
+        (258, 3, spp, [8] * spp), (259, 3, 1, [1]),
+        (262, 3, 1, [photo]), (277, 3, 1, [spp]),
+        (278, 4, 1, [rps]),
+    ]
+    # layout: header(8) + IFD + out-of-line arrays + strip data
+    n = len(entries) + 2  # + strip_offsets + strip_counts
+    ifd_off = 8
+    after_ifd = ifd_off + 2 + 12 * n + 4
+    extra = bytearray()  # out-of-line values
+
+    def value_field(typ, count, vals):
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        sz = {1: 1, 3: 2, 4: 4}[typ]
+        payload = struct.pack(en + fmt * count, *vals)
+        if len(payload) <= 4:
+            return payload.ljust(4, b"\x00"), None
+        off = after_ifd + len(extra)
+        extra.extend(payload)
+        return struct.pack(en + "I", off), payload
+
+    # strip offset placeholders resolve after extra size is known, so
+    # run two passes: first compute extra for non-strip tags
+    packed = []
+    for tag, typ, count, vals in entries:
+        field, _ = value_field(typ, count, vals)
+        packed.append((tag, typ, count, field))
+    ns = len(strips)
+    counts_field, _ = value_field(4, ns, [len(s) for s in strips])
+    # strip data begins after extra incl. (maybe) the offsets array
+    offsets_payload_len = 4 * ns if ns > 1 else 0
+    data_start = after_ifd + len(extra) + offsets_payload_len
+    offs = []
+    pos = data_start
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    offsets_field, _ = value_field(4, ns, offs)
+    packed.append((273, 4, ns, offsets_field))
+    packed.append((279, 4, ns, counts_field))
+    packed.sort(key=lambda e: e[0])  # IFD entries must be tag-ordered
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(en + "HI", 42, 8)
+    out += struct.pack(en + "H", n)
+    for tag, typ, count, field in packed:
+        out += struct.pack(en + "HHI", tag, typ, count) + field
+    out += struct.pack(en + "I", 0)  # no next IFD
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
 @_functools.lru_cache(maxsize=1)
 def _g711_ulaw_table():
     """256-entry µ-law expansion LUT (ITU-T G.711): linear int16 per
@@ -708,10 +873,11 @@ def decode_image(blob: bytes) -> object:
     24-bit BMP, 8-bit PNG incl. Adam7 interlace (stdlib zlib inflate +
     filter reversal), sequential+progressive JPEG (ITU T.81 Huffman
     + IDCT + Annex G, ``operators/jpeg.py`` — SOF0/SOF1/SOF2,
-    gray/YCbCr, 4:4:4/4:2:2/4:2:0, restart markers), and GIF87a/89a
-    (variable-width LZW, local color tables, 4-pass interlace); only
-    the remaining codecs (WebP, arithmetic/12-bit JPEG) stay
-    environment-gated.
+    gray/YCbCr, 4:4:4/4:2:2/4:2:0, restart markers), GIF87a/89a
+    (variable-width LZW, local color tables, 4-pass interlace), and
+    baseline uncompressed TIFF 6.0 (II/MM, strips, gray/RGB); only
+    the remaining codecs (WebP, arithmetic/12-bit JPEG, compressed
+    TIFF) stay environment-gated.
 
     The container has no image codec libraries (no PIL / cv2); in
     production the gated branch is ``PIL.Image.open(io.BytesIO(blob))``.
@@ -728,11 +894,13 @@ def decode_image(blob: bytes) -> object:
         return decode_jpeg(blob)
     if blob.startswith((b"GIF87a", b"GIF89a")):
         return decode_gif(blob)
+    if blob.startswith((b"II*\x00", b"MM\x00*")):
+        return decode_tiff(blob)
     raise NotImplementedError(
         "remaining image codecs (WebP/...) are not installed in this "
-        "environment; P6 PPM / 24-bit BMP / 8-bit PNG / GIF / JPEG "
-        "decode natively, or use fake_decode_meta() for deterministic "
-        "plumbing tests"
+        "environment; P6 PPM / 24-bit BMP / 8-bit PNG / GIF / TIFF / "
+        "JPEG decode natively, or use fake_decode_meta() for "
+        "deterministic plumbing tests"
     )
 
 

@@ -977,6 +977,73 @@ def ext_multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_multimodal_tiff_stats",
+    f"""
+WITH px AS (
+  SELECT doc_id, i,
+         ascii(substring(rpad(text, 48, ' '), i, 1)) AS code
+  FROM documents, unnest(generate_series(1, 48)) AS g(i)
+)
+SELECT doc_id,
+       CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       {R("avg(CAST(code AS DOUBLE))", 4)} AS mean_r,
+       {R("avg(CAST(code AS DOUBLE))", 4)} AS mean_g,
+       {R("avg(CAST(code AS DOUBLE))", 4)} AS mean_b
+FROM px GROUP BY doc_id
+""",
+    doc=(
+        "REAL baseline TIFF 6.0 decode, driver-witnessable (r8 — the "
+        "scanned-document format of OCR corpora): per document, its "
+        "first 48 text bytes become a 6x8 grayscale image written as "
+        "an uncompressed strip TIFF — even doc_ids BIG-endian (MM) "
+        "with 2 rows per strip (multi-strip reassembly + both byte "
+        "orders run in the witnessed query), odd little-endian (II) "
+        "single-strip — decoded through the library-free IFD walk "
+        "(operators/multimodal.py:decode_tiff — tag/type parse, "
+        "inline-vs-offset values, strip gather) into channel means "
+        "checked against the independent byte-level SQL average.  "
+        "Uncompressed TIFF is lossless, so decode must be the "
+        "identity or the hash breaks; compressed TIFF/tiles stay "
+        "env-gated.  Map-only Arrow batches."
+    ),
+)
+def ext_multimodal_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = _docs_spread(spark, sf_dir)
+
+    def mk(batches):
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                codes = np.frombuffer(
+                    t.encode("utf-8").ljust(48, b" ")[:48], np.uint8
+                ).reshape(6, 8)
+                blobs.append(
+                    multimodal.encode_tiff(
+                        codes,
+                        big_endian=(int(doc_id) % 2 == 0),
+                        rows_per_strip=2 if int(doc_id) % 2 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "blob": blobs}
+            )
+
+    blobs = docs.mapInPandas(mk, "doc_id bigint, blob binary")
+    out = multimodal.image_stats(blobs, thumb=4)
+    return out.select(
+        "doc_id", "width", "height", "channels",
+        cround("mean_r", 4).alias("mean_r"),
+        cround("mean_g", 4).alias("mean_g"),
+        cround("mean_b", 4).alias("mean_b"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming (Spark-side extension; reference is batch-only,
 # SURVEY.md §2.B.10).  Each runs the incremental plan over all available

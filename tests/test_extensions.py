@@ -1477,6 +1477,49 @@ def test_gif_degradation_and_frame_count(spark):
     assert got[0] == 8 and got[1] is None and got[2] is None
 
 
+def test_tiff_gating_and_degradation(spark):
+    """Compressed TIFF stays gated (NotImplementedError), truncated
+    strips degrade (ValueError) — both inside image_stats' NULL-row
+    contract; good TIFFs of either byte order decode natively."""
+    import numpy as np
+    import pandas as pd
+
+    from arrow_ballista_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    img = np.full((6, 8), 55, np.uint8)
+    good = encode_tiff(img, big_endian=True, rows_per_strip=2)
+    assert (multimodal.decode_image(good)[:, :, 0] == 55).all()
+    # flip the compression tag (259) value to 5 (LZW) -> gated
+    lzw = bytearray(encode_tiff(img))
+    # II layout: IFD at 8; find tag 259 entry and set its value to 5
+    import struct
+
+    n = struct.unpack_from("<H", lzw, 8)[0]
+    for k in range(n):
+        off = 10 + 12 * k
+        if struct.unpack_from("<H", lzw, off)[0] == 259:
+            struct.pack_into("<I", lzw, off + 8, 5)
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(lzw))
+    rows = [
+        (0, bytearray(good)),
+        (1, bytearray(good[: len(good) - 20])),  # truncated strips
+        (2, bytearray(lzw)),  # gated compression
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "blob"]),
+        "doc_id long, blob binary",
+    )
+    got = {
+        r["doc_id"]: r["width"]
+        for r in multimodal.image_stats(df).collect()
+    }
+    assert got[0] == 8 and got[1] is None and got[2] is None
+
+
 def test_gif_local_table_and_background_compositing():
     """A frame smaller than the logical screen with a LOCAL color table
     must composite onto a background resolved through the GLOBAL table

@@ -1097,6 +1097,37 @@ def test_gif_roundtrip_property(h, w, ncol, interlace, seed):
 
 
 @given(
+    h=st.integers(1, 32),
+    w=st.integers(1, 32),
+    rgb=st.booleans(),
+    big_endian=st.booleans(),
+    rps=st.integers(0, 5),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_tiff_roundtrip_property(h, w, rgb, big_endian, rps, seed):
+    """encode_tiff -> decode_tiff is the identity over shapes, gray/RGB,
+    both byte orders, and any rows-per-strip (multi-strip reassembly):
+    uncompressed TIFF is a raw pixel container, so decode must be
+    exact."""
+    import numpy as np
+
+    from arrow_ballista_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    img = rng.randint(0, 256, size=shape).astype(np.uint8)
+    want = img if rgb else np.repeat(img[:, :, None], 3, 2)
+    out = decode_tiff(
+        encode_tiff(img, big_endian=big_endian, rows_per_strip=rps)
+    )
+    assert np.array_equal(out, want)
+
+
+@given(
     n=st.integers(4, 30),
     e=st.integers(3, 80),
     seed=st.integers(0, 2**31 - 1),
