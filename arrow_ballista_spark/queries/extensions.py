@@ -1044,6 +1044,81 @@ def ext_multimodal_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_multimodal_gif_frames",
+    f"""
+WITH px AS (
+  SELECT doc_id, f, i,
+         ascii(substring(rpad(text, 192, ' '), f * 64 + i, 1)) AS code
+  FROM documents,
+       unnest(generate_series(0, 2)) AS gf(f),
+       unnest(generate_series(1, 64)) AS gi(i)
+)
+SELECT doc_id, CAST(f AS INT) AS frame_idx,
+       CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       {R("avg(CAST(code AS DOUBLE))", 4)} AS mean_r,
+       {R("avg(CAST(code AS DOUBLE))", 4)} AS mean_g,
+       {R("avg(CAST(code AS DOUBLE))", 4)} AS mean_b
+FROM px GROUP BY doc_id, f
+""",
+    doc=(
+        "REAL 1→N video-frame extraction, driver-witnessable (r8): per "
+        "document, its first 192 text bytes become a THREE-frame 8x8 "
+        "grayscale GIF89a animation written with transparency DELTAS "
+        "(frames 2-3 encode only pixels that changed vs the previous "
+        "canvas — the real animation model), then every frame decodes "
+        "through the library-free reader (operators/multimodal.py:"
+        "decode_gif_frames — persistent canvas, graphic-control "
+        "transparency compositing, per-frame LZW) and explodes into "
+        "(doc_id, frame_idx, means) rows — the shot-sampling stage of "
+        "a video pipeline running on an actual public container "
+        "format instead of the fake_decode stub.  Oracle: the "
+        "independent byte-window SQL average per frame — delta "
+        "compositing must reconstruct each full frame exactly or the "
+        "hash breaks.  Scale shape: map-only Arrow batches; the 1→N "
+        "explosion multiplies rows, so downstream aggregation "
+        "repartitions (the module's frame-sampling note)."
+    ),
+)
+def ext_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = _docs_spread(spark, sf_dir)
+
+    def mk(batches):
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for t in pdf["text"]:
+                data = t.encode("utf-8").ljust(192, b" ")[:192]
+                frames = [
+                    np.repeat(
+                        np.frombuffer(
+                            data[f * 64 : f * 64 + 64], np.uint8
+                        ).reshape(8, 8)[:, :, None],
+                        3,
+                        axis=2,
+                    )
+                    for f in range(3)
+                ]
+                blobs.append(
+                    multimodal.encode_gif_animation(frames, delta=True)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "blob": blobs}
+            )
+
+    blobs = docs.mapInPandas(mk, "doc_id bigint, blob binary")
+    out = multimodal.gif_frame_stats(blobs)
+    return out.select(
+        "doc_id", "frame_idx", "width", "height",
+        cround("mean_r", 4).alias("mean_r"),
+        cround("mean_g", 4).alias("mean_g"),
+        cround("mean_b", 4).alias("mean_b"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming (Spark-side extension; reference is batch-only,
 # SURVEY.md §2.B.10).  Each runs the incremental plan over all available

@@ -1097,6 +1097,42 @@ def test_gif_roundtrip_property(h, w, ncol, interlace, seed):
 
 
 @given(
+    h=st.integers(1, 16),
+    w=st.integers(1, 16),
+    nf=st.integers(1, 4),
+    ncol=st.sampled_from([2, 5, 32, 120]),
+    delta=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_animation_roundtrip_property(h, w, nf, ncol, delta, seed):
+    """encode_gif_animation -> decode_gif_frames reproduces every frame
+    exactly, with and without transparency-delta encoding (pixels equal
+    to the previous canvas map to the transparent index and must
+    composite back losslessly)."""
+    import numpy as np
+
+    from arrow_ballista_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_animation,
+        gif_frame_count,
+    )
+
+    rng = np.random.RandomState(seed)
+    pal = np.stack(
+        [np.arange(ncol) % 256, (np.arange(ncol) * 5) % 256,
+         (np.arange(ncol) * 11) % 256], axis=1
+    ).astype(np.uint8)
+    frames = [pal[rng.randint(0, ncol, (h, w))] for _ in range(nf)]
+    blob = encode_gif_animation(frames, delta=delta)
+    got = list(decode_gif_frames(blob))
+    assert gif_frame_count(blob) == nf
+    assert len(got) == nf
+    for a, b in zip(got, frames):
+        assert np.array_equal(a, b)
+
+
+@given(
     h=st.integers(1, 32),
     w=st.integers(1, 32),
     rgb=st.booleans(),

@@ -30,6 +30,7 @@ QUERIES = sys.argv[1:] or [
     "ext_multimodal_mulaw_stats",
     "ext_multimodal_png_stats",
     "ext_multimodal_tiff_stats",
+    "ext_multimodal_gif_frames",
 ]
 FIXTURES = [("sf0.1", "/root/testdata/sf0.1"), ("10x", "/tmp/scale10x")]
 
