@@ -107,6 +107,55 @@ def decode_bmp(blob: bytes):
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+def _packbits_decode(data: bytes) -> bytes:
+    """PackBits RLE decode (TIFF 6.0 §9 / the classic Apple scheme):
+    n in 0..127 -> copy n+1 literal bytes; n in -127..-1 -> repeat the
+    next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if n >= 0:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n != -128:
+            if i >= len(data):
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[i]]) * (1 - n)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits RLE encode — the fixture twin of :func:`_packbits_decode`
+    (repeat runs of length >= 3, literals otherwise)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find a repeat run
+        j = i
+        while j + 1 < n and data[j + 1] == data[i] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 3:
+            out += bytes([(256 - (run - 1)) & 0xFF, data[i]])
+            i = j + 1
+            continue
+        # literal stretch: until the next >=3 repeat run (max 128)
+        k = i
+        while k < n and k - i < 128:
+            if (
+                k + 2 < n
+                and data[k] == data[k + 1] == data[k + 2]
+            ):
+                break
+            k += 1
+        out += bytes([k - i - 1]) + data[i:k]
+        i = k
+    return bytes(out)
+
+
 _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     262: "photometric", 273: "strip_offsets", 277: "spp",
@@ -121,7 +170,8 @@ def decode_tiff(blob: bytes):
     Supports the uncompressed baseline shapes scanned-document corpora
     carry: either byte order (II/MM), 8-bit grayscale (photometric 0/1,
     with 0 = WhiteIsZero inverted) or RGB (photometric 2), strip
-    layout (any rows-per-strip).  Compressed TIFF (LZW/PackBits/JPEG),
+    layout (any rows-per-strip), uncompressed or PackBits RLE
+    (compression 32773, TIFF 6.0 §9).  Other compressions (LZW/JPEG),
     tiles, and non-8-bit depths raise ``NotImplementedError``.
     Returns an (h, w, 3) uint8 RGB array (gray replicates — the
     :func:`decode_png` contract).  Only the FIRST IFD (first page) is
@@ -159,10 +209,10 @@ def decode_tiff(blob: bytes):
         if req not in tags:
             raise ValueError(f"TIFF missing required tag {req}")
     comp = tags.get("compression", [1])[0]
-    if comp != 1:
+    if comp not in (1, 32773):
         raise NotImplementedError(
-            f"only uncompressed baseline TIFF is library-free "
-            f"(compression {comp})"
+            f"only uncompressed and PackBits baseline TIFF are "
+            f"library-free (compression {comp})"
         )
     bits = tags.get("bits", [8])
     if any(b != 8 for b in bits):
@@ -176,7 +226,8 @@ def decode_tiff(blob: bytes):
         )
     raw = bytearray()
     for off, cnt in zip(tags["strip_offsets"], tags["strip_counts"]):
-        raw += blob[off : off + cnt]
+        strip = blob[off : off + cnt]
+        raw += _packbits_decode(strip) if comp == 32773 else strip
     if len(raw) < w * h * spp:
         raise ValueError("truncated TIFF strip data")
     img = np.frombuffer(bytes(raw), np.uint8, w * h * spp).reshape(
@@ -191,7 +242,7 @@ def decode_tiff(blob: bytes):
 
 def encode_tiff(
     img, big_endian: bool = False, rows_per_strip: int = 0,
-    white_is_zero: bool = False,
+    white_is_zero: bool = False, packbits: bool = False,
 ) -> bytes:
     """Minimal baseline TIFF 6.0 writer (fixture/test helper): 8-bit
     grayscale ((h, w)) or RGB ((h, w, 3)), uncompressed strips in
@@ -217,10 +268,13 @@ def encode_tiff(
         data[r * row_bytes : min(r + rps, h) * row_bytes]
         for r in range(0, h, rps)
     ]
+    if packbits:
+        strips = [_packbits_encode(srow) for srow in strips]
     photo = (0 if white_is_zero else 1) if gray else 2
     entries = [  # (tag, type, count, value-or-values)
         (256, 4, 1, [w]), (257, 4, 1, [h]),
-        (258, 3, spp, [8] * spp), (259, 3, 1, [1]),
+        (258, 3, spp, [8] * spp),
+        (259, 3, 1, [32773 if packbits else 1]),
         (262, 3, 1, [photo]), (277, 3, 1, [spp]),
         (278, 4, 1, [rps]),
     ]

@@ -1138,14 +1138,18 @@ def test_gif_animation_roundtrip_property(h, w, nf, ncol, delta, seed):
     rgb=st.booleans(),
     big_endian=st.booleans(),
     rps=st.integers(0, 5),
+    packbits=st.booleans(),
+    runs=st.booleans(),
     seed=st.integers(0, 2**31 - 1),
 )
 @settings(max_examples=40, deadline=None)
-def test_tiff_roundtrip_property(h, w, rgb, big_endian, rps, seed):
+def test_tiff_roundtrip_property(
+    h, w, rgb, big_endian, rps, packbits, runs, seed
+):
     """encode_tiff -> decode_tiff is the identity over shapes, gray/RGB,
-    both byte orders, and any rows-per-strip (multi-strip reassembly):
-    uncompressed TIFF is a raw pixel container, so decode must be
-    exact."""
+    both byte orders, any rows-per-strip (multi-strip reassembly), and
+    PackBits RLE on/off (run-heavy AND incompressible pixels): TIFF is
+    a raw/losslessly-packed pixel container, so decode must be exact."""
     import numpy as np
 
     from arrow_ballista_spark.operators.multimodal import (
@@ -1155,10 +1159,14 @@ def test_tiff_roundtrip_property(h, w, rgb, big_endian, rps, seed):
 
     rng = np.random.RandomState(seed)
     shape = (h, w, 3) if rgb else (h, w)
-    img = rng.randint(0, 256, size=shape).astype(np.uint8)
+    if runs:  # few values -> long RLE runs
+        img = (rng.randint(0, 3, size=shape) * 100).astype(np.uint8)
+    else:  # incompressible -> literal-heavy PackBits
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
     want = img if rgb else np.repeat(img[:, :, None], 3, 2)
     out = decode_tiff(
-        encode_tiff(img, big_endian=big_endian, rows_per_strip=rps)
+        encode_tiff(img, big_endian=big_endian, rows_per_strip=rps,
+                    packbits=packbits)
     )
     assert np.array_equal(out, want)
 
