@@ -364,6 +364,39 @@ def _g711_alaw_table():
     return out
 
 
+# IMA ADPCM tables (the public Interactive Multimedia Association /
+# DVI algorithm; also IETF-documented in RFC 3551 §4.5.1 as DVI4)
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_nibble(pred: int, idx: int, n: int) -> tuple[int, int]:
+    """One IMA ADPCM step — the canonical bit-exact update (truncating
+    shifts, NOT the (2m+1)*step/8 approximation): returns the new
+    (predictor, step index)."""
+    step = _IMA_STEPS[idx]
+    diff = step >> 3
+    if n & 1:
+        diff += step >> 2
+    if n & 2:
+        diff += step >> 1
+    if n & 4:
+        diff += step
+    pred = pred - diff if n & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[n]))
+    return pred, idx
+
+
 def decode_wav(blob: bytes):
     """Decode RIFF/WAVE — pure struct/numpy: PCM (8/16/32-bit int,
     format tag 1) plus the G.711 companded telephony formats (A-law
@@ -378,7 +411,7 @@ def decode_wav(blob: bytes):
 
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
-    i, fmt, data = 12, None, None
+    i, fmt, data, fact = 12, None, None, None
     while i + 8 <= len(blob):
         cid, size = blob[i : i + 4], struct.unpack_from("<I", blob, i + 4)[0]
         body = blob[i + 8 : i + 8 + size]
@@ -386,6 +419,8 @@ def decode_wav(blob: bytes):
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:  # true sample count (ADPCM)
+            fact = struct.unpack_from("<I", body, 0)[0]
         i += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
@@ -402,10 +437,40 @@ def decode_wav(blob: bytes):
         codes = np.frombuffer(data, np.uint8)
         codes = codes[: (len(codes) // n_ch) * n_ch].reshape(-1, n_ch)
         return lut[codes].astype(np.float64) / 32768.0, rate
+    if audio_format == 0x11:  # IMA ADPCM (DVI4)
+        block_align = fmt[4]
+        if n_ch != 1:
+            raise NotImplementedError(
+                "multi-channel IMA ADPCM not supported (mono only)"
+            )
+        if bits != 4:
+            raise ValueError(
+                f"IMA ADPCM WAV must declare 4 bits (fmt says {bits})"
+            )
+        if block_align < 5:
+            raise ValueError("IMA ADPCM block_align too small")
+        out = []
+        b0 = 0
+        while b0 + 5 <= len(data):  # final block may be partial
+            block = data[b0 : b0 + block_align]
+            pred = struct.unpack_from("<h", block, 0)[0]
+            idx = min(88, block[2])
+            out.append(pred)
+            for byte in block[4:]:
+                for n in (byte & 0x0F, byte >> 4):  # low nibble first
+                    pred, idx = _ima_decode_nibble(pred, idx, n)
+                    out.append(pred)
+            b0 += block_align
+        if not out:
+            raise ValueError("IMA ADPCM data shorter than one block")
+        if fact is not None:  # drop pad-nibble samples past the count
+            out = out[:fact]
+        samples = np.array(out, np.float64).reshape(-1, 1) / 32768.0
+        return samples, rate
     if audio_format != 1:
         raise NotImplementedError(
-            f"only PCM and G.711 WAV are library-free (format tag "
-            f"{audio_format})"
+            f"only PCM, G.711, and IMA-ADPCM WAV are library-free "
+            f"(format tag {audio_format})"
         )
     dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
     raw = np.frombuffer(data, dtype=dtype)
@@ -1203,6 +1268,69 @@ def image_stats(
             )
 
     return df.select(id_col, "blob").mapInPandas(fe, IMAGE_STATS_SCHEMA)
+
+
+def encode_adpcm_wav(
+    samples, rate: int = 8000, block_samples: int = None
+) -> bytes:
+    """Minimal mono IMA-ADPCM WAV writer (fixture/test helper): the
+    canonical greedy nibble encoder (compare-subtract against step,
+    step/2, step/4), state updated through the SAME
+    :func:`_ima_decode_nibble` the decoder uses, step index carried
+    across blocks.  ``samples`` are int16 values; each block holds
+    ``block_samples`` (default: all) — first sample in the header,
+    the rest as nibbles (padded to a whole byte)."""
+    import struct
+
+    samples = [int(s) for s in samples]
+    if not samples:
+        raise ValueError("encode_adpcm_wav needs at least one sample")
+    block_samples = block_samples or len(samples)
+    blocks = [
+        samples[i : i + block_samples]
+        for i in range(0, len(samples), block_samples)
+    ]
+    idx = 0
+    data = bytearray()
+    for blk in blocks:
+        pred = blk[0]
+        data += struct.pack("<hBB", pred, idx, 0)
+        nibbles = []
+        for s in blk[1:]:
+            step = _IMA_STEPS[idx]
+            delta = s - pred
+            n = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                n |= 4
+                delta -= step
+            if delta >= step >> 1:
+                n |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                n |= 1
+            pred, idx = _ima_decode_nibble(pred, idx, n)
+            nibbles.append(n)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            data.append(lo | (hi << 4))
+    # block_align = header + nibble bytes (pairs, rounded up)
+    block_align = 4 + -(-(block_samples - 1) // 2)
+    fmt = struct.pack(
+        "<HHIIHH", 0x11, 1, rate, rate // 2, block_align, 4
+    )
+    fact = struct.pack("<I", len(samples))  # true count (trims pads)
+    return (
+        b"RIFF"
+        + struct.pack(
+            "<I", 4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(data)
+        )
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
+    )
 
 
 GIF_FRAME_STATS_SCHEMA = (

@@ -1047,6 +1047,118 @@ def ext_multimodal_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ima_oracle() -> str:
+    """Generated recursive-CTE oracle for IMA ADPCM: the step/index
+    tables embed as VALUES (from the same module constants the decoder
+    uses) and the stateful nibble chain replays sample-by-sample via
+    WITH RECURSIVE — (predictor, step index) carried per document
+    through 96 iterations of the bit-exact truncating-shift update."""
+    from arrow_ballista_spark.operators.multimodal import (
+        _IMA_INDEX,
+        _IMA_STEPS,
+    )
+
+    steps = ", ".join(f"({i}, {s})" for i, s in enumerate(_IMA_STEPS))
+    idxs = ", ".join(f"({n}, {d})" for n, d in enumerate(_IMA_INDEX))
+    return f"""
+WITH RECURSIVE steps(i, s) AS (
+  VALUES {steps}
+), it(n, d) AS (
+  VALUES {idxs}
+), nib AS (
+  SELECT doc_id, k,
+         CASE WHEN (k - 1) % 2 = 0
+              THEN ascii(substring(rpad(text, 48, ' '),
+                                   (k + 1) // 2, 1)) % 16
+              ELSE ascii(substring(rpad(text, 48, ' '),
+                                   k // 2, 1)) // 16
+         END AS n
+  FROM documents, unnest(generate_series(1, 96)) AS g(k)
+), dec(doc_id, k, pred, idx) AS (
+  SELECT doc_id, 0, 0, 0 FROM documents
+  UNION ALL
+  SELECT d.doc_id, d.k + 1,
+         GREATEST(-32768, LEAST(32767,
+           d.pred + (CASE WHEN nb.n >= 8 THEN -1 ELSE 1 END) *
+             ((st.s >> 3)
+              + CASE WHEN (nb.n % 8) >= 4 THEN st.s ELSE 0 END
+              + CASE WHEN (nb.n % 4) >= 2 THEN (st.s >> 1) ELSE 0 END
+              + CASE WHEN (nb.n % 2) = 1 THEN (st.s >> 2) ELSE 0 END))),
+         GREATEST(0, LEAST(88, d.idx + it.d))
+  FROM dec d
+  JOIN nib nb ON nb.doc_id = d.doc_id AND nb.k = d.k + 1
+  JOIN steps st ON st.i = d.idx
+  JOIN it ON it.n = nb.n
+  WHERE d.k < 96
+), f AS (
+  SELECT doc_id, CAST(pred AS DOUBLE) / 32768.0 AS sv FROM dec
+)
+SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+       CAST(97 AS BIGINT) AS n_frames, CAST(1 AS INT) AS n_channels,
+       {R("sqrt(avg(sv * sv))", 6)} AS rms,
+       {R("max(abs(sv))", 6)} AS peak
+FROM f GROUP BY doc_id
+"""
+
+
+@query(
+    "ext_multimodal_adpcm_stats",
+    _ima_oracle(),
+    doc=(
+        "REAL IMA ADPCM (DVI4) decode, driver-witnessable (r8 — the "
+        "STATEFUL compressed-audio sibling of the G.711 entry): per "
+        "document, its first 48 text bytes become the raw nibble "
+        "stream of a mono format-tag-0x11 WAV block (predictor 0, "
+        "step index 0), decoded through the library-free reader "
+        "(operators/multimodal.py:decode_wav — block walk, low-nibble-"
+        "first order, the canonical truncating-shift predictor update "
+        "with int16 clamp and 0..88 index clamp) into RMS/peak.  The "
+        "oracle replays the SAME stateful chain in SQL: step/index "
+        "tables as VALUES and a WITH RECURSIVE carrying (predictor, "
+        "index) through 96 bit-exact iterations per document — every "
+        "sample must match or the hash breaks (the unrolled-PageRank "
+        "precedent, taken to per-sample state).  Lossy-codec fidelity "
+        "(the greedy encoder, block restarts, fact-chunk trim) is "
+        "pinned by unit tests against an independent scalar reference.  "
+        "Map-only Arrow batches."
+    ),
+)
+def ext_multimodal_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    import pandas as pd
+
+    docs = _docs_spread(spark, sf_dir)
+
+    def mk(batches):
+        fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 4000, 52, 4)
+        for pdf in batches:
+            blobs = []
+            for t in pdf["text"]:
+                data = (
+                    struct.pack("<hBB", 0, 0, 0)
+                    + t.encode("utf-8").ljust(48, b" ")[:48]
+                )
+                blobs.append(
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "blob": blobs}
+            )
+
+    blobs = docs.mapInPandas(mk, "doc_id bigint, blob binary")
+    out = multimodal.audio_stats(blobs)
+    return out.select(
+        "doc_id", "sample_rate", "n_frames", "n_channels",
+        cround("rms", 6).alias("rms"),
+        cround("peak", 6).alias("peak"),
+    )
+
+
 @query(
     "ext_multimodal_gif_frames",
     f"""

@@ -1520,6 +1520,61 @@ def test_tiff_gating_and_degradation(spark):
     assert got[0] == 8 and got[1] is None and got[2] is None
 
 
+def test_ima_adpcm_decode_and_encoder_roundtrip():
+    """IMA ADPCM decode must match an independent scalar reference on a
+    random nibble stream (bit-exact stateful chain, nonzero header
+    state); encode -> decode must track a smooth signal closely, the
+    fact chunk must trim pad-nibble samples to the true count, and
+    multi-block streams must restart from each block header."""
+    import struct
+
+    import numpy as np
+
+    from arrow_ballista_spark.operators.multimodal import (
+        _IMA_INDEX,
+        _IMA_STEPS,
+        decode_wav,
+        encode_adpcm_wav,
+    )
+
+    rng = np.random.RandomState(7)
+    codes = bytes(rng.randint(0, 256, 48, dtype=np.uint8).tolist())
+    data = struct.pack("<hBB", 123, 5, 0) + codes
+    fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 4000, 52, 4)
+    wav = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    s, rate = decode_wav(wav)
+    pred, idx = 123, 5
+    ref = [pred]
+    for byte in codes:
+        for n in (byte & 15, byte >> 4):
+            step = _IMA_STEPS[idx]
+            diff = step >> 3
+            if n & 1:
+                diff += step >> 2
+            if n & 2:
+                diff += step >> 1
+            if n & 4:
+                diff += step
+            pred = pred - diff if n & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + _IMA_INDEX[n]))
+            ref.append(pred)
+    assert rate == 8000
+    assert np.array_equal((s[:, 0] * 32768).astype(int), np.array(ref))
+
+    t = np.arange(300)
+    sig = (8000 * np.sin(t / 10.0)).astype(np.int16)
+    dec, _ = decode_wav(encode_adpcm_wav(sig, block_samples=101))
+    assert dec.shape == (300, 1)  # fact chunk trims the pad nibbles
+    # after the cold-start ramp the tracker stays within a few steps
+    err = np.abs(dec[50:, 0] * 32768 - sig[50:])
+    assert err.max() < 2000
+
+
 def test_gif_local_table_and_background_compositing():
     """A frame smaller than the logical screen with a LOCAL color table
     must composite onto a background resolved through the GLOBAL table

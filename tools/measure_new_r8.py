@@ -31,6 +31,7 @@ QUERIES = sys.argv[1:] or [
     "ext_multimodal_png_stats",
     "ext_multimodal_tiff_stats",
     "ext_multimodal_gif_frames",
+    "ext_multimodal_adpcm_stats",
 ]
 FIXTURES = [("sf0.1", "/root/testdata/sf0.1"), ("10x", "/tmp/scale10x")]
 
