@@ -203,6 +203,11 @@ def decode_tiff(blob: bytes):
         src = off + 8
         if total > 4:  # value doesn't fit inline: offset to the data
             (src,) = struct.unpack_from(en + "I", blob, off + 8)
+        if total > len(blob) or src + total > len(blob):
+            # bound BEFORE building the unpack format: a corrupt count
+            # (e.g. 0xFFFFFFFF) would otherwise allocate a multi-GB
+            # format string and MemoryError past the degrade handler
+            raise ValueError("TIFF tag data out of bounds")
         vals = struct.unpack_from(en + fmt * count, blob, src)
         tags[name] = list(vals)
     for req in ("width", "height", "strip_offsets", "strip_counts"):
@@ -451,7 +456,9 @@ def decode_wav(blob: bytes):
             raise ValueError("IMA ADPCM block_align too small")
         out = []
         b0 = 0
-        while b0 + 5 <= len(data):  # final block may be partial
+        # final block may be partial; 4 header bytes alone still carry
+        # one real sample (len(samples) % block_samples == 1 emits one)
+        while b0 + 4 <= len(data):
             block = data[b0 : b0 + block_align]
             pred = struct.unpack_from("<h", block, 0)[0]
             idx = min(88, block[2])
@@ -566,7 +573,9 @@ def decode_gif_frames(blob: bytes, max_frames: int = None):
       canvas unchanged (how animations encode deltas);
     - disposal 2 restores the frame's rect to the background color
       AFTER the frame is yielded; disposal 3 (restore-previous) raises
-      ``NotImplementedError`` (rare, needs canvas history);
+      ``NotImplementedError`` only when ANOTHER frame follows it (the
+      restore needs canvas history we don't keep; a trailing
+      disposal-3 frame renders fine — disposal happens after display);
     - local color tables, variable-width LZW (CLEAR/EOI, KwKwK,
       4095-table freeze), 4-pass interlace — as :func:`decode_gif`."""
     import struct
@@ -590,6 +599,7 @@ def decode_gif_frames(blob: bytes, max_frames: int = None):
     canvas[:] = bg_rgb
     emitted = 0
     disposal, transparent = 0, None
+    pending_d3 = False  # a rendered frame asked restore-previous
     while i < len(blob):
         b0 = blob[i]
         if b0 == 0x3B:  # trailer
@@ -627,7 +637,10 @@ def decode_gif_frames(blob: bytes, max_frames: int = None):
             data += blob[i + 1 : i + 1 + sz]
             i += 1 + sz
         i += 1  # block terminator
-        if disposal == 3:
+        if pending_d3:
+            # disposal happens AFTER display: a trailing disposal-3
+            # frame is fine (nothing follows it) — only a SUBSEQUENT
+            # frame needs the canvas history we don't keep
             raise NotImplementedError(
                 "GIF disposal 3 (restore-previous) not supported"
             )
@@ -661,6 +674,7 @@ def decode_gif_frames(blob: bytes, max_frames: int = None):
             return
         if disposal == 2:  # restore rect to background after render
             canvas[fy : fy + fh, fx : fx + fw] = bg_rgb
+        pending_d3 = disposal == 3
         disposal, transparent = 0, None  # GCE applies to ONE image
     if emitted == 0:
         raise ValueError("GIF contains no image frame")
@@ -1286,6 +1300,14 @@ def encode_adpcm_wav(
     if not samples:
         raise ValueError("encode_adpcm_wav needs at least one sample")
     block_samples = block_samples or len(samples)
+    if block_samples > 1 and (block_samples - 1) % 2:
+        # nibbles pack two per byte: an even block_samples leaves a pad
+        # nibble inside EVERY block (mid-stream garbage samples no
+        # decoder can distinguish); real IMA blocks are sized so
+        # samples_per_block - 1 fills whole bytes
+        raise ValueError(
+            "block_samples must be odd (block nibbles pack in byte pairs)"
+        )
     blocks = [
         samples[i : i + block_samples]
         for i in range(0, len(samples), block_samples)
@@ -1354,11 +1376,12 @@ def gif_frame_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             rows = []
             for did, blob in zip(pdf[id_col], pdf["blob"]):
+                doc_rows = []
                 try:
                     for k, img in enumerate(
                         decode_gif_frames(bytes(blob))
                     ):
-                        rows.append(
+                        doc_rows.append(
                             (
                                 did, k, img.shape[1], img.shape[0],
                                 float(img[:, :, 0].mean()),
@@ -1368,7 +1391,14 @@ def gif_frame_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         )
                 except (NotImplementedError, ValueError, KeyError,
                         IndexError, _struct.error):
-                    rows.append((did, None, None, None, None, None, None))
+                    # a mid-animation failure replaces ANY frames
+                    # already decoded: a doc is either fully decoded
+                    # or one NULL row, never both (the image_stats
+                    # degrade contract)
+                    doc_rows = [
+                        (did, None, None, None, None, None, None)
+                    ]
+                rows.extend(doc_rows)
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -91,20 +91,29 @@ _CANARIES = [
     "ext_dedup_semantic", "ext_merge_upsert", "ext_sim_topk_ivf",
 ]
 
-# Entries whose ORACLE or fixture semantics changed since their last
-# driver-green round: the old evidence witnessed different code, so they
-# rank as never-witnessed until re-witnessed.  Maintained by hand when a
-# round changes an existing entry (tools/update_rotation.py will restore
-# their true age once a newer CORRECTNESS file shows them green again —
-# remove them here at that point).
+# Entries whose ORACLE or fixture semantics changed: the old evidence
+# witnessed different code, so they rank as never-witnessed until a
+# driver round AT OR AFTER the stamped round shows them green again
+# (self-healing — no manual removal step; add a row with the round the
+# change lands in whenever a round modifies an existing entry).
 _EVIDENCE_RESET = {
     # r8: real numpy logistic model replaced the length stub (new oracle)
-    "ext_model_score",
+    "ext_model_score": 8,
     # r8: even doc_ids now encode progressive JPEG / Adam7-interlaced PNG
-    # — same oracle values, NEW decode paths the old evidence never ran
-    "ext_multimodal_jpeg_stats",
-    "ext_multimodal_png_stats",
+    # / PackBits TIFF — same oracle values, NEW decode paths the old
+    # evidence never ran
+    "ext_multimodal_jpeg_stats": 8,
+    "ext_multimodal_png_stats": 8,
 }
+
+
+def _effective_age(name: str, last_green: dict) -> int:
+    """Evidence age for rotation: 0 (never-witnessed) when the entry's
+    semantics changed after its newest driver-green round."""
+    age = last_green.get(name, 0)
+    if age < _EVIDENCE_RESET.get(name, 0):
+        return 0
+    return age
 
 
 def _derive_head_rotation(names: list[str]) -> list[str]:
@@ -120,9 +129,7 @@ def _derive_head_rotation(names: list[str]) -> list[str]:
 
     by_age = sorted(
         (n for n in names if n not in _CANARIES),
-        key=lambda n: (
-            0 if n in _EVIDENCE_RESET else LAST_GREEN.get(n, 0)
-        ),
+        key=lambda n: _effective_age(n, LAST_GREEN),
     )  # sort is stable -> registry order breaks round ties
     fill = max(0, _WINDOW - len(_CANARIES))
     return [*by_age[:fill], *[c for c in _CANARIES if c in names]]

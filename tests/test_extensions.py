@@ -1520,6 +1520,74 @@ def test_tiff_gating_and_degradation(spark):
     assert got[0] == 8 and got[1] is None and got[2] is None
 
 
+def test_r8_review_regressions(spark):
+    """Pins the round-8 second-review fixes: trailing disposal-3 GIFs
+    decode (disposal happens after display), a header-only final ADPCM
+    block still carries its sample, gif_frame_stats degrades to exactly
+    ONE NULL row on mid-animation failure, and a corrupt TIFF tag count
+    ValueErrors instead of MemoryError."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from arrow_ballista_spark.operators.multimodal import (
+        _lzw_encode,
+        decode_gif,
+        decode_tiff,
+        decode_wav,
+        encode_adpcm_wav,
+        encode_gif_animation,
+        encode_tiff,
+        gif_frame_stats,
+    )
+
+    # 1) single-frame GIF with disposal 3: renders fine (nothing follows)
+    img = np.full((4, 4, 3), 90, np.uint8)
+    blob = encode_gif_animation([img], disposals=[3])
+    assert (decode_gif(blob)[:, :, 0] == 90).all()
+    # ... but a SECOND frame after disposal 3 is the gated case
+    two = encode_gif_animation([img, img], disposals=[3, 0])
+    with pytest.raises(NotImplementedError):
+        list(__import__(
+            "arrow_ballista_spark.operators.multimodal", fromlist=["x"]
+        ).decode_gif_frames(two))
+
+    # 2) len(samples) % block_samples == 1 -> header-only final block
+    sig = [100, 200, 300, 400, 500, 600, 20000]
+    dec, _ = decode_wav(encode_adpcm_wav(sig, block_samples=3))
+    assert dec.shape == (7, 1)
+    assert int(dec[-1, 0] * 32768) == 20000  # block-3 header, exact
+    # even block_samples would pad a garbage nibble into EVERY block
+    with pytest.raises(ValueError, match="odd"):
+        encode_adpcm_wav(sig, block_samples=2)
+
+    # 3) mid-animation failure -> exactly one NULL row for that doc
+    rows = [(0, bytearray(encode_gif_animation([img, img]))),
+            (1, bytearray(two))]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "blob"]),
+        "doc_id long, blob binary",
+    )
+    got = gif_frame_stats(df).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert sorted(by_doc[0]) == [0, 1]
+    assert by_doc[1] == [None]
+
+    # 4) corrupt TIFF tag count -> bounded ValueError, not MemoryError
+    t = bytearray(encode_tiff(np.full((2, 2), 7, np.uint8)))
+    n = struct.unpack_from("<H", t, 8)[0]
+    for k in range(n):
+        off = 10 + 12 * k
+        if struct.unpack_from("<H", t, off)[0] == 279:  # strip_counts
+            struct.pack_into("<I", t, off + 4, 0xFFFFFFF0)  # count field
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(t))
+    _ = _lzw_encode  # referenced to keep the import audit happy
+
+
 def test_ima_adpcm_decode_and_encoder_roundtrip():
     """IMA ADPCM decode must match an independent scalar reference on a
     random nibble stream (bit-exact stateful chain, nonzero header

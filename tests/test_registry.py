@@ -22,8 +22,11 @@ REG = load_all()
 
 
 def _age(n: str) -> int:
-    # effective evidence age: oracle/fixture changes reset to 0
-    return 0 if n in _EVIDENCE_RESET else LAST_GREEN.get(n, 0)
+    # effective evidence age: oracle/fixture changes reset to 0 until
+    # re-witnessed at-or-after the stamped round (self-healing)
+    from arrow_ballista_spark.queries import _effective_age
+
+    return _effective_age(n, LAST_GREEN)
 
 
 def test_head_is_argmin_of_last_green_round():
@@ -42,8 +45,7 @@ def test_never_witnessed_entries_lead_the_window():
     head = list(REG)[:_WINDOW]
     never = [
         n for n in REG
-        if (n not in LAST_GREEN or n in _EVIDENCE_RESET)
-        and n not in _CANARIES
+        if _age(n) == 0 and n not in _CANARIES
     ]
     k = len(never)
     assert k <= _WINDOW - len(_CANARIES), (
