@@ -10,7 +10,7 @@ The reference has no multimodal surface; this is a north-star extension
   ``mapInPandas`` stages (one Python worker per partition, whole batches
   over Arrow — never row-at-a-time UDFs);
 - decode is REAL for library-free formats — P6 PPM, uncompressed 24-bit
-  BMP, 8-bit PNG incl. Adam7 interlace (stdlib zlib), sequential AND
+  BMP, 8/16-bit PNG incl. Adam7 interlace (stdlib zlib), sequential AND
   progressive JPEG (ITU T.81 Huffman + IDCT + Annex G,
   ``operators/jpeg.py``), PCM WAV — all value-oracled; only the
   remaining codecs (WebP/MP3, arithmetic/12-bit JPEG)
@@ -889,15 +889,19 @@ _ADAM7 = (
 )
 
 
-def _png_unfilter(raw: bytes, pos: int, h: int, w: int, nch: int):
+def _png_unfilter(
+    raw: bytes, pos: int, h: int, w: int, nch: int, sbytes: int = 1
+):
     """Reverse per-row filters over one (sub-)image of ``h`` scanlines of
     ``w`` pixels starting at ``pos`` in the inflated stream; returns
-    ``((h, w*nch) uint8 array, next pos)``.  The shared kernel behind
-    the non-interlaced path (one call) and Adam7 (one call per pass —
-    each pass's filter chain is independent, RFC 2083 §8.2)."""
+    ``((h, w*nch*sbytes) uint8 array, next pos)``.  The shared kernel
+    behind the non-interlaced path (one call) and Adam7 (one call per
+    pass — each pass's filter chain is independent, RFC 2083 §8.2).
+    ``sbytes`` = bytes per sample (2 for 16-bit depth: PNG filters
+    operate on BYTES with bpp = channels * sample bytes)."""
     import numpy as np
 
-    stride, bpp = w * nch, nch
+    stride, bpp = w * nch * sbytes, nch * sbytes
     if len(raw) - pos < (stride + 1) * h:
         raise ValueError("truncated PNG scanline data")
     out = np.zeros((h, stride), np.uint8)
@@ -946,13 +950,15 @@ def decode_png(blob: bytes):
     types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
     non-interlaced OR Adam7-interlaced (RFC 2083 §8.2: seven pass
     sub-images, each with its own filter chain, reassembled by the
-    pass geometry).  Returns an (h, w, 3) uint8 RGB array — gray
+    pass geometry), 8- or 16-bit depth.  Returns an (h, w, 3) uint8 RGB array — gray
     replicates, alpha is DROPPED (not composited), palette indices
     resolve through PLTE.  All five row filters (None/Sub/Up/Average/
     Paeth) are reversed; Sub is vectorized per byte lane (cumsum mod
     256), Average/Paeth are inherently sequential in x and run as
     scalar loops — fine for thumbnails/fixtures; a production hot path
-    would use a C codec.  16-bit depth raises ``NotImplementedError``."""
+    would use a C codec.  16-bit depth decodes via the byte-wise
+    filters (bpp = channels*2, RFC 2083 §6.2) and returns the
+    big-endian HIGH byte per sample (the standard 8-bit downscale)."""
     import struct
     import zlib
 
@@ -977,30 +983,35 @@ def decode_png(blob: bytes):
     if hdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = hdr
-    if depth != 8 or comp != 0 or filt != 0:
+    if depth not in (8, 16) or comp != 0 or filt != 0:
         raise NotImplementedError(
             f"PNG depth={depth}/compression={comp}/filter-method={filt} "
-            "not supported library-free (8-bit, method 0 only)"
+            "not supported library-free (8/16-bit, method 0 only)"
         )
+    if depth == 16 and color == 3:
+        raise ValueError("16-bit palette PNG is not a legal combination")
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if nch is None:
         raise ValueError(f"bad PNG color type {color}")
+    sb = depth // 8
     raw = zlib.decompress(b"".join(idat))
     if interlace == 0:
-        out, _ = _png_unfilter(raw, 0, h, w, nch)
-        img = out.reshape(h, w, nch)
+        out, _ = _png_unfilter(raw, 0, h, w, nch, sb)
+        img = out.reshape(h, w, nch * sb)
     elif interlace == 1:  # Adam7 (RFC 2083 §8.2): 7 sub-image passes
-        img = np.zeros((h, w, nch), np.uint8)
+        img = np.zeros((h, w, nch * sb), np.uint8)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # empty pass carries NO bytes, not even filters
-            sub, pos = _png_unfilter(raw, pos, ph, pw, nch)
-            img[y0::dy, x0::dx] = sub.reshape(ph, pw, nch)
+            sub, pos = _png_unfilter(raw, pos, ph, pw, nch, sb)
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, nch * sb)
     else:
         raise ValueError(f"bad PNG interlace method {interlace}")
+    if sb == 2:  # 16-bit: big-endian samples -> high byte (8-bit view)
+        img = img.reshape(h, w, nch, 2)[:, :, :, 0]
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
@@ -1055,7 +1066,9 @@ def _png_filter_rows(rows, filters, bpp: int) -> bytearray:
     return raw
 
 
-def encode_png(img, filters=(0,), interlace: bool = False) -> bytes:
+def encode_png(
+    img, filters=(0,), interlace: bool = False, depth16: bool = False
+) -> bytes:
     """Minimal RGB8 PNG writer (stdlib zlib) — fixture/test helper so the
     decode path can be driven with REAL deflate streams and every row
     filter.  ``filters`` cycles per row over the five spec filter types;
@@ -1070,7 +1083,13 @@ def encode_png(img, filters=(0,), interlace: bool = False) -> bytes:
 
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w, nch = img.shape
-    assert nch == 3, "encode_png writes color type 2 (RGB8) only"
+    assert nch == 3, "encode_png writes color type 2 (RGB) only"
+    if depth16:
+        # each 8-bit sample v widens to the 16-bit big-endian v<<8|v
+        # (both bytes v), so decode's high-byte downscale round-trips
+        wide = np.repeat(img[:, :, :, None], 2, axis=3)
+        img = wide.reshape(h, w, 6)
+    bpp = 6 if depth16 else 3
     if interlace:
         raw = bytearray()
         for x0, y0, dx, dy in _ADAM7:
@@ -1078,10 +1097,10 @@ def encode_png(img, filters=(0,), interlace: bool = False) -> bytes:
             if sub.shape[0] == 0 or sub.shape[1] == 0:
                 continue  # empty pass: no bytes at all
             raw += _png_filter_rows(
-                sub.reshape(sub.shape[0], -1), filters, 3
+                sub.reshape(sub.shape[0], -1), filters, bpp
             )
     else:
-        raw = _png_filter_rows(img.reshape(h, -1), filters, 3)
+        raw = _png_filter_rows(img.reshape(h, -1), filters, bpp)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -1091,7 +1110,10 @@ def encode_png(img, filters=(0,), interlace: bool = False) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 16 if depth16 else 8, 2, 0, 0,
+        1 if interlace else 0,
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -1113,7 +1135,7 @@ def resize_nearest(img, out_w: int, out_h: int):
 
 def decode_image(blob: bytes) -> object:
     """Image decode: REAL for library-free formats — P6 PPM, uncompressed
-    24-bit BMP, 8-bit PNG incl. Adam7 interlace (stdlib zlib inflate +
+    24-bit BMP, 8/16-bit PNG incl. Adam7 interlace (stdlib zlib inflate +
     filter reversal), sequential+progressive JPEG (ITU T.81 Huffman
     + IDCT + Annex G, ``operators/jpeg.py`` — SOF0/SOF1/SOF2,
     gray/YCbCr, 4:4:4/4:2:2/4:2:0, restart markers), GIF87a/89a

@@ -643,7 +643,9 @@ FROM px GROUP BY doc_id
         "FIVE spec filters (None/Sub/Up/Average/Paeth); even doc_ids "
         "write the Adam7 interlaced layout (RFC 2083 §8.2: seven pass "
         "sub-images, per-pass filter chains — r8), odd the sequential "
-        "one; then run the stdlib-zlib decoder + channel statistics "
+        "one, and doc_id%4==1 writes 16-BIT depth (byte-wise filters "
+        "with bpp=6, high-byte downscale — r8); then run the "
+        "stdlib-zlib decoder + channel statistics "
         "(operators/multimodal.py:decode_png — chunk walk, inflate, "
         "per-row filter reversal, pass reassembly all real) and check "
         "against the same INDEPENDENT byte-level SQL channel means as "
@@ -675,6 +677,9 @@ def ext_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     multimodal.encode_png(
                         px, filters=(0, 1, 2, 3, 4),
                         interlace=(int(doc_id) % 2 == 0),
+                        # doc_id % 4 == 1: 16-bit depth (v<<8|v widening;
+                        # the high-byte downscale round-trips exactly)
+                        depth16=(int(doc_id) % 4 == 1),
                     )
                 )
             yield pd.DataFrame(

@@ -828,12 +828,25 @@ def test_png_decoder_roundtrip_all_filters():
     )
     out = multimodal.decode_png(png)
     assert np.array_equal(out[0], [[1, 2, 3], [4, 5, 6]])
-    # 16-bit depth is gated, not wrong
+    # 16-bit depth decodes natively since r8 (high-byte downscale);
+    # a known-answer row: two RGB pixels, big-endian 16-bit samples
+    row16 = bytes(
+        [0]
+        + [v for px in ((0x12, 0x34, 0x56), (0xAB, 0xCD, 0xEF))
+           for c in px for v in (c, 0x99)]
+    )
+    png = (
+        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(row16)) + chunk(b"IEND", b"")
+    )
+    out16 = multimodal.decode_png(png)
+    assert np.array_equal(out16[0], [[0x12, 0x34, 0x56], [0xAB, 0xCD, 0xEF]])
+    # truncated 16-bit payload degrades with ValueError
     png = (
         sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0))
         + chunk(b"IDAT", zlib.compress(b"\x00" * 7)) + chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         multimodal.decode_png(png)
     # Adam7 decodes natively since r8; a TRUNCATED interlaced stream
     # (this 7-byte payload is shorter than the passes need) degrades

@@ -934,10 +934,11 @@ def test_budget_select_equals_naive_prefix(spark, rows, budget, width_pow):
     w=st.integers(1, 24),
     filters=st.lists(st.integers(0, 4), min_size=1, max_size=6),
     interlace=st.booleans(),
+    depth16=st.booleans(),
     seed=st.integers(0, 2**31 - 1),
 )
 @settings(max_examples=40, deadline=None)
-def test_png_roundtrip_property(h, w, filters, interlace, seed):
+def test_png_roundtrip_property(h, w, filters, interlace, depth16, seed):
     """encode_png -> decode_png is the identity for ANY image shape and
     ANY per-row filter cycle, non-interlaced AND Adam7 — the decoder's
     five filter reversals and the encoder's five filter applications
@@ -954,7 +955,8 @@ def test_png_roundtrip_property(h, w, filters, interlace, seed):
     rng = np.random.RandomState(seed)
     img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
     out = decode_png(
-        encode_png(img, filters=tuple(filters), interlace=interlace)
+        encode_png(img, filters=tuple(filters), interlace=interlace,
+                   depth16=depth16)
     )
     assert out.shape == img.shape
     assert np.array_equal(out, img)
