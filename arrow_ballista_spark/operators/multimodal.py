@@ -156,6 +156,113 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _tiff_lzw_decode(data: bytes, n_expected: int) -> bytes:
+    """TIFF-variant LZW decode (TIFF 6.0 §13): MSB-first bit packing,
+    8-bit native codes, CLEAR=256/EOI=257, codes start at 9 bits, and
+    the spec's EarlyChange — the width grows one code EARLIER than
+    GIF's variant (the max code of a width never appears)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = 9
+
+    def fresh():
+        return [bytes([i]) for i in range(256)] + [b"", b""]
+
+    table = fresh()
+    prev: bytes | None = None
+    while len(out) < n_expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated TIFF LZW stream")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == 256:  # CLEAR
+            table = fresh()
+            width = 9
+            prev = None
+            continue
+        if code == 257:  # EOI
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first TIFF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            if len(table) < 4096:
+                table.append(entry)
+        else:
+            raise ValueError("TIFF LZW code out of range")
+        out += entry
+        prev = entry
+        if len(table) >= (1 << width) - 1 and width < 12:  # EarlyChange
+            width += 1
+    if len(out) < n_expected:
+        raise ValueError("TIFF LZW stream ended early")
+    return bytes(out[:n_expected])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encode — the fixture twin of
+    :func:`_tiff_lzw_decode` (MSB-first, EarlyChange, CLEAR at table
+    pressure, EOI at the end)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}
+
+    width = 9
+    table = fresh()
+    next_code = 258
+    emit(256, width)  # spec: streams begin with CLEAR
+    cur = b""
+    for v in data:
+        nxt = cur + bytes([v])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        # EarlyChange: decoder adds its k-th entry one code later, so
+        # the encoder grows when next_code passes 2^width - 1
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        cur = bytes([v])
+        if next_code >= 4094:  # CLEAR before the 12-bit table fills
+            emit(table[cur], width)  # flush the pending symbol first
+            emit(256, width)
+            table = fresh()
+            next_code = 258
+            width = 9
+            cur = b""
+    if cur:
+        emit(table[cur], width)
+    emit(257, width)  # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     262: "photometric", 273: "strip_offsets", 277: "spp",
@@ -170,8 +277,9 @@ def decode_tiff(blob: bytes):
     Supports the uncompressed baseline shapes scanned-document corpora
     carry: either byte order (II/MM), 8-bit grayscale (photometric 0/1,
     with 0 = WhiteIsZero inverted) or RGB (photometric 2), strip
-    layout (any rows-per-strip), uncompressed or PackBits RLE
-    (compression 32773, TIFF 6.0 §9).  Other compressions (LZW/JPEG),
+    layout (any rows-per-strip), uncompressed, PackBits RLE
+    (compression 32773, TIFF 6.0 §9), or LZW (compression 5, §13 —
+    MSB-first with EarlyChange).  Other compressions (JPEG/deflate),
     tiles, and non-8-bit depths raise ``NotImplementedError``.
     Returns an (h, w, 3) uint8 RGB array (gray replicates — the
     :func:`decode_png` contract).  Only the FIRST IFD (first page) is
@@ -214,9 +322,9 @@ def decode_tiff(blob: bytes):
         if req not in tags:
             raise ValueError(f"TIFF missing required tag {req}")
     comp = tags.get("compression", [1])[0]
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(
-            f"only uncompressed and PackBits baseline TIFF are "
+            f"only uncompressed, LZW, and PackBits baseline TIFF are "
             f"library-free (compression {comp})"
         )
     bits = tags.get("bits", [8])
@@ -230,9 +338,18 @@ def decode_tiff(blob: bytes):
             f"TIFF photometric {photo} / {spp} samples not supported"
         )
     raw = bytearray()
-    for off, cnt in zip(tags["strip_offsets"], tags["strip_counts"]):
+    rps = tags.get("rows_per_strip", [h])[0]
+    for si, (off, cnt) in enumerate(
+        zip(tags["strip_offsets"], tags["strip_counts"])
+    ):
         strip = blob[off : off + cnt]
-        raw += _packbits_decode(strip) if comp == 32773 else strip
+        if comp == 32773:
+            raw += _packbits_decode(strip)
+        elif comp == 5:
+            rows = min(rps, h - si * rps)  # last strip may be short
+            raw += _tiff_lzw_decode(strip, rows * w * spp)
+        else:
+            raw += strip
     if len(raw) < w * h * spp:
         raise ValueError("truncated TIFF strip data")
     img = np.frombuffer(bytes(raw), np.uint8, w * h * spp).reshape(
@@ -248,6 +365,7 @@ def decode_tiff(blob: bytes):
 def encode_tiff(
     img, big_endian: bool = False, rows_per_strip: int = 0,
     white_is_zero: bool = False, packbits: bool = False,
+    lzw: bool = False,
 ) -> bytes:
     """Minimal baseline TIFF 6.0 writer (fixture/test helper): 8-bit
     grayscale ((h, w)) or RGB ((h, w, 3)), uncompressed strips in
@@ -273,13 +391,18 @@ def encode_tiff(
         data[r * row_bytes : min(r + rps, h) * row_bytes]
         for r in range(0, h, rps)
     ]
+    if packbits and lzw:
+        raise ValueError("choose one of packbits/lzw")
     if packbits:
         strips = [_packbits_encode(srow) for srow in strips]
+    elif lzw:
+        strips = [_tiff_lzw_encode(srow) for srow in strips]
     photo = (0 if white_is_zero else 1) if gray else 2
+    comp_tag = 5 if lzw else (32773 if packbits else 1)
     entries = [  # (tag, type, count, value-or-values)
         (256, 4, 1, [w]), (257, 4, 1, [h]),
         (258, 3, spp, [8] * spp),
-        (259, 3, 1, [32773 if packbits else 1]),
+        (259, 3, 1, [comp_tag]),
         (262, 3, 1, [photo]), (277, 3, 1, [spp]),
         (278, 4, 1, [rps]),
     ]

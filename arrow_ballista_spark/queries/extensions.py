@@ -1008,7 +1008,8 @@ FROM px GROUP BY doc_id
         "single-strip — decoded through the library-free IFD walk "
         "(operators/multimodal.py:decode_tiff — tag/type parse, "
         "inline-vs-offset values, strip gather, PackBits RLE expansion "
-        "on the odd docs) into channel means "
+        "on doc_id%4==1 and LZW with EarlyChange on doc_id%4==3) into "
+        "channel means "
         "checked against the independent byte-level SQL average.  "
         "Uncompressed TIFF is lossless, so decode must be the "
         "identity or the hash breaks; compressed TIFF/tiles stay "
@@ -1034,8 +1035,10 @@ def ext_multimodal_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         codes,
                         big_endian=(int(doc_id) % 2 == 0),
                         rows_per_strip=2 if int(doc_id) % 2 == 0 else 0,
-                        # odd docs exercise PackBits RLE (TIFF 6.0 §9)
-                        packbits=(int(doc_id) % 2 == 1),
+                        # odd docs split between PackBits RLE (§9) and
+                        # LZW (§13, MSB-first EarlyChange)
+                        packbits=(int(doc_id) % 4 == 1),
+                        lzw=(int(doc_id) % 4 == 3),
                     )
                 )
             yield pd.DataFrame(

@@ -1505,22 +1505,29 @@ def test_tiff_gating_and_degradation(spark):
     img = np.full((6, 8), 55, np.uint8)
     good = encode_tiff(img, big_endian=True, rows_per_strip=2)
     assert (multimodal.decode_image(good)[:, :, 0] == 55).all()
-    # flip the compression tag (259) value to 5 (LZW) -> gated
-    lzw = bytearray(encode_tiff(img))
-    # II layout: IFD at 8; find tag 259 entry and set its value to 5
+    # flip the compression tag (259) to 6 (old-style JPEG) -> gated
     import struct
 
-    n = struct.unpack_from("<H", lzw, 8)[0]
+    jpg6 = bytearray(encode_tiff(img))
+    n = struct.unpack_from("<H", jpg6, 8)[0]
     for k in range(n):
         off = 10 + 12 * k
-        if struct.unpack_from("<H", lzw, off)[0] == 259:
-            struct.pack_into("<I", lzw, off + 8, 5)
+        if struct.unpack_from("<H", jpg6, off)[0] == 259:
+            struct.pack_into("<I", jpg6, off + 8, 6)
     with pytest.raises(NotImplementedError):
-        decode_tiff(bytes(lzw))
+        decode_tiff(bytes(jpg6))
+    # tag 5 on raw (non-LZW) strip bytes is CORRUPT -> ValueError degrade
+    lzw5 = bytearray(encode_tiff(img))
+    for k in range(n):
+        off = 10 + 12 * k
+        if struct.unpack_from("<H", lzw5, off)[0] == 259:
+            struct.pack_into("<I", lzw5, off + 8, 5)
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(lzw5))
     rows = [
         (0, bytearray(good)),
         (1, bytearray(good[: len(good) - 20])),  # truncated strips
-        (2, bytearray(lzw)),  # gated compression
+        (2, bytearray(jpg6)),  # gated compression
     ]
     df = spark.createDataFrame(
         pd.DataFrame(rows, columns=["doc_id", "blob"]),

@@ -1140,18 +1140,19 @@ def test_gif_animation_roundtrip_property(h, w, nf, ncol, delta, seed):
     rgb=st.booleans(),
     big_endian=st.booleans(),
     rps=st.integers(0, 5),
-    packbits=st.booleans(),
+    compression=st.sampled_from(["none", "packbits", "lzw"]),
     runs=st.booleans(),
     seed=st.integers(0, 2**31 - 1),
 )
 @settings(max_examples=40, deadline=None)
 def test_tiff_roundtrip_property(
-    h, w, rgb, big_endian, rps, packbits, runs, seed
+    h, w, rgb, big_endian, rps, compression, runs, seed
 ):
     """encode_tiff -> decode_tiff is the identity over shapes, gray/RGB,
     both byte orders, any rows-per-strip (multi-strip reassembly), and
-    PackBits RLE on/off (run-heavy AND incompressible pixels): TIFF is
-    a raw/losslessly-packed pixel container, so decode must be exact."""
+    each compression (none / PackBits RLE / LZW-EarlyChange, over
+    run-heavy AND incompressible pixels): TIFF is a raw/losslessly-
+    packed pixel container, so decode must be exact."""
     import numpy as np
 
     from arrow_ballista_spark.operators.multimodal import (
@@ -1168,7 +1169,8 @@ def test_tiff_roundtrip_property(
     want = img if rgb else np.repeat(img[:, :, None], 3, 2)
     out = decode_tiff(
         encode_tiff(img, big_endian=big_endian, rows_per_strip=rps,
-                    packbits=packbits)
+                    packbits=compression == "packbits",
+                    lzw=compression == "lzw")
     )
     assert np.array_equal(out, want)
 
