@@ -267,20 +267,47 @@ _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     262: "photometric", 273: "strip_offsets", 277: "spp",
     278: "rows_per_strip", 279: "strip_counts",
+    317: "predictor", 322: "tile_width", 323: "tile_length",
+    324: "tile_offsets", 325: "tile_counts",
 }
+
+
+def _tiff_chunk_decode(data: bytes, comp: int, n_expected: int) -> bytes:
+    """Decompress one TIFF strip/tile to exactly ``n_expected`` bytes
+    (compression 1 = none, 5 = LZW, 32773 = PackBits; edge tiles are
+    padded to full tile size by the writer per TIFF 6.0 §15, so extra
+    decoded bytes are truncated, short ones raise)."""
+    if comp == 32773:
+        out = _packbits_decode(data)
+    elif comp == 5:
+        out = _tiff_lzw_decode(data, n_expected)
+    else:
+        out = data
+    if len(out) < n_expected:
+        raise ValueError("truncated TIFF strip/tile data")
+    return out[:n_expected]
+
+
+def _tiff_undiff(tile, np):
+    """Undo predictor 2 (TIFF 6.0 §14, horizontal differencing): each
+    row stores per-sample deltas; the cumulative sum along the width
+    axis in uint8 wraps mod 256, exactly inverting the writer's
+    wrapping subtraction."""
+    return np.cumsum(tile, axis=1, dtype=np.uint8)
 
 
 def decode_tiff(blob: bytes):
     """Decode baseline TIFF 6.0 — pure struct/numpy, no codec library
     (the format is public: the Adobe TIFF 6.0 specification).
 
-    Supports the uncompressed baseline shapes scanned-document corpora
-    carry: either byte order (II/MM), 8-bit grayscale (photometric 0/1,
-    with 0 = WhiteIsZero inverted) or RGB (photometric 2), strip
-    layout (any rows-per-strip), uncompressed, PackBits RLE
-    (compression 32773, TIFF 6.0 §9), or LZW (compression 5, §13 —
-    MSB-first with EarlyChange).  Other compressions (JPEG/deflate),
-    tiles, and non-8-bit depths raise ``NotImplementedError``.
+    Supports the shapes scanned-document corpora carry: either byte
+    order (II/MM), 8-bit grayscale (photometric 0/1, with 0 =
+    WhiteIsZero inverted) or RGB (photometric 2), strip layout (any
+    rows-per-strip) or tiled layout (TIFF 6.0 §15), uncompressed,
+    PackBits RLE (compression 32773, §9), or LZW (compression 5, §13
+    — MSB-first with EarlyChange), with optional predictor-2
+    horizontal differencing (§14).  Other compressions (JPEG/deflate)
+    and non-8-bit depths raise ``NotImplementedError``.
     Returns an (h, w, 3) uint8 RGB array (gray replicates — the
     :func:`decode_png` contract).  Only the FIRST IFD (first page) is
     decoded."""
@@ -318,7 +345,12 @@ def decode_tiff(blob: bytes):
             raise ValueError("TIFF tag data out of bounds")
         vals = struct.unpack_from(en + fmt * count, blob, src)
         tags[name] = list(vals)
-    for req in ("width", "height", "strip_offsets", "strip_counts"):
+    tiled = "tile_offsets" in tags
+    required = ("width", "height") + (
+        ("tile_width", "tile_length", "tile_counts") if tiled
+        else ("strip_offsets", "strip_counts")
+    )
+    for req in required:
         if req not in tags:
             raise ValueError(f"TIFF missing required tag {req}")
     comp = tags.get("compression", [1])[0]
@@ -327,34 +359,72 @@ def decode_tiff(blob: bytes):
             f"only uncompressed, LZW, and PackBits baseline TIFF are "
             f"library-free (compression {comp})"
         )
-    bits = tags.get("bits", [8])
+    pred = tags.get("predictor", [1])[0]
+    if pred not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {pred} not supported")
+    # TIFF 6.0 default for a missing BitsPerSample tag is 1 (bilevel),
+    # which the !=8 gate below rejects rather than decoding as 8-bit
+    bits = tags.get("bits", [1])
     if any(b != 8 for b in bits):
         raise NotImplementedError(f"{bits}-bit TIFF not supported")
     w, h = tags["width"][0], tags["height"][0]
+    if w == 0 or h == 0 or w * h > (1 << 26):
+        # same plausibility bound as decode_jpeg — bound BEFORE strip
+        # decompression: crafted u32 dims would otherwise drive
+        # _tiff_lzw_decode's n_expected loop to a multi-GB expansion
+        raise ValueError(f"implausible TIFF dimensions {w}x{h}")
     spp = tags.get("spp", [1])[0]
     photo = tags.get("photometric", [1])[0]
     if photo not in (0, 1, 2) or spp not in (1, 3):
         raise NotImplementedError(
             f"TIFF photometric {photo} / {spp} samples not supported"
         )
-    raw = bytearray()
-    rps = tags.get("rows_per_strip", [h])[0]
-    for si, (off, cnt) in enumerate(
-        zip(tags["strip_offsets"], tags["strip_counts"])
-    ):
-        strip = blob[off : off + cnt]
-        if comp == 32773:
-            raw += _packbits_decode(strip)
-        elif comp == 5:
+    if tiled:
+        # TIFF 6.0 §15: tiles stored left-to-right, top-to-bottom,
+        # each padded to the full (tl, tw) size; dims are multiples
+        # of 16; the assembled canvas is cropped back to (h, w)
+        tw, tl = tags["tile_width"][0], tags["tile_length"][0]
+        if tw == 0 or tl == 0 or tw % 16 or tl % 16:
+            raise ValueError(f"bad TIFF tile geometry {tw}x{tl}")
+        ta, td = -(-w // tw), -(-h // tl)
+        offs, cnts = tags["tile_offsets"], tags["tile_counts"]
+        if len(offs) < ta * td or len(cnts) < ta * td:
+            raise ValueError("TIFF tile offsets/counts too short")
+        img = np.zeros((td * tl, ta * tw, spp), np.uint8)
+        for ti in range(ta * td):
+            chunk = _tiff_chunk_decode(
+                blob[offs[ti] : offs[ti] + cnts[ti]], comp,
+                tl * tw * spp,
+            )
+            tile = np.frombuffer(chunk, np.uint8).reshape(tl, tw, spp)
+            if pred == 2:
+                tile = _tiff_undiff(tile, np)
+            r, c = divmod(ti, ta)
+            img[r * tl : (r + 1) * tl, c * tw : (c + 1) * tw] = tile
+        img = np.ascontiguousarray(img[:h, :w])
+    else:
+        raw = bytearray()
+        rps = tags.get("rows_per_strip", [h])[0]
+        for si, (off, cnt) in enumerate(
+            zip(tags["strip_offsets"], tags["strip_counts"])
+        ):
             rows = min(rps, h - si * rps)  # last strip may be short
-            raw += _tiff_lzw_decode(strip, rows * w * spp)
-        else:
-            raw += strip
-    if len(raw) < w * h * spp:
-        raise ValueError("truncated TIFF strip data")
-    img = np.frombuffer(bytes(raw), np.uint8, w * h * spp).reshape(
-        h, w, spp
-    )
+            chunk = _tiff_chunk_decode(
+                blob[off : off + cnt], comp, rows * w * spp
+            )
+            if pred == 2:
+                # predictor rows never cross a strip boundary: undo
+                # per strip so each strip decodes independently
+                sarr = np.frombuffer(chunk, np.uint8).reshape(
+                    rows, w, spp
+                )
+                chunk = _tiff_undiff(sarr, np).tobytes()
+            raw += chunk
+        if len(raw) < w * h * spp:
+            raise ValueError("truncated TIFF strip data")
+        img = np.frombuffer(bytes(raw), np.uint8, w * h * spp).reshape(
+            h, w, spp
+        )
     if photo == 0:  # WhiteIsZero: invert to the usual BlackIsZero
         img = 255 - img
     if spp == 1:
@@ -365,12 +435,14 @@ def decode_tiff(blob: bytes):
 def encode_tiff(
     img, big_endian: bool = False, rows_per_strip: int = 0,
     white_is_zero: bool = False, packbits: bool = False,
-    lzw: bool = False,
+    lzw: bool = False, predictor: bool = False, tile=None,
 ) -> bytes:
-    """Minimal baseline TIFF 6.0 writer (fixture/test helper): 8-bit
-    grayscale ((h, w)) or RGB ((h, w, 3)), uncompressed strips in
-    either byte order — drives :func:`decode_tiff` with real IFD
-    layouts, multi-strip data, and both endiannesses."""
+    """Minimal TIFF 6.0 writer (fixture/test helper): 8-bit grayscale
+    ((h, w)) or RGB ((h, w, 3)) in either byte order — drives
+    :func:`decode_tiff` with real IFD layouts, multi-strip or tiled
+    (§15, ``tile=(tw, tl)`` in multiples of 16) data, optional
+    predictor-2 horizontal differencing (§14), PackBits or LZW
+    compression, and both endiannesses."""
     import struct
 
     import numpy as np
@@ -384,13 +456,37 @@ def encode_tiff(
         if not gray:
             raise ValueError("WhiteIsZero is a grayscale photometric")
         img = 255 - img
+    arr = img.reshape(h, w, spp)
+
+    def hdiff(a):
+        # wrapping uint8 subtraction along the width axis (§14) —
+        # _tiff_undiff's exact inverse, applied per strip/tile
+        d = a.copy()
+        d[:, 1:] = a[:, 1:] - a[:, :-1]
+        return d
+
     rps = rows_per_strip or h
-    data = img.tobytes()
-    row_bytes = w * spp
-    strips = [
-        data[r * row_bytes : min(r + rps, h) * row_bytes]
-        for r in range(0, h, rps)
-    ]
+    if tile:
+        tw, tl = tile
+        if tw % 16 or tl % 16 or tw == 0 or tl == 0:
+            raise ValueError("TIFF tile dims must be multiples of 16")
+        ta, td = -(-w // tw), -(-h // tl)
+        padded = np.zeros((td * tl, ta * tw, spp), np.uint8)
+        padded[:h, :w] = arr
+        strips = []
+        for r in range(td):
+            for c in range(ta):
+                t = padded[r * tl : (r + 1) * tl, c * tw : (c + 1) * tw]
+                strips.append((hdiff(t) if predictor else t).tobytes())
+    else:
+        if predictor:
+            arr = hdiff(arr)
+        data = arr.tobytes()
+        row_bytes = w * spp
+        strips = [
+            data[r * row_bytes : min(r + rps, h) * row_bytes]
+            for r in range(0, h, rps)
+        ]
     if packbits and lzw:
         raise ValueError("choose one of packbits/lzw")
     if packbits:
@@ -404,8 +500,15 @@ def encode_tiff(
         (258, 3, spp, [8] * spp),
         (259, 3, 1, [comp_tag]),
         (262, 3, 1, [photo]), (277, 3, 1, [spp]),
-        (278, 4, 1, [rps]),
     ]
+    if predictor:
+        entries.append((317, 3, 1, [2]))
+    if tile:
+        entries += [(322, 4, 1, [tw]), (323, 4, 1, [tl])]
+        off_tag, cnt_tag = 324, 325
+    else:
+        entries.append((278, 4, 1, [rps]))
+        off_tag, cnt_tag = 273, 279
     # layout: header(8) + IFD + out-of-line arrays + strip data
     n = len(entries) + 2  # + strip_offsets + strip_counts
     ifd_off = 8
@@ -439,8 +542,8 @@ def encode_tiff(
         offs.append(pos)
         pos += len(s)
     offsets_field, _ = value_field(4, ns, offs)
-    packed.append((273, 4, ns, offsets_field))
-    packed.append((279, 4, ns, counts_field))
+    packed.append((off_tag, 4, ns, offsets_field))
+    packed.append((cnt_tag, 4, ns, counts_field))
     packed.sort(key=lambda e: e[0])  # IFD entries must be tag-ordered
     out = bytearray()
     out += (b"MM" if big_endian else b"II") + struct.pack(en + "HI", 42, 8)
@@ -695,10 +798,9 @@ def decode_gif_frames(blob: bytes, max_frames: int = None):
     - graphic-control TRANSPARENCY: transparent-index pixels leave the
       canvas unchanged (how animations encode deltas);
     - disposal 2 restores the frame's rect to the background color
-      AFTER the frame is yielded; disposal 3 (restore-previous) raises
-      ``NotImplementedError`` only when ANOTHER frame follows it (the
-      restore needs canvas history we don't keep; a trailing
-      disposal-3 frame renders fine — disposal happens after display);
+      AFTER the frame is yielded; disposal 3 (restore-previous)
+      restores the rect to its pre-render pixels (one rect copy is
+      kept per frame — disposal happens after display);
     - local color tables, variable-width LZW (CLEAR/EOI, KwKwK,
       4095-table freeze), 4-pass interlace — as :func:`decode_gif`."""
     import struct
@@ -708,6 +810,11 @@ def decode_gif_frames(blob: bytes, max_frames: int = None):
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     w, h, packed, bg, _ = struct.unpack_from("<HHBBB", blob, 6)
+    if w == 0 or h == 0 or w * h > (1 << 26):
+        # same plausibility bound as decode_jpeg: a crafted header
+        # declaring a 65535x65535 screen would allocate a ~12.9 GB
+        # canvas and MemoryError past the batch degrade handler
+        raise ValueError(f"implausible GIF dimensions {w}x{h}")
     i = 13
     gct = None
     if packed & 0x80:
@@ -722,7 +829,6 @@ def decode_gif_frames(blob: bytes, max_frames: int = None):
     canvas[:] = bg_rgb
     emitted = 0
     disposal, transparent = 0, None
-    pending_d3 = False  # a rendered frame asked restore-previous
     while i < len(blob):
         b0 = blob[i]
         if b0 == 0x3B:  # trailer
@@ -745,6 +851,12 @@ def decode_gif_frames(blob: bytes, max_frames: int = None):
             raise ValueError(f"bad GIF block 0x{b0:02X}")
         fx, fy, fw, fh, fpacked = struct.unpack_from("<HHHHB", blob, i + 1)
         i += 10
+        if fw == 0 or fh == 0 or fw * fh > (1 << 26):
+            raise ValueError(f"implausible GIF frame {fw}x{fh}")
+        if fy + fh > h or fx + fw > w:
+            # bound BEFORE LZW decode: crafted descriptor dims would
+            # otherwise grow a multi-billion-entry index list first
+            raise ValueError("GIF frame exceeds the logical screen")
         ct = gct
         if fpacked & 0x80:  # local color table
             n = 2 << (fpacked & 0x07)
@@ -760,13 +872,6 @@ def decode_gif_frames(blob: bytes, max_frames: int = None):
             data += blob[i + 1 : i + 1 + sz]
             i += 1 + sz
         i += 1  # block terminator
-        if pending_d3:
-            # disposal happens AFTER display: a trailing disposal-3
-            # frame is fine (nothing follows it) — only a SUBSEQUENT
-            # frame needs the canvas history we don't keep
-            raise NotImplementedError(
-                "GIF disposal 3 (restore-previous) not supported"
-            )
         idx = np.array(
             _lzw_decode(bytes(data), min_code, fw * fh), np.int32
         )
@@ -779,13 +884,14 @@ def decode_gif_frames(blob: bytes, max_frames: int = None):
             frame[np.array(rows, np.int64)] = idx.reshape(fh, fw)
         else:
             frame = idx.reshape(fh, fw)
-        if fy + fh > h or fx + fw > w:
-            raise ValueError("GIF frame exceeds the logical screen")
         # composite in RGB space over the PERSISTENT canvas: the
         # background index resolves through the GLOBAL table, frame
         # pixels through their own (possibly LOCAL) table; transparent
         # pixels leave the underlying canvas visible (animation deltas)
         rect = canvas[fy : fy + fh, fx : fx + fw]
+        # disposal 3 (restore-previous): keep the pre-render rect so
+        # the NEXT frame composites over what was here before this one
+        saved = rect.copy() if disposal == 3 else None
         rgb = ct[frame]
         if transparent is not None:
             keep = frame == transparent
@@ -797,7 +903,8 @@ def decode_gif_frames(blob: bytes, max_frames: int = None):
             return
         if disposal == 2:  # restore rect to background after render
             canvas[fy : fy + fh, fx : fx + fw] = bg_rgb
-        pending_d3 = disposal == 3
+        elif disposal == 3:  # restore rect to its pre-render pixels
+            canvas[fy : fy + fh, fx : fx + fw] = saved
         disposal, transparent = 0, None  # GCE applies to ONE image
     if emitted == 0:
         raise ValueError("GIF contains no image frame")
@@ -943,8 +1050,11 @@ def encode_gif_animation(
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
     out += ct.tobytes()
+    bg_canvas = np.zeros((h, w, 3), np.uint8)
+    bg_canvas[:] = ct[0]
     prev = None
     for f, disp in zip(frames, disposals):
+        before = prev if prev is not None else bg_canvas
         idx = np.array(
             [lookup[tuple(px)] for px in f.reshape(-1, 3)], np.int32
         ).reshape(h, w)
@@ -964,10 +1074,12 @@ def encode_gif_animation(
             out.append(len(chunk))
             out += chunk
         out += b"\x00"
-        # simulate the decoder's canvas for the next delta
+        # simulate the decoder's canvas for the next delta: disposal 2
+        # restores to background, 3 to the pre-render canvas
         if disp == 2:
-            prev = np.zeros_like(f)
-            prev[:] = ct[0]
+            prev = bg_canvas
+        elif disp == 3:
+            prev = before
         else:
             prev = f
     out += b"\x3b"
@@ -1263,9 +1375,10 @@ def decode_image(blob: bytes) -> object:
     + IDCT + Annex G, ``operators/jpeg.py`` — SOF0/SOF1/SOF2,
     gray/YCbCr, 4:4:4/4:2:2/4:2:0, restart markers), GIF87a/89a
     (variable-width LZW, local color tables, 4-pass interlace), and
-    baseline uncompressed TIFF 6.0 (II/MM, strips, gray/RGB); only
-    the remaining codecs (WebP, arithmetic/12-bit JPEG, compressed
-    TIFF) stay environment-gated.
+    TIFF 6.0 (II/MM, strips or tiles, uncompressed/PackBits/LZW,
+    predictor-2, gray/RGB); only the remaining codecs (WebP,
+    arithmetic/12-bit JPEG, JPEG/deflate-compressed TIFF) stay
+    environment-gated.
 
     The container has no image codec libraries (no PIL / cv2); in
     production the gated branch is ``PIL.Image.open(io.BytesIO(blob))``.
@@ -1359,7 +1472,12 @@ def sample_frames(
                     ids.append(did)
                     idxs.append(i // frame_size)
                     lens.append(len(frame))
-                    md5s.append(hashlib.md5(frame).hexdigest())
+                    # fingerprint = md5 over the frame's lowercase hex:
+                    # octet-exact AND oracle-expressible (DuckDB md5
+                    # only hashes VARCHAR, never raw bytes)
+                    md5s.append(
+                        hashlib.md5(frame.hex().encode()).hexdigest()
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),

@@ -1566,12 +1566,23 @@ def test_r8_review_regressions(spark):
     img = np.full((4, 4, 3), 90, np.uint8)
     blob = encode_gif_animation([img], disposals=[3])
     assert (decode_gif(blob)[:, :, 0] == 90).all()
-    # ... but a SECOND frame after disposal 3 is the gated case
-    two = encode_gif_animation([img, img], disposals=[3, 0])
-    with pytest.raises(NotImplementedError):
-        list(__import__(
-            "arrow_ballista_spark.operators.multimodal", fromlist=["x"]
-        ).decode_gif_frames(two))
+    # ... and since r9, a SECOND frame after disposal 3 composites over
+    # the RESTORED canvas (the full GIF89a disposal model)
+    from arrow_ballista_spark.operators.multimodal import (
+        decode_gif_frames,
+    )
+
+    f2 = img.copy()
+    f2[1:3, 1:3] = 200
+    f3 = img.copy()
+    f3[0, 0] = 7  # delta computed vs frame-1 canvas, not frame-2
+    three = encode_gif_animation(
+        [img, f2, f3], disposals=[0, 3, 0], delta=True
+    )
+    got = list(decode_gif_frames(three))
+    assert len(got) == 3
+    for g, want in zip(got, (img, f2, f3)):
+        assert (g == want).all()
 
     # 2) len(samples) % block_samples == 1 -> header-only final block
     sig = [100, 200, 300, 400, 500, 600, 20000]
@@ -1582,9 +1593,15 @@ def test_r8_review_regressions(spark):
     with pytest.raises(ValueError, match="odd"):
         encode_adpcm_wav(sig, block_samples=2)
 
-    # 3) mid-animation failure -> exactly one NULL row for that doc
+    # 3) mid-animation failure -> exactly one NULL row for that doc:
+    # corrupt frame 2's descriptor so it exceeds the logical screen
+    # (frame 1 decodes fine, frame 2 raises ValueError mid-generator)
+    bad = bytearray(encode_gif_animation([img, img]))
+    p = bad.index(b"\x21\xf9", bad.index(b"\x21\xf9") + 2)
+    p = bad.index(b"\x2c", p)
+    struct.pack_into("<H", bad, p + 7, 4 + 1)  # fh > screen height
     rows = [(0, bytearray(encode_gif_animation([img, img]))),
-            (1, bytearray(two))]
+            (1, bad)]
     df = spark.createDataFrame(
         pd.DataFrame(rows, columns=["doc_id", "blob"]),
         "doc_id long, blob binary",
