@@ -1218,6 +1218,12 @@ def decode_png(blob: bytes):
     if hdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = hdr
+    if w == 0 or h == 0 or w * h > (1 << 26):
+        # decode_jpeg's plausibility bound: a crafted IHDR would
+        # otherwise allocate a multi-GB canvas (the Adam7 path zeros
+        # the full image BEFORE touching the deflate stream) and
+        # MemoryError past the batch degrade handler
+        raise ValueError(f"implausible PNG dimensions {w}x{h}")
     if depth not in (8, 16) or comp != 0 or filt != 0:
         raise NotImplementedError(
             f"PNG depth={depth}/compression={comp}/filter-method={filt} "

@@ -192,6 +192,11 @@ def summary_line(out: dict, times: dict) -> str:
         }
         out["queries_truncated_to_tpch"] = True
         line = json.dumps(out)
+    if len(line) > 1900 and "families" in out:  # compact the roll-up
+        out["families"] = {
+            k: v["min_total"] for k, v in out["families"].items()
+        }
+        line = json.dumps(out)
     return line
 
 
@@ -295,12 +300,34 @@ def main() -> None:
     # Compact summary on stdout (the driver's tail capture keeps only the
     # last ~2000 chars — BENCH_r03 learned this the hard way); full
     # per-iteration detail + deltas to BENCH_DETAIL_r{N}.json.
+    # Per-family roll-up so extension drift is machine-comparable from
+    # the parsed stdout block alone (VERDICT r8 item 7) — the fallback
+    # below truncates the queries dict to TPC-H, which used to leave
+    # extension totals visible only by diffing BENCH_DETAIL files.
+    def _family(n: str) -> str:
+        base = n.split("__")[0]
+        parts = base.split("_")
+        return "_".join(parts[:2]) if parts[0] == "ext" else parts[0]
+
+    families: dict[str, dict] = {}
+    for n in names:
+        f = families.setdefault(
+            _family(n), {"n": 0, "min_total": 0.0, "median_total": 0.0}
+        )
+        f["n"] += 1
+        f["min_total"] = round(f["min_total"] + times[n], 3)
+        f["median_total"] = round(f["median_total"] + medians[n], 3)
+    ext_total = round(
+        sum(v for k, v in times.items() if not k.startswith("tpch_")), 3
+    )
     out = {
         "metric": "tpch_suite_wall_seconds",
         "value": total,
         "unit": "sec",
         "stat": "min_of_warm_interleaved_samples",
         "queries": times,
+        "ext_total_min": ext_total,
+        "families": families,
         "sf": sf,
     }
     detail = {

@@ -2018,3 +2018,49 @@ def test_train_coarse_centroids_rejects_undersized_sample(spark):
     )
     with pytest.raises(ValueError, match="n_cells"):
         train_coarse_centroids(c, "corpus_id", "embedding", n_cells=8)
+
+
+def test_codec_oracles_nonascii_documents(spark, tmp_path):
+    """VERDICT r8 item 2: the codec entries' ascii(substring(...)) byte
+    indexing silently assumed ASCII corpora.  Both halves now map every
+    non-ASCII code point to ONE '?' byte (_ascii_bytes vs the
+    regexp_replace inside each oracle's rpad), and the features/frames
+    oracles went octet-level — so a corpus with multi-byte UTF-8 must
+    hash-match too.  Property: inject é/ÿ/中/🎉 (2-, 2-, 3-, 4-byte
+    UTF-8) plus control chars into sf0.001 documents and replay the
+    driver comparison on every codec-family entry."""
+    import duckdb
+    import pandas as pd
+
+    from tests.conftest import make_oracle
+
+    src = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    txt = src["text"].astype(str).tolist()
+    marks = ["é", "中文", "🎉", "ÿßø", "\tmixé\n", "naïve—café"]
+    for i in range(len(txt)):
+        if i % 3 == 0:  # leave some rows pure-ASCII
+            m = marks[i % len(marks)]
+            txt[i] = m + txt[i][: max(0, 40 - len(m))] + m
+    src["text"] = txt
+    nd = tmp_path / "nonascii"
+    nd.mkdir()
+    src.to_parquet(nd / "documents.parquet", index=False)
+    con = make_oracle(str(nd))
+
+    entries = [
+        "ext_multimodal_features",
+        "ext_multimodal_frames",
+        "ext_multimodal_image_stats",
+        "ext_multimodal_png_stats",
+        "ext_multimodal_jpeg_stats",
+        "ext_multimodal_audio_stats",
+        "ext_multimodal_mulaw_stats",
+        "ext_multimodal_gif_stats",
+        "ext_multimodal_tiff_stats",
+        "ext_multimodal_adpcm_stats",
+        "ext_multimodal_gif_frames",
+    ]
+    for name in entries:
+        qd = REG[name]
+        assert qd.oracle is not None, name
+        assert_same_results(qd.spark(spark, str(nd)), con, qd.oracle)

@@ -81,7 +81,10 @@ def main():
             "vec_id long, embedding array<double>",
         ).repartition(32)
 
+    only = os.environ.get("ANN_RECALL_FIXTURES")  # substring filter
     for label, sf_dir in [*FIXTURES, ("clustered-20k (GMM)", "synthetic")]:
+        if only and only not in label:
+            continue
         if sf_dir == "synthetic":
             emb = clustered_emb()
         elif not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
@@ -177,6 +180,29 @@ def main():
             {
                 "fixture": label, "n": n, "method": "pq_rerank_default",
                 "setting": f"m=16 codes=32 R=auto({adaptive_shortlist_size(n, K)})",
+                "recall": round(recall(ann, exact_l2), 3),
+            }
+        )
+        print(rows[-1], flush=True)
+        # residual IVF-PQ FULL composition at library defaults (VERDICT
+        # r8 item 6): trained coarse centroids -> residual ADC shortlist
+        # (adaptive R) -> exact rerank top-k, vs exact-L2 truth — the
+        # clustered fixture is the regime the composition sells.
+        from arrow_ballista_spark.operators.pq import (
+            adc_rerank_exact as _rr,
+            ivf_pq_residual_topk,
+        )
+
+        r_auto = adaptive_shortlist_size(n, K)
+        sl = ivf_pq_residual_topk(queries, corpus, k=r_auto)
+        ann = topk_sets(_rr(sl, queries, corpus, k=K))
+        release_caches()
+        rows.append(
+            {
+                "fixture": label, "n": n,
+                "method": "ivfpq_residual_rerank",
+                "setting": f"defaults cells=16 nprobe=4 m=16x32"
+                           f" R=auto({r_auto})",
                 "recall": round(recall(ann, exact_l2), 3),
             }
         )
