@@ -274,13 +274,21 @@ _TIFF_TAGS = {
 
 def _tiff_chunk_decode(data: bytes, comp: int, n_expected: int) -> bytes:
     """Decompress one TIFF strip/tile to exactly ``n_expected`` bytes
-    (compression 1 = none, 5 = LZW, 32773 = PackBits; edge tiles are
-    padded to full tile size by the writer per TIFF 6.0 §15, so extra
-    decoded bytes are truncated, short ones raise)."""
+    (compression 1 = none, 5 = LZW, 8/32946 = zlib Deflate — the Adobe
+    TIFF Tech Note 2 / old-style code, stdlib zlib so library-free —
+    32773 = PackBits; edge tiles are padded to full tile size by the
+    writer per TIFF 6.0 §15, so extra decoded bytes are truncated,
+    short ones raise)."""
     if comp == 32773:
         out = _packbits_decode(data)
     elif comp == 5:
         out = _tiff_lzw_decode(data, n_expected)
+    elif comp in (8, 32946):
+        import zlib
+
+        # bound the inflate: a crafted strip could otherwise expand
+        # far past the image size before the length check
+        out = zlib.decompressobj().decompress(data, n_expected)
     else:
         out = data
     if len(out) < n_expected:
@@ -304,9 +312,10 @@ def decode_tiff(blob: bytes):
     order (II/MM), 8-bit grayscale (photometric 0/1, with 0 =
     WhiteIsZero inverted) or RGB (photometric 2), strip layout (any
     rows-per-strip) or tiled layout (TIFF 6.0 §15), uncompressed,
-    PackBits RLE (compression 32773, §9), or LZW (compression 5, §13
-    — MSB-first with EarlyChange), with optional predictor-2
-    horizontal differencing (§14).  Other compressions (JPEG/deflate)
+    PackBits RLE (compression 32773, §9), LZW (compression 5, §13 —
+    MSB-first with EarlyChange), or zlib Deflate (compression 8 and
+    old-style 32946, Adobe TIFF Tech Note 2 — stdlib zlib), with
+    optional predictor-2 horizontal differencing (§14).  JPEG-in-TIFF
     and non-8-bit depths raise ``NotImplementedError``.
     Returns an (h, w, 3) uint8 RGB array (gray replicates — the
     :func:`decode_png` contract).  Only the FIRST IFD (first page) is
@@ -354,9 +363,9 @@ def decode_tiff(blob: bytes):
         if req not in tags:
             raise ValueError(f"TIFF missing required tag {req}")
     comp = tags.get("compression", [1])[0]
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
-            f"only uncompressed, LZW, and PackBits baseline TIFF are "
+            f"only uncompressed, LZW, Deflate, and PackBits TIFF are "
             f"library-free (compression {comp})"
         )
     pred = tags.get("predictor", [1])[0]
@@ -436,13 +445,14 @@ def encode_tiff(
     img, big_endian: bool = False, rows_per_strip: int = 0,
     white_is_zero: bool = False, packbits: bool = False,
     lzw: bool = False, predictor: bool = False, tile=None,
+    deflate: bool = False,
 ) -> bytes:
     """Minimal TIFF 6.0 writer (fixture/test helper): 8-bit grayscale
     ((h, w)) or RGB ((h, w, 3)) in either byte order — drives
     :func:`decode_tiff` with real IFD layouts, multi-strip or tiled
     (§15, ``tile=(tw, tl)`` in multiples of 16) data, optional
-    predictor-2 horizontal differencing (§14), PackBits or LZW
-    compression, and both endiannesses."""
+    predictor-2 horizontal differencing (§14), PackBits / LZW /
+    zlib-Deflate compression, and both endiannesses."""
     import struct
 
     import numpy as np
@@ -487,14 +497,20 @@ def encode_tiff(
             data[r * row_bytes : min(r + rps, h) * row_bytes]
             for r in range(0, h, rps)
         ]
-    if packbits and lzw:
-        raise ValueError("choose one of packbits/lzw")
+    if sum((packbits, lzw, deflate)) > 1:
+        raise ValueError("choose one of packbits/lzw/deflate")
     if packbits:
         strips = [_packbits_encode(srow) for srow in strips]
     elif lzw:
         strips = [_tiff_lzw_encode(srow) for srow in strips]
+    elif deflate:
+        import zlib
+
+        strips = [zlib.compress(srow) for srow in strips]
     photo = (0 if white_is_zero else 1) if gray else 2
-    comp_tag = 5 if lzw else (32773 if packbits else 1)
+    comp_tag = (
+        5 if lzw else 8 if deflate else 32773 if packbits else 1
+    )
     entries = [  # (tag, type, count, value-or-values)
         (256, 4, 1, [w]), (257, 4, 1, [h]),
         (258, 3, spp, [8] * spp),
@@ -1381,10 +1397,9 @@ def decode_image(blob: bytes) -> object:
     + IDCT + Annex G, ``operators/jpeg.py`` — SOF0/SOF1/SOF2,
     gray/YCbCr, 4:4:4/4:2:2/4:2:0, restart markers), GIF87a/89a
     (variable-width LZW, local color tables, 4-pass interlace), and
-    TIFF 6.0 (II/MM, strips or tiles, uncompressed/PackBits/LZW,
-    predictor-2, gray/RGB); only the remaining codecs (WebP,
-    arithmetic/12-bit JPEG, JPEG/deflate-compressed TIFF) stay
-    environment-gated.
+    TIFF 6.0 (II/MM, strips or tiles, uncompressed/PackBits/LZW/
+    Deflate, predictor-2, gray/RGB); only the remaining codecs (WebP,
+    arithmetic/12-bit JPEG, JPEG-in-TIFF) stay environment-gated.
 
     The container has no image codec libraries (no PIL / cv2); in
     production the gated branch is ``PIL.Image.open(io.BytesIO(blob))``.

@@ -1021,9 +1021,11 @@ FROM px GROUP BY doc_id
         "become a 6x8 grayscale image written as a TIFF whose layout "
         "cycles the real-world variants by doc_id — even doc_ids "
         "BIG-endian (MM): %8==0 TILED 16x16 (§15 padded-edge gather), "
-        "%8==2 predictor-2 uncompressed strips (§14), else plain "
-        "2-rows-per-strip; odd little-endian (II): %4==1 PackBits RLE "
-        "(§9), %8==3 LZW+predictor-2, %8==7 LZW tiled — all decoded "
+        "%8==2 predictor-2 uncompressed strips (§14), %8==4 "
+        "Deflate+predictor (Tech Note 2, stdlib zlib), else plain "
+        "2-rows-per-strip; odd little-endian (II): %8==1 PackBits RLE "
+        "(§9), %8==5 Deflate, %8==3 LZW+predictor-2, %8==7 LZW tiled "
+        "— all decoded "
         "through the library-free IFD walk (operators/multimodal.py:"
         "decode_tiff — tag/type parse, inline-vs-offset values, "
         "strip/tile gather, horizontal-differencing undo, LZW with "
@@ -1054,13 +1056,15 @@ def ext_multimodal_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         codes,
                         big_endian=(d % 2 == 0),
                         rows_per_strip=2 if d % 2 == 0 else 0,
-                        # odd docs split between PackBits RLE (§9) and
-                        # LZW (§13, MSB-first EarlyChange)
-                        packbits=(d % 4 == 1),
+                        # compression lanes: PackBits RLE (§9), LZW
+                        # (§13, MSB-first EarlyChange), zlib Deflate
+                        # (Tech Note 2, stdlib zlib)
+                        packbits=(d % 8 == 1),
                         lzw=(d % 4 == 3),
-                        # §14 horizontal differencing rides both an
-                        # uncompressed and an LZW lane
-                        predictor=(d % 8 in (2, 3)),
+                        deflate=(d % 8 in (4, 5)),
+                        # §14 horizontal differencing rides
+                        # uncompressed, LZW, and Deflate lanes
+                        predictor=(d % 8 in (2, 3, 4)),
                         # §15 tiled layout: one padded 16x16 tile over
                         # the 6x8 image, uncompressed and LZW lanes
                         tile=(16, 16) if d % 8 in (0, 7) else None,

@@ -152,10 +152,56 @@ def _semantic_scaledk(spark, sf_dir):
     )
 
 
+def _whitened_scaledk(spark, sf_dir):
+    """The whitened SemDeDup composition under the same k ~ sqrt(n)
+    policy (+ vectorized kernels) as _semantic_scaledk — the oracle
+    entry pins k=8 for value-exactness, which is quadratic-per-cluster
+    as data grows; this is the configuration the 100x ladder grades."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from arrow_ballista_spark.catalog import load_table
+    from arrow_ballista_spark.operators.caching import tracked_persist
+    from arrow_ballista_spark.operators.kmeans import semantic_dedup_pairs
+    from arrow_ballista_spark.operators.pca import whitening_literals
+    from arrow_ballista_spark.queries.extensions import (
+        _whiten_dim_expr,
+        _WHITEN_K,
+        _WHITEN_TAU,
+    )
+
+    mean, W = whitening_literals(sf_dir, k=_WHITEN_K)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    white = tracked_persist(
+        emb.select(
+            "vec_id",
+            F.array(
+                *[
+                    F.expr(_whiten_dim_expr(mean, W, j, base=0))
+                    for j in range(_WHITEN_K)
+                ]
+            ).alias("embedding"),
+        )
+    )
+    k = max(8, int(math.sqrt(white.count())))
+    out = semantic_dedup_pairs(
+        white, k=k, iters=2, tau=_WHITEN_TAU, vectorized=True
+    )
+    return out.select(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("bit_xor(xxhash64(id_a, id_b))").alias("checksum"),
+    )
+
+
 #: Bench-only variants that aren't registry entries (no oracle — they
 #: re-run a registry operator under its documented scale configuration).
 EXTRA_VARIANTS = {
     "ext_dedup_semantic__scaledk": _semantic_scaledk,
+    "ext_dedup_semantic_whitened__scaledk": _whitened_scaledk,
 }
 
 

@@ -1135,24 +1135,28 @@ def test_gif_animation_roundtrip_property(h, w, nf, ncol, delta, seed):
 
 
 @given(
-    h=st.integers(1, 32),
-    w=st.integers(1, 32),
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
     rgb=st.booleans(),
     big_endian=st.booleans(),
     rps=st.integers(0, 5),
-    compression=st.sampled_from(["none", "packbits", "lzw"]),
+    compression=st.sampled_from(["none", "packbits", "lzw", "deflate"]),
+    predictor=st.booleans(),
+    tiled=st.booleans(),
     runs=st.booleans(),
     seed=st.integers(0, 2**31 - 1),
 )
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=60, deadline=None)
 def test_tiff_roundtrip_property(
-    h, w, rgb, big_endian, rps, compression, runs, seed
+    h, w, rgb, big_endian, rps, compression, predictor, tiled, runs, seed
 ):
     """encode_tiff -> decode_tiff is the identity over shapes, gray/RGB,
-    both byte orders, any rows-per-strip (multi-strip reassembly), and
-    each compression (none / PackBits RLE / LZW-EarlyChange, over
-    run-heavy AND incompressible pixels): TIFF is a raw/losslessly-
-    packed pixel container, so decode must be exact."""
+    both byte orders, any rows-per-strip (multi-strip reassembly) OR
+    tiled layout (§15 padded-edge gather), each compression (none /
+    PackBits RLE / LZW-EarlyChange / zlib Deflate, over run-heavy AND
+    incompressible pixels), with and without predictor-2 horizontal
+    differencing (§14): TIFF is a raw/losslessly-packed pixel
+    container, so decode must be exact."""
     import numpy as np
 
     from arrow_ballista_spark.operators.multimodal import (
@@ -1170,7 +1174,10 @@ def test_tiff_roundtrip_property(
     out = decode_tiff(
         encode_tiff(img, big_endian=big_endian, rows_per_strip=rps,
                     packbits=compression == "packbits",
-                    lzw=compression == "lzw")
+                    lzw=compression == "lzw",
+                    deflate=compression == "deflate",
+                    predictor=predictor,
+                    tile=(16, 16) if tiled else None)
     )
     assert np.array_equal(out, want)
 

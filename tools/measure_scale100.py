@@ -98,7 +98,12 @@ def main():
                 m0, d0 = _spill_bytes(spark)
                 t0 = time.monotonic()
                 try:
-                    df = reg[name].spark(spark, sf_dir)
+                    if name in reg:
+                        df = reg[name].spark(spark, sf_dir)
+                    else:  # bench-only scale variants (__scaledk etc.)
+                        from bench import EXTRA_VARIANTS
+
+                        df = EXTRA_VARIANTS[name](spark, sf_dir)
                     df.selectExpr(
                         "count(*) AS n", "sum(hash(*)) AS cs"
                     ).collect()
