@@ -99,11 +99,24 @@ _CANARIES = [
 _EVIDENCE_RESET = {
     # r8: real numpy logistic model replaced the length stub (new oracle)
     "ext_model_score": 8,
-    # r8: even doc_ids now encode progressive JPEG / Adam7-interlaced PNG
-    # / PackBits TIFF — same oracle values, NEW decode paths the old
-    # evidence never ran
-    "ext_multimodal_jpeg_stats": 8,
-    "ext_multimodal_png_stats": 8,
+    # r9: every codec oracle was byte-pinned (regexp_replace non-ASCII
+    # sanitizer inside rpad; _ascii_bytes on the Spark half) — values
+    # unchanged on ASCII fixtures but the compared SQL is new text
+    "ext_multimodal_image_stats": 9,
+    "ext_multimodal_png_stats": 9,
+    "ext_multimodal_jpeg_stats": 9,
+    "ext_multimodal_audio_stats": 9,
+    "ext_multimodal_mulaw_stats": 9,
+    "ext_multimodal_gif_stats": 9,
+    "ext_multimodal_adpcm_stats": 9,
+    # r9: + new decode lanes (tiled/predictor-2/Deflate TIFF;
+    # disposal-3 GIF animation on doc_id%3==1)
+    "ext_multimodal_tiff_stats": 9,
+    "ext_multimodal_gif_frames": 9,
+    # r9: head_hex went octet-level; frame_md5 redefined as md5 over
+    # the frame's lowercase hex (new values)
+    "ext_multimodal_features": 9,
+    "ext_multimodal_frames": 9,
 }
 
 
