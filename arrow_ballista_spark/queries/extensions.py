@@ -1032,7 +1032,7 @@ FROM px GROUP BY doc_id
         "EarlyChange) into channel means checked against the "
         "independent byte-level SQL average.  Every variant is "
         "lossless, so decode must be the identity or the hash breaks; "
-        "only JPEG/deflate-compressed TIFF stays env-gated.  Map-only "
+        "only JPEG-compressed TIFF stays env-gated.  Map-only "
         "Arrow batches."
     ),
 )
