@@ -10,10 +10,12 @@ Scope (the overwhelmingly common crawl shapes):
   accepted — same scan structure) AND progressive (SOF2: spectral
   selection + successive approximation, DC/AC first and refinement
   scans, EOB runs — coefficients accumulate across scans and
-  reconstruct at EOI), 8-bit samples, grayscale or YCbCr, any h/v
-  sampling factors 1-2 (covers 4:4:4, 4:2:2, 4:2:0), restart markers
-  (DRI/RSTn), APPn/COM skipped.  Arithmetic coding, 12-bit, and
-  hierarchical modes raise ``NotImplementedError``.
+  reconstruct at EOI), 8-bit samples everywhere plus 12-bit on SOF1
+  (T.81 Table B.2: level shift 2048, 16-bit DQT, output scaled to the
+  8-bit contract by dropping the low 4 bits), grayscale or YCbCr, any
+  h/v sampling factors 1-2 (covers 4:4:4, 4:2:2, 4:2:0), restart
+  markers (DRI/RSTn), APPn/COM skipped.  Arithmetic coding, 12-bit
+  progressive, and hierarchical modes raise ``NotImplementedError``.
 - encode (fixture/test helper, the ``encode_png`` pattern): baseline or
   progressive (``progressive=True``: interleaved DC first/refine at
   Al=1->0, per-component AC spectral bands at Al=1, AC refinement —
@@ -23,7 +25,9 @@ Scope (the overwhelmingly common crawl shapes):
   symbols), grayscale or 4:4:4 / 4:2:2 / 4:2:0 YCbCr — so the decode
   path can be driven with REAL entropy-coded streams and the
   progressive==baseline pixel-identity property test (both encoders
-  carry the same quantized coefficients).
+  carry the same quantized coefficients); ``encode_jpeg12`` writes
+  the 12-bit extended-sequential grayscale profile with flat custom
+  Huffman tables (the Annex K tables stop at the 8-bit categories).
 
 Determinism: all DCT math is float64 with fixed operation order
 (matrix IDCT, batched per component), so decoded pixels are
@@ -215,8 +219,13 @@ def decode_jpeg(blob: bytes):
                 p += 17 + nv
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
-            if prec != 8:
-                raise NotImplementedError(f"{prec}-bit JPEG not supported")
+            # T.81: baseline (SOF0) is 8-bit only; extended sequential
+            # (SOF1) adds 12-bit.  12-bit progressive is legal but out
+            # of scope here — it degrades, never misdecodes.
+            if not (prec == 8 or (prec == 12 and marker == 0xC1)):
+                raise NotImplementedError(
+                    f"{prec}-bit JPEG not supported (marker 0xFF{marker:02X})"
+                )
             if w == 0 or h == 0 or w * h > (1 << 26):
                 # corrupt/crafted headers must degrade, not drive an
                 # O(n_mcu) decode loop into OOM (the image_stats
@@ -241,7 +250,7 @@ def decode_jpeg(blob: bytes):
                     )
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps,
-                     "prog": marker == 0xC2}
+                     "prog": marker == 0xC2, "prec": prec}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -399,14 +408,22 @@ def _planes_to_rgb(frame, qt):
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    # 12-bit (SOF1 extended sequential): level shift is 2^(P-1)=2048,
+    # samples clip to 0..4095, then scale to the 8-bit output contract
+    # by dropping the low 4 bits (the 16-bit-PNG high-byte precedent)
+    prec = frame.get("prec", 8)
+    mid, top = float(1 << (prec - 1)), (1 << prec) - 1
     planes = []
     for c in comps:
         D = np.zeros((c["coef"].shape[0], 64))
         D[:, _ZZ] = c["coef"].astype(np.float64)
         D *= qt[c["tq"]].reshape(-1).astype(np.float64)[None, :]
         F = D.reshape(-1, 8, 8)
-        f = np.einsum("ux,nuv,vy->nxy", _C, F, _C) + 128.0
-        f = np.clip(np.round(f), 0, 255).astype(np.uint8)
+        f = np.einsum("ux,nuv,vy->nxy", _C, F, _C) + mid
+        f = np.clip(np.round(f), 0, top)
+        if prec > 8:
+            f = np.floor(f / float(1 << (prec - 8)))
+        f = f.astype(np.uint8)
         plane = (
             f.reshape(c["by"], c["bx"], 8, 8)
             .transpose(0, 2, 1, 3)
@@ -763,14 +780,15 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 
 def _encode_blocks(plane: np.ndarray, q: np.ndarray, dc_c, ac_c, wr,
-                   pred: int) -> int:
+                   pred: int, shift: float = 128.0) -> int:
     """FDCT + quantize + entropy-code every 8x8 block of a (H, W) plane
-    (H, W multiples of 8), row-major; returns the updated DC predictor."""
+    (H, W multiples of 8), row-major; returns the updated DC predictor.
+    ``shift`` is the level shift — 128 for 8-bit, 2048 for 12-bit."""
     H, W = plane.shape
     for by in range(H // 8):
         for bx in range(W // 8):
             blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            Fq = _C @ (blk.astype(np.float64) - 128.0) @ _C.T
+            Fq = _C @ (blk.astype(np.float64) - shift) @ _C.T
             coef = np.round(Fq / q).astype(np.int32).reshape(-1)[_ZZ]
             diff = int(coef[0]) - pred
             pred = int(coef[0])
@@ -1206,3 +1224,313 @@ def encode_jpeg(
         out += emit_scan(mcus)
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --- 12-bit extended sequential (SOF1, T.81 Table B.2 P=12) ----------------
+
+# The Annex K Huffman tables stop at the 8-bit categories (DC SSSS <= 11,
+# AC size <= 10); 12-bit DC differences reach category 15 and AC
+# magnitudes category 14, so the 12-bit writer uses flat custom tables:
+# all 16 DC categories at 5 bits, and every legal AC symbol (EOB, ZRL,
+# (run, size) for size 1..14) at 8 bits — 226 codes of 256, the all-ones
+# codeword unused as T.81 C.2 requires.
+_HT_DC_12 = (
+    [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    bytes(range(16)),
+)
+_HT_AC_12 = (
+    [0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0, 0],
+    bytes([0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 15)
+    ]),
+)
+
+
+def encode_jpeg12(img, quality: int = 100) -> bytes:
+    """12-bit extended-sequential JPEG writer (SOF1, grayscale 4:4:4
+    single scan): input is an (h, w) integer array with samples in
+    0..4095.  The quantization table is written at 16-bit precision
+    (DQT Pq=1) and the level shift is 2^11 = 2048 per T.81 A.3.1; at
+    quality 100 the table is all ones, so 8x8-block-constant images
+    decode bit-exactly (the DC-exact fixture contract).  12-bit JPEG
+    is the scanned-document/medical-imagery profile; the decoder
+    (:func:`decode_jpeg`) scales samples to the 8-bit output contract
+    by dropping the low 4 bits."""
+    img = np.asarray(img)
+    if img.ndim != 2:
+        raise ValueError("encode_jpeg12 writes grayscale (h, w) only")
+    if img.min() < 0 or img.max() > 4095:
+        raise ValueError("12-bit samples must be in 0..4095")
+    h, w = img.shape
+    H, W = -(-h // 8) * 8, -(-w // 8) * 8
+    plane = np.pad(
+        img.astype(np.float64), ((0, H - h), (0, W - w)), mode="edge"
+    )
+    q = _scaled_qt(_QT_LUM, quality).astype(np.int32)
+
+    def chunk(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    zz_q = q.reshape(-1)[_ZZ].astype(">u2").tobytes()
+    out += chunk(0xDB, b"\x10" + zz_q)  # Pq=1 (16-bit entries), Tq=0
+    out += chunk(
+        0xC1, struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0])
+    )
+    out += chunk(
+        0xC4, bytes([0x00]) + bytes(_HT_DC_12[0]) + _HT_DC_12[1]
+    )
+    out += chunk(
+        0xC4, bytes([0x10]) + bytes(_HT_AC_12[0]) + _HT_AC_12[1]
+    )
+    out += chunk(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    wr = _BitWriter()
+    _encode_blocks(
+        plane, q.astype(np.float64), _huff_codes(_HT_DC_12),
+        _huff_codes(_HT_AC_12), wr, 0, shift=2048.0,
+    )
+    wr.flush()
+    out += wr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --- arithmetic coding (T.81 Annex D QM-coder + Annex F models) ------------
+
+# T.81 Table D.3: the 113-state probability estimation table —
+# (Qe, NMPS, NLPS, SWITCH) per index.  Entry 113 is the conventional
+# non-adapting ~equiprobable state used for AC sign decisions (the
+# libjpeg "fixed bin" convention; T.81 F.1.4.4.1.2 codes signs with a
+# fixed estimate).
+_QE = [
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1),
+    (0x5A1D, 113, 113, 0),  # 113: fixed ~0.5 state (never adapts)
+]
+
+
+class _Stats:
+    """A bank of adaptive binary contexts: per bin, the estimation-table
+    index and the current MPS sense (T.81 D.1.1).  One bank per
+    DC/AC conditioning table; 64 DC bins / 256 AC bins, the Annex F
+    statistical-model areas."""
+
+    __slots__ = ("idx", "mps")
+
+    def __init__(self, n: int):
+        self.idx = bytearray(n)
+        self.mps = bytearray(n)
+
+
+class _QMDecoder:
+    """T.81 Annex D arithmetic decoder (DECODE + MPS/LPS_EXCHANGE +
+    RENORMD, Figures D.17-D.21 register discipline: 32-bit C, 16-bit A,
+    renormalize while A < 0x8000).  Byte feed uses the 0xFF 0x00
+    byte-stuffing realization (a stuffed zero byte after every 0xFF
+    data byte; any other marker terminates the segment and zero bytes
+    feed from then on) — the convention of the dominant public
+    implementation lineage; the encoder twin below emits the same, and
+    the coefficient-identity property test pins the pair."""
+
+    __slots__ = ("data", "pos", "n", "c", "a", "ct", "_ended")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.n = len(data)
+        self._ended = False
+        # INITDEC: the first two data bytes form the initial code value
+        # in Chigh (bits 16..31); CT=0 so the first renormalization
+        # iteration feeds byte 3 into bits 8..15 before shifting
+        self.c = (self._byte() << 24) | (self._byte() << 16)
+        self.ct = 0
+        # INITENC's interval convention: the full 16-bit code space —
+        # only the first subtraction ever sees A > 0xFFFF
+        self.a = 0x10000
+
+    def _byte(self) -> int:
+        if self._ended or self.pos >= self.n:
+            self._ended = True
+            return 0
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos] if self.pos < self.n else 0xD9
+            if nxt == 0x00:
+                self.pos += 1  # stuffed zero byte: deliver the 0xFF
+            else:  # marker: no more entropy data, feed zeros
+                self._ended = True
+                return 0
+        return b
+
+    def decode(self, st: _Stats, k: int) -> int:
+        i = st.idx[k]
+        qe, nmps, nlps, sw = _QE[i]
+        mps = st.mps[k]
+        self.a -= qe
+        if ((self.c >> 16) & 0xFFFF) < self.a:
+            if self.a & 0x8000:
+                return mps
+            # MPS_EXCHANGE
+            if self.a < qe:
+                d = 1 - mps
+                if sw:
+                    st.mps[k] = 1 - mps
+                st.idx[k] = nlps
+            else:
+                d = mps
+                st.idx[k] = nmps
+        else:
+            # LPS_EXCHANGE
+            self.c -= self.a << 16
+            if self.a < qe:
+                d = mps
+                st.idx[k] = nmps
+            else:
+                d = 1 - mps
+                if sw:
+                    st.mps[k] = 1 - mps
+                st.idx[k] = nlps
+            self.a = qe
+        # RENORMD (Figure D.21): A and C shift together one bit at a
+        # time; BYTEIN refills bits 8..15 whenever CT runs dry
+        while True:
+            if self.ct == 0:
+                self.c += self._byte() << 8
+                self.ct = 8
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+        return d
+
+
+class _QMEncoder:
+    """T.81 Annex D arithmetic encoder (CODEMPS/CODELPS + RENORME +
+    BYTEOUT/FLUSH): the exact interval twin of :class:`_QMDecoder` —
+    MPS subinterval at the bottom, LPS (size Qe) on top, conditional
+    exchange when the MPS subinterval shrinks below Qe.  Carry
+    resolution uses the byte-stack realization (a pending buffer byte
+    plus a run of provisional 0xFF bytes that a later carry flips to
+    0x00), and every emitted 0xFF data byte is followed by a stuffed
+    0x00 so no marker can appear inside the entropy segment."""
+
+    __slots__ = ("c", "a", "ct", "buffer", "sc", "out")
+
+    def __init__(self):
+        self.c = 0
+        self.a = 0x10000
+        self.ct = 11
+        self.buffer = None  # pending byte: the carry target
+        self.sc = 0  # provisional 0xFF bytes after the buffer
+        self.out = bytearray()
+
+    def _emit(self, b: int) -> None:
+        self.out.append(b)
+        if b == 0xFF:
+            self.out.append(0x00)  # byte stuffing
+
+    def _byteout(self) -> None:
+        t = self.c >> 19
+        if t > 0xFF:
+            # carry: cascades through every stacked 0xFF into the buffer
+            if self.buffer is not None:
+                self._emit(self.buffer + 1)
+            for _ in range(self.sc):
+                self._emit(0x00)  # 0xFF + carry wraps to 0x00
+            self.sc = 0
+            self.buffer = t & 0xFF
+        elif t == 0xFF:
+            self.sc += 1  # provisional: a later carry may flip it
+        else:
+            if self.buffer is not None:
+                self._emit(self.buffer)
+            for _ in range(self.sc):
+                self._emit(0xFF)
+            self.sc = 0
+            self.buffer = t
+        self.c &= 0x7FFFF
+
+    def encode(self, st: _Stats, k: int, bit: int) -> None:
+        i = st.idx[k]
+        qe, nmps, nlps, sw = _QE[i]
+        mps = st.mps[k]
+        self.a -= qe
+        if bit == mps:
+            if self.a & 0x8000:
+                return  # no renormalization, no state change
+            if self.a < qe:  # conditional exchange: MPS takes the top
+                self.c += self.a
+                self.a = qe
+            st.idx[k] = nmps
+        else:
+            if self.a < qe:  # conditional exchange: LPS keeps the bottom
+                pass
+            else:
+                self.c += self.a
+                self.a = qe
+            if sw:
+                st.mps[k] = 1 - mps
+            st.idx[k] = nlps
+        while True:  # RENORME
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+                self.ct = 8
+            if self.a & 0x8000:
+                break
+
+    def flush(self) -> bytes:
+        # CLEARBITS: the code point in [C, C+A) with most trailing zeros
+        t = (self.c + self.a - 1) & ~0xFFFF
+        self.c = t + 0x8000 if t < self.c else t
+        self.c <<= self.ct  # FINALWRITES
+        self._byteout()
+        self.c <<= 8
+        self._byteout()
+        self.c <<= 8
+        self._byteout()
+        if self.buffer is not None:
+            self._emit(self.buffer)
+        for _ in range(self.sc):
+            self._emit(0xFF)
+        return bytes(self.out)

@@ -12,8 +12,9 @@ The reference has no multimodal surface; this is a north-star extension
 - decode is REAL for library-free formats — P6 PPM, uncompressed 24-bit
   BMP, 8/16-bit PNG incl. Adam7 interlace (stdlib zlib), sequential AND
   progressive JPEG (ITU T.81 Huffman + IDCT + Annex G,
-  ``operators/jpeg.py``), PCM WAV — all value-oracled; only the
-  remaining codecs (WebP/MP3, arithmetic/12-bit JPEG)
+  ``operators/jpeg.py``, incl. 12-bit SOF1), PCM WAV — all
+  value-oracled; only the remaining codecs (WebP/MP3,
+  arithmetic-coded JPEG, 12-bit progressive)
   stay environment-gated behind ``NotImplementedError`` (no codec libs
   in this container; production swaps in PIL/ffmpeg), with
   ``fake_decode_meta`` standing in so the Spark-side plumbing (schema,
@@ -268,8 +269,41 @@ _TIFF_TAGS = {
     262: "photometric", 273: "strip_offsets", 277: "spp",
     278: "rows_per_strip", 279: "strip_counts",
     317: "predictor", 322: "tile_width", 323: "tile_length",
-    324: "tile_offsets", 325: "tile_counts",
+    324: "tile_offsets", 325: "tile_counts", 347: "jpeg_tables",
 }
+
+
+def _jpeg_split_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a JPEG interchange stream into (tables, abbreviated) per
+    TIFF Tech Note 2: ``tables`` is SOI + DQT/DHT segments + EOI (the
+    JPEGTables field, tag 347) and ``abbreviated`` is the remaining
+    stream (SOI + frame/scan headers + entropy data) that each strip
+    stores.  A decoder prepends the shared tables before every strip."""
+    import struct
+
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    i = 2
+    tables = bytearray()
+    rest = bytearray(b"\xff\xd8")
+    while i + 4 <= len(stream):
+        if stream[i] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = stream[i + 1]
+        (ln,) = struct.unpack_from(">H", stream, i + 2)
+        seg = stream[i : i + 2 + ln]
+        if marker in (0xDB, 0xC4):  # DQT / DHT -> shared tables
+            tables += seg
+        else:
+            rest += seg
+        i += 2 + ln
+        if marker == 0xDA:  # SOS: entropy data runs to EOI
+            rest += stream[i:]
+            return (
+                bytes(b"\xff\xd8" + tables + b"\xff\xd9"),
+                bytes(rest),
+            )
+    raise ValueError("JPEG stream without SOS")
 
 
 def _tiff_chunk_decode(data: bytes, comp: int, n_expected: int) -> bytes:
@@ -313,10 +347,14 @@ def decode_tiff(blob: bytes):
     WhiteIsZero inverted) or RGB (photometric 2), strip layout (any
     rows-per-strip) or tiled layout (TIFF 6.0 §15), uncompressed,
     PackBits RLE (compression 32773, §9), LZW (compression 5, §13 —
-    MSB-first with EarlyChange), or zlib Deflate (compression 8 and
-    old-style 32946, Adobe TIFF Tech Note 2 — stdlib zlib), with
-    optional predictor-2 horizontal differencing (§14).  JPEG-in-TIFF
-    and non-8-bit depths raise ``NotImplementedError``.
+    MSB-first with EarlyChange), zlib Deflate (compression 8 and
+    old-style 32946, Adobe TIFF Tech Note 2 — stdlib zlib), or
+    new-style JPEG (compression 7, Tech Note 2: each strip/tile is a
+    JPEG stream, optionally abbreviated against a shared JPEGTables
+    field, decoded by :mod:`operators.jpeg`), with optional
+    predictor-2 horizontal differencing (§14).  Old-style JPEG
+    (compression 6) and non-8-bit depths raise
+    ``NotImplementedError``.
     Returns an (h, w, 3) uint8 RGB array (gray replicates — the
     :func:`decode_png` contract).  Only the FIRST IFD (first page) is
     decoded."""
@@ -335,7 +373,8 @@ def decode_tiff(blob: bytes):
         raise ValueError("not a TIFF (bad magic)")
     (n_entries,) = struct.unpack_from(en + "H", blob, ifd_off)
     tags: dict = {}
-    _TYPE = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4)}
+    # type 7 = UNDEFINED (raw bytes — the JPEGTables field, tag 347)
+    _TYPE = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4), 7: ("B", 1)}
     for k in range(n_entries):
         off = ifd_off + 2 + 12 * k
         tag, typ, count = struct.unpack_from(en + "HHI", blob, off)
@@ -363,14 +402,18 @@ def decode_tiff(blob: bytes):
         if req not in tags:
             raise ValueError(f"TIFF missing required tag {req}")
     comp = tags.get("compression", [1])[0]
-    if comp not in (1, 5, 8, 32773, 32946):
+    if comp not in (1, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(
-            f"only uncompressed, LZW, Deflate, and PackBits TIFF are "
-            f"library-free (compression {comp})"
+            f"only uncompressed, LZW, Deflate, PackBits, and new-style "
+            f"JPEG TIFF are library-free (compression {comp})"
         )
     pred = tags.get("predictor", [1])[0]
     if pred not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {pred} not supported")
+    if comp == 7 and pred == 2:
+        # Tech Note 2: the predictor applies to LZW/Deflate pixel
+        # streams, never to JPEG-compressed strips
+        raise ValueError("predictor with JPEG-in-TIFF is invalid")
     # TIFF 6.0 default for a missing BitsPerSample tag is 1 (bilevel),
     # which the !=8 gate below rejects rather than decoding as 8-bit
     bits = tags.get("bits", [1])
@@ -384,10 +427,32 @@ def decode_tiff(blob: bytes):
         raise ValueError(f"implausible TIFF dimensions {w}x{h}")
     spp = tags.get("spp", [1])[0]
     photo = tags.get("photometric", [1])[0]
-    if photo not in (0, 1, 2) or spp not in (1, 3):
+    # photometric 6 (YCbCr) only pairs with JPEG strips, whose decoder
+    # does the YCbCr->RGB conversion itself (T.81 / JFIF convention)
+    allowed_photo = (0, 1, 2, 6) if comp == 7 else (0, 1, 2)
+    if photo not in allowed_photo or spp not in (1, 3):
         raise NotImplementedError(
             f"TIFF photometric {photo} / {spp} samples not supported"
         )
+
+    def _jpeg_chunk(chunk: bytes):
+        # Tech Note 2 merge: JPEGTables is SOI+tables+EOI; an
+        # abbreviated strip stream is SOI+frame/scan; the decodable
+        # stream is tables (sans EOI) + strip (sans SOI).  Strips
+        # written as full interchange streams merge identically —
+        # their inline tables simply override the shared ones.
+        from .jpeg import decode_jpeg
+
+        jt = tags.get("jpeg_tables")
+        if jt:
+            tb = bytes(jt)
+            if tb[:2] != b"\xff\xd8" or tb[-2:] != b"\xff\xd9":
+                raise ValueError("bad JPEGTables field")
+            chunk = tb[:-2] + chunk[2:]
+        px = decode_jpeg(chunk)
+        # gray TIFF strips decode to replicated RGB; keep one channel
+        # so the canvas keeps the IFD's SamplesPerPixel shape
+        return px[:, :, :1] if spp == 1 else px
     if tiled:
         # TIFF 6.0 §15: tiles stored left-to-right, top-to-bottom,
         # each padded to the full (tl, tw) size; dims are multiples
@@ -401,16 +466,41 @@ def decode_tiff(blob: bytes):
             raise ValueError("TIFF tile offsets/counts too short")
         img = np.zeros((td * tl, ta * tw, spp), np.uint8)
         for ti in range(ta * td):
-            chunk = _tiff_chunk_decode(
-                blob[offs[ti] : offs[ti] + cnts[ti]], comp,
-                tl * tw * spp,
-            )
-            tile = np.frombuffer(chunk, np.uint8).reshape(tl, tw, spp)
-            if pred == 2:
-                tile = _tiff_undiff(tile, np)
+            raw_tile = blob[offs[ti] : offs[ti] + cnts[ti]]
+            if comp == 7:
+                tile = _jpeg_chunk(raw_tile)
+                if tile.shape[:2] != (tl, tw):
+                    raise ValueError(
+                        f"JPEG tile decodes to {tile.shape[:2]}, "
+                        f"IFD says {(tl, tw)}"
+                    )
+            else:
+                chunk = _tiff_chunk_decode(raw_tile, comp, tl * tw * spp)
+                tile = np.frombuffer(chunk, np.uint8).reshape(
+                    tl, tw, spp
+                )
+                if pred == 2:
+                    tile = _tiff_undiff(tile, np)
             r, c = divmod(ti, ta)
             img[r * tl : (r + 1) * tl, c * tw : (c + 1) * tw] = tile
         img = np.ascontiguousarray(img[:h, :w])
+    elif comp == 7:
+        rps = tags.get("rows_per_strip", [h])[0]
+        parts = []
+        for si, (off, cnt) in enumerate(
+            zip(tags["strip_offsets"], tags["strip_counts"])
+        ):
+            rows = min(rps, h - si * rps)
+            px = _jpeg_chunk(blob[off : off + cnt])
+            if px.shape[:2] != (rows, w):
+                raise ValueError(
+                    f"JPEG strip decodes to {px.shape[:2]}, "
+                    f"IFD says {(rows, w)}"
+                )
+            parts.append(px)
+        if not parts:
+            raise ValueError("TIFF with no strips")
+        img = np.concatenate(parts, axis=0)
     else:
         raw = bytearray()
         rps = tags.get("rows_per_strip", [h])[0]
@@ -445,14 +535,19 @@ def encode_tiff(
     img, big_endian: bool = False, rows_per_strip: int = 0,
     white_is_zero: bool = False, packbits: bool = False,
     lzw: bool = False, predictor: bool = False, tile=None,
-    deflate: bool = False,
+    deflate: bool = False, jpeg: int = 0,
+    jpeg_shared_tables: bool = False,
 ) -> bytes:
     """Minimal TIFF 6.0 writer (fixture/test helper): 8-bit grayscale
     ((h, w)) or RGB ((h, w, 3)) in either byte order — drives
     :func:`decode_tiff` with real IFD layouts, multi-strip or tiled
     (§15, ``tile=(tw, tl)`` in multiples of 16) data, optional
     predictor-2 horizontal differencing (§14), PackBits / LZW /
-    zlib-Deflate compression, and both endiannesses."""
+    zlib-Deflate compression, and both endiannesses.  ``jpeg`` > 0
+    writes new-style JPEG strips/tiles (compression 7, Tech Note 2) at
+    that quality via :func:`operators.jpeg.encode_jpeg`;
+    ``jpeg_shared_tables`` factors the DQT/DHT segments into a shared
+    JPEGTables field (tag 347) with abbreviated per-strip streams."""
     import struct
 
     import numpy as np
@@ -476,40 +571,69 @@ def encode_tiff(
         return d
 
     rps = rows_per_strip or h
+    chunk_arrays = []
     if tile:
         tw, tl = tile
         if tw % 16 or tl % 16 or tw == 0 or tl == 0:
             raise ValueError("TIFF tile dims must be multiples of 16")
         ta, td = -(-w // tw), -(-h // tl)
-        padded = np.zeros((td * tl, ta * tw, spp), np.uint8)
-        padded[:h, :w] = arr
-        strips = []
+        # §15 leaves edge-tile padding to the writer; JPEG tiles
+        # edge-replicate (zero padding would bleed ringing into the
+        # cropped region through any 8x8 block straddling the edge —
+        # the same reason encode_jpeg pads with mode="edge"),
+        # lossless tiles keep the zero padding the fixtures pin
+        padded = np.pad(
+            arr, ((0, td * tl - h), (0, ta * tw - w), (0, 0)),
+            mode="edge" if jpeg else "constant",
+        )
         for r in range(td):
             for c in range(ta):
-                t = padded[r * tl : (r + 1) * tl, c * tw : (c + 1) * tw]
-                strips.append((hdiff(t) if predictor else t).tobytes())
+                chunk_arrays.append(
+                    padded[r * tl : (r + 1) * tl, c * tw : (c + 1) * tw]
+                )
     else:
+        chunk_arrays = [arr[r : r + rps] for r in range(0, h, rps)]
+    if sum((packbits, lzw, deflate, bool(jpeg))) > 1:
+        raise ValueError("choose one of packbits/lzw/deflate/jpeg")
+    jt_bytes = None
+    if jpeg:
         if predictor:
-            arr = hdiff(arr)
-        data = arr.tobytes()
-        row_bytes = w * spp
-        strips = [
-            data[r * row_bytes : min(r + rps, h) * row_bytes]
-            for r in range(0, h, rps)
-        ]
-    if sum((packbits, lzw, deflate)) > 1:
-        raise ValueError("choose one of packbits/lzw/deflate")
-    if packbits:
-        strips = [_packbits_encode(srow) for srow in strips]
-    elif lzw:
-        strips = [_tiff_lzw_encode(srow) for srow in strips]
-    elif deflate:
-        import zlib
+            raise ValueError("predictor with JPEG-in-TIFF is invalid")
+        if white_is_zero:
+            raise ValueError("WhiteIsZero with JPEG strips is invalid")
+        from .jpeg import encode_jpeg
 
-        strips = [zlib.compress(srow) for srow in strips]
-    photo = (0 if white_is_zero else 1) if gray else 2
+        strips = [
+            encode_jpeg(a[:, :, 0] if gray else a, quality=jpeg)
+            for a in chunk_arrays
+        ]
+        if jpeg_shared_tables:
+            split = [_jpeg_split_tables(s) for s in strips]
+            # one quality -> identical tables in every strip stream;
+            # keep the first as the shared JPEGTables field
+            jt_bytes = split[0][0]
+            strips = [rest for _, rest in split]
+    else:
+        strips = [
+            (hdiff(a) if predictor else a).tobytes()
+            for a in chunk_arrays
+        ]
+        if packbits:
+            strips = [_packbits_encode(srow) for srow in strips]
+        elif lzw:
+            strips = [_tiff_lzw_encode(srow) for srow in strips]
+        elif deflate:
+            import zlib
+
+            strips = [zlib.compress(srow) for srow in strips]
+    if jpeg:
+        # Tech Note 2: color JPEG strips carry YCbCr samples
+        photo = (0 if white_is_zero else 1) if gray else 6
+    else:
+        photo = (0 if white_is_zero else 1) if gray else 2
     comp_tag = (
-        5 if lzw else 8 if deflate else 32773 if packbits else 1
+        7 if jpeg else 5 if lzw else 8 if deflate
+        else 32773 if packbits else 1
     )
     entries = [  # (tag, type, count, value-or-values)
         (256, 4, 1, [w]), (257, 4, 1, [h]),
@@ -519,6 +643,9 @@ def encode_tiff(
     ]
     if predictor:
         entries.append((317, 3, 1, [2]))
+    if jt_bytes is not None:
+        # JPEGTables (tag 347, type 7 = UNDEFINED raw bytes)
+        entries.append((347, 7, len(jt_bytes), jt_bytes))
     if tile:
         entries += [(322, 4, 1, [tw]), (323, 4, 1, [tl])]
         off_tag, cnt_tag = 324, 325
@@ -532,9 +659,11 @@ def encode_tiff(
     extra = bytearray()  # out-of-line values
 
     def value_field(typ, count, vals):
-        fmt = {1: "B", 3: "H", 4: "I"}[typ]
-        sz = {1: 1, 3: 2, 4: 4}[typ]
-        payload = struct.pack(en + fmt * count, *vals)
+        if typ == 7:  # UNDEFINED: raw bytes, count = byte length
+            payload = bytes(vals)
+        else:
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            payload = struct.pack(en + fmt * count, *vals)
         if len(payload) <= 4:
             return payload.ljust(4, b"\x00"), None
         off = after_ifd + len(extra)
@@ -1398,8 +1527,10 @@ def decode_image(blob: bytes) -> object:
     gray/YCbCr, 4:4:4/4:2:2/4:2:0, restart markers), GIF87a/89a
     (variable-width LZW, local color tables, 4-pass interlace), and
     TIFF 6.0 (II/MM, strips or tiles, uncompressed/PackBits/LZW/
-    Deflate, predictor-2, gray/RGB); only the remaining codecs (WebP,
-    arithmetic/12-bit JPEG, JPEG-in-TIFF) stay environment-gated.
+    Deflate/new-style-JPEG incl. shared JPEGTables, predictor-2,
+    gray/RGB); only the remaining codecs (WebP, arithmetic-coded
+    JPEG, 12-bit progressive, old-style JPEG-in-TIFF) stay
+    environment-gated.
 
     The container has no image codec libraries (no PIL / cv2); in
     production the gated branch is ``PIL.Image.open(io.BytesIO(blob))``.

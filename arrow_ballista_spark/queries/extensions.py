@@ -1008,7 +1008,8 @@ WITH px AS (
   FROM documents, unnest(generate_series(1, 48)) AS g(i)
 )
 SELECT doc_id,
-       CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+       CAST(CASE WHEN doc_id % 8 = 6 THEN 64 ELSE 8 END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 8 = 6 THEN 48 ELSE 6 END AS INT) AS height,
        CAST(3 AS INT) AS channels,
        {R("avg(CAST(code AS DOUBLE))", 4)} AS mean_r,
        {R("avg(CAST(code AS DOUBLE))", 4)} AS mean_g,
@@ -1022,7 +1023,10 @@ FROM px GROUP BY doc_id
         "cycles the real-world variants by doc_id — even doc_ids "
         "BIG-endian (MM): %8==0 TILED 16x16 (§15 padded-edge gather), "
         "%8==2 predictor-2 uncompressed strips (§14), %8==4 "
-        "Deflate+predictor (Tech Note 2, stdlib zlib), else plain "
+        "Deflate+predictor (Tech Note 2, stdlib zlib), %8==6 "
+        "new-style JPEG strips (compression 7, shared JPEGTables tag "
+        "347, 8x-kron DC-exact blocks so the mean oracle holds "
+        "byte-exactly), else plain "
         "2-rows-per-strip; odd little-endian (II): %8==1 PackBits RLE "
         "(§9), %8==5 Deflate, %8==3 LZW+predictor-2, %8==7 LZW tiled "
         "— all decoded "
@@ -1030,9 +1034,10 @@ FROM px GROUP BY doc_id
         "decode_tiff — tag/type parse, inline-vs-offset values, "
         "strip/tile gather, horizontal-differencing undo, LZW with "
         "EarlyChange) into channel means checked against the "
-        "independent byte-level SQL average.  Every variant is "
-        "lossless, so decode must be the identity or the hash breaks; "
-        "only JPEG-compressed TIFF stays env-gated.  Map-only "
+        "independent byte-level SQL average.  Every lossless variant "
+        "must decode as the identity and the JPEG lane is DC-exact by "
+        "construction, or the hash breaks; only old-style JPEG "
+        "(compression 6) TIFF stays env-gated.  Map-only "
         "Arrow batches."
     ),
 )
@@ -1051,6 +1056,22 @@ def ext_multimodal_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _ascii_bytes(t, 48), np.uint8
                 ).reshape(6, 8)
                 d = int(doc_id)
+                if d % 8 == 6:
+                    # new-style JPEG-in-TIFF lane (compression 7,
+                    # Tech Note 2): each byte becomes an 8x8-constant
+                    # block (48x64 canvas) so quality-100 decode is
+                    # DC-exact and the channel MEAN equals the byte
+                    # mean — the same oracle value as the lossless
+                    # lanes; shared JPEGTables (tag 347) exercises
+                    # the abbreviated-stream merge in the hot path
+                    img = np.kron(codes, np.ones((8, 8), np.uint8))
+                    blobs.append(
+                        multimodal.encode_tiff(
+                            img, big_endian=True, rows_per_strip=16,
+                            jpeg=100, jpeg_shared_tables=True,
+                        )
+                    )
+                    continue
                 blobs.append(
                     multimodal.encode_tiff(
                         codes,

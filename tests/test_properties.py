@@ -993,6 +993,72 @@ def test_jpeg_flat_block_roundtrip_property(bh, bw, quality, restart, seed):
 
 
 @given(
+    bh=st.integers(1, 4),
+    bw=st.integers(1, 4),
+    crop_h=st.integers(0, 7),
+    crop_w=st.integers(0, 7),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg12_flat_block_roundtrip_property(bh, bw, crop_h, crop_w, seed):
+    """12-bit extended-sequential JPEG (SOF1, T.81 Table B.2):
+    encode_jpeg12 -> decode_jpeg maps block-constant 12-bit grayscale
+    to exactly (v >> 4) at quality 100 — all-ones quantizer, DC
+    8*(v-2048) carried exactly through the flat 12-bit Huffman tables
+    (DC categories to 15, AC sizes to 14 — past the Annex K 8-bit
+    range), level shift 2048, and the documented scale-to-8-bit output
+    contract.  Non-multiple-of-8 crops exercise the SOF-dims crop."""
+    import numpy as np
+
+    from arrow_ballista_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg12,
+    )
+
+    rng = np.random.RandomState(seed)
+    h = max(1, bh * 8 - crop_h)
+    w = max(1, bw * 8 - crop_w)
+    blocks = rng.randint(0, 4096, size=(bh, bw))
+    img = np.kron(blocks, np.ones((8, 8), int))[:h, :w]
+    out = decode_jpeg(encode_jpeg12(img, quality=100))
+    assert out.shape == (h, w, 3)
+    want = (img >> 4).astype(np.uint8)
+    for ch in range(3):  # grayscale replicates
+        assert np.array_equal(out[:, :, ch], want)
+
+
+def test_jpeg12_lossy_and_gates():
+    """12-bit lossy content decodes close to (img >> 4) at quality 90;
+    out-of-range samples, non-grayscale input, and the unsupported
+    12-bit modes (SOF0 baseline, SOF2 progressive) are rejected —
+    SOF0/SOF2 by patching the SOF marker of a valid 12-bit stream."""
+    import numpy as np
+    import pytest
+
+    from arrow_ballista_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg12,
+    )
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 4096, (24, 32))
+    out = decode_jpeg(encode_jpeg12(img, quality=90))
+    assert np.abs(out[:, :, 0].astype(float) - (img >> 4)).mean() < 2.0
+    with pytest.raises(ValueError, match="0..4095"):
+        encode_jpeg12(np.array([[4096]]))
+    with pytest.raises(ValueError, match="grayscale"):
+        encode_jpeg12(np.zeros((8, 8, 3), int))
+    blob = bytearray(encode_jpeg12(img))
+    sof = blob.find(b"\xff\xc1")
+    assert sof > 0
+    for bad in (0xC0, 0xC2):  # 12-bit baseline / progressive
+        patched = bytearray(blob)
+        patched[sof + 1] = bad
+        with pytest.raises(NotImplementedError, match="12-bit"):
+            decode_jpeg(bytes(patched))
+
+
+@given(
     h=st.integers(1, 40),
     w=st.integers(1, 40),
     subsample=st.sampled_from(["444", "420", "422"]),
@@ -1180,6 +1246,114 @@ def test_tiff_roundtrip_property(
                     tile=(16, 16) if tiled else None)
     )
     assert np.array_equal(out, want)
+
+
+@given(
+    bh=st.integers(1, 5),
+    bw=st.integers(1, 5),
+    crop_h=st.integers(0, 7),
+    crop_w=st.integers(0, 7),
+    rgb=st.booleans(),
+    big_endian=st.booleans(),
+    rps=st.sampled_from([0, 8, 16]),
+    tiled=st.booleans(),
+    shared=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_tiff_jpeg_roundtrip_property(
+    bh, bw, crop_h, crop_w, rgb, big_endian, rps, tiled, shared, seed
+):
+    """New-style JPEG-in-TIFF (compression 7, TIFF Tech Note 2):
+    encode_tiff(jpeg=100) -> decode_tiff is the identity on
+    8x8-block-constant images — at quality 100 the quantization tables
+    are all ones, every AC coefficient of a constant block is zero,
+    and the DC path is exact, so any loss would be a codec bug, not
+    JPEG lossiness.  Covers multi-strip and tiled layouts, both byte
+    orders, gray and equal-channel RGB (Cb=Cr=128 exactly), and the
+    shared-JPEGTables abbreviated-stream variant (tag 347) against
+    full per-strip interchange streams."""
+    import numpy as np
+
+    from arrow_ballista_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(seed)
+    h = max(1, bh * 8 - crop_h)
+    w = max(1, bw * 8 - crop_w)
+    blocks = rng.randint(0, 256, (bh, bw), dtype=np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), np.uint8))[:h, :w]
+    if rgb:
+        img = np.repeat(img[:, :, None], 3, 2)
+    blob = encode_tiff(
+        img, big_endian=big_endian, rows_per_strip=rps, jpeg=100,
+        jpeg_shared_tables=shared, tile=(16, 16) if tiled else None,
+    )
+    if shared:
+        # the abbreviated streams must actually drop their tables —
+        # otherwise the tag-347 merge path is dead code
+        full = encode_tiff(
+            img, big_endian=big_endian, rows_per_strip=rps, jpeg=100,
+            tile=(16, 16) if tiled else None,
+        )
+        n_chunks = (
+            (-(-w // 16)) * (-(-h // 16)) if tiled
+            else -(-h // (rps or h))
+        )
+        if n_chunks > 1:
+            assert len(blob) < len(full)
+    out = decode_tiff(blob)
+    want = img if rgb else np.repeat(img[:, :, None], 3, 2)
+    assert np.array_equal(out, want)
+
+
+def test_tiff_jpeg_gates():
+    """JPEG-in-TIFF validity gates: predictor-2 with compression 7 is
+    invalid on both the encode and decode side, WhiteIsZero cannot
+    pair with JPEG strips, and a corrupt JPEGTables field raises
+    ValueError (all inside the image_stats degrade tuple)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from arrow_ballista_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    img = np.full((8, 8), 9, np.uint8)
+    with pytest.raises(ValueError, match="predictor"):
+        encode_tiff(img, jpeg=100, predictor=True)
+    with pytest.raises(ValueError, match="WhiteIsZero"):
+        encode_tiff(img, jpeg=100, white_is_zero=True)
+    # decode-side predictor gate: take a predictor-2 LZW file and
+    # patch its compression tag to 7 — decode must reject the combo
+    # before attempting any JPEG parse
+    blob = bytearray(encode_tiff(img, lzw=True, predictor=True))
+    (n,) = struct.unpack_from("<H", blob, 8)
+    patched = False
+    for k in range(n):
+        off = 10 + 12 * k
+        (tag,) = struct.unpack_from("<H", blob, off)
+        if tag == 259:
+            assert struct.unpack_from("<H", blob, off + 8) == (5,)
+            struct.pack_into("<H", blob, off + 8, 7)
+            patched = True
+    assert patched
+    with pytest.raises(ValueError, match="predictor"):
+        decode_tiff(bytes(blob))
+    # a corrupt JPEGTables field raises, not crashes
+    shared = bytearray(
+        encode_tiff(img, jpeg=100, jpeg_shared_tables=True)
+    )
+    idx = shared.find(b"\xff\xd8", 8)  # JPEGTables payload SOI
+    assert idx > 0
+    shared[idx] = 0x00  # no longer starts with SOI
+    with pytest.raises(ValueError, match="JPEGTables|marker|JPEG"):
+        decode_tiff(bytes(shared))
 
 
 @given(
