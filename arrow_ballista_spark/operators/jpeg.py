@@ -14,8 +14,11 @@ Scope (the overwhelmingly common crawl shapes):
   (T.81 Table B.2: level shift 2048, 16-bit DQT, output scaled to the
   8-bit contract by dropping the low 4 bits), grayscale or YCbCr, any
   h/v sampling factors 1-2 (covers 4:4:4, 4:2:2, 4:2:0), restart
-  markers (DRI/RSTn), APPn/COM skipped.  Arithmetic coding, 12-bit
-  progressive, and hierarchical modes raise ``NotImplementedError``.
+  markers (DRI/RSTn), APPn/COM skipped; arithmetic-coded sequential
+  (SOF9 + DAC conditioning, Annex D QM-coder + the F.2.4 statistical
+  models).  Arithmetic progressive (SOF10), 12-bit arithmetic/
+  progressive, restarts-with-arithmetic, and hierarchical modes raise
+  ``NotImplementedError``.
 - encode (fixture/test helper, the ``encode_png`` pattern): baseline or
   progressive (``progressive=True``: interleaved DC first/refine at
   Al=1->0, per-component AC spectral bands at Al=1, AC refinement —
@@ -169,6 +172,7 @@ def decode_jpeg(blob: bytes):
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _Huff] = {}
     huff_ac: dict[int, _Huff] = {}
+    dac = {"dc": {}, "ac": {}}  # arithmetic conditioning (DAC marker)
     frame = None
     restart_interval = 0
     i = 2
@@ -217,7 +221,9 @@ def decode_jpeg(blob: bytes):
                     bits, bytes(vals)
                 )
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 Huffman sequential, SOF2 progressive, SOF9
+            # arithmetic-coded extended sequential (T.81 Annex D)
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             # T.81: baseline (SOF0) is 8-bit only; extended sequential
             # (SOF1) adds 12-bit.  12-bit progressive is legal but out
@@ -250,14 +256,27 @@ def decode_jpeg(blob: bytes):
                     )
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps,
-                     "prog": marker == 0xC2, "prec": prec}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                     "prog": marker == 0xC2, "prec": prec,
+                     "arith": marker == 0xC9}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only sequential (SOF0/SOF1) and progressive (SOF2) "
-                "Huffman JPEG are supported library-free "
-                f"(marker 0xFF{marker:02X})"
+                "only sequential (SOF0/SOF1/SOF9) and progressive "
+                "(SOF2) Huffman/arithmetic JPEG are supported "
+                f"library-free (marker 0xFF{marker:02X})"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            p = 0
+            while p + 1 < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0xF
+                if tc == 0:
+                    dac["dc"][tb] = (seg[p + 1] & 0xF, seg[p + 1] >> 4)
+                else:
+                    kx = seg[p + 1]
+                    if not 1 <= kx <= 63:
+                        raise ValueError(f"bad DAC Kx {kx}")
+                    dac["ac"][tb] = kx
+                p += 2
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
@@ -269,6 +288,11 @@ def decode_jpeg(blob: bytes):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan.append((cs, tt >> 4, tt & 0xF))
             data_start = i + 2 + seglen
+            if frame.get("arith"):
+                return _decode_arith_scan(
+                    blob, data_start, frame, scan, qt, dac,
+                    restart_interval,
+                )
             if frame.get("prog"):
                 # T.81 Annex G: accumulate coefficients across scans,
                 # reconstruct at EOI
@@ -1534,3 +1558,320 @@ class _QMEncoder:
         for _ in range(self.sc):
             self._emit(0xFF)
         return bytes(self.out)
+
+
+def _decode_arith_scan(blob, start, frame, scan, qt, dac, dri):
+    """Sequential arithmetic-coded scan (T.81 F.2.4 statistical models
+    over the Annex D decoder): DC differences code through a 64-bin
+    conditioning area (5 context bases from the previous diff's
+    classification against the DAC L/U bounds, then sign, magnitude
+    category chain, and magnitude bits), AC coefficients through 256
+    bins (per-k EOB/significance pairs, a fixed ~0.5 sign state, and
+    two shared high-magnitude chains split at the DAC Kx index).
+    The bin layout follows the canonical software realization of
+    Tables F.4/F.5 (context bases 0/4/8/12/16, X chain at 20,
+    magnitude bits at +14; AC chains at 189 and 217)."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if dri:
+        raise NotImplementedError(
+            "restart markers with arithmetic coding not supported"
+        )
+    if len(scan) != len(comps):
+        raise NotImplementedError(
+            "non-interleaved multi-scan arithmetic JPEG not supported"
+        )
+    if len(comps) == 1:
+        comps[0]["h"] = comps[0]["v"] = 1
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cs, td, ta in scan:
+        c = by_id[cs]
+        c["td"], c["ta"] = td, ta
+        order.append(c)
+    for c in comps:
+        c["bx"] = mcux * c["h"]
+        c["by"] = mcuy * c["v"]
+        c["zzs"] = []
+        c["slots"] = []
+
+    dec = _QMDecoder(blob[start:])
+    dc_stats: dict[int, _Stats] = {}
+    ac_stats: dict[int, _Stats] = {}
+    fixed = _Stats(1)
+    fixed.idx[0] = 113  # non-adapting ~equiprobable sign state
+    dc_ctx = {c["id"]: 0 for c in comps}
+    pred = {c["id"]: 0 for c in comps}
+
+    for m_i in range(mcux * mcuy):
+        my, mx = divmod(m_i, mcux)
+        for c in order:
+            std = dc_stats.setdefault(c["td"], _Stats(64))
+            sta = ac_stats.setdefault(c["ta"], _Stats(256))
+            cond_l, cond_u = dac["dc"].get(c["td"], (0, 1))
+            kx = dac["ac"].get(c["ta"], 5)
+            cid = c["id"]
+            for v in range(c["v"]):
+                for hh in range(c["h"]):
+                    zz = [0] * 64
+                    # --- DC difference (Figure F.24 tree) ---
+                    base = dc_ctx[cid]
+                    if dec.decode(std, base):
+                        sign = dec.decode(std, base + 1)
+                        pos = base + 2 + sign
+                        m = dec.decode(std, pos)
+                        if m:
+                            pos = 20  # X chain (Table F.4)
+                            while dec.decode(std, pos):
+                                m <<= 1
+                                if m == 0x8000:
+                                    raise ValueError(
+                                        "DC magnitude overflow"
+                                    )
+                                pos += 1
+                        if m < ((1 << cond_l) >> 1):
+                            dc_ctx[cid] = 0
+                        elif m > ((1 << cond_u) >> 1):
+                            dc_ctx[cid] = 12 + 4 * sign
+                        else:
+                            dc_ctx[cid] = 4 + 4 * sign
+                        val = m
+                        pos += 14  # magnitude bits
+                        mm = m >> 1
+                        while mm:
+                            if dec.decode(std, pos):
+                                val |= mm
+                            mm >>= 1
+                        val += 1
+                        pred[cid] += -val if sign else val
+                    else:
+                        dc_ctx[cid] = 0
+                    zz[0] = pred[cid]
+                    # --- AC coefficients (Figure F.20 tree) ---
+                    k = 1
+                    while k <= 63:
+                        pos = 3 * (k - 1)
+                        if dec.decode(sta, pos):
+                            break  # EOB
+                        while dec.decode(sta, pos + 1) == 0:
+                            pos += 3
+                            k += 1
+                            if k > 63:
+                                raise ValueError("AC run past k=63")
+                        sign = dec.decode(fixed, 0)
+                        pos += 2
+                        m = dec.decode(sta, pos)
+                        if m and dec.decode(sta, pos):
+                            m <<= 1
+                            pos = 189 if k <= kx else 217
+                            while dec.decode(sta, pos):
+                                m <<= 1
+                                if m == 0x8000:
+                                    raise ValueError(
+                                        "AC magnitude overflow"
+                                    )
+                                pos += 1
+                        val = m
+                        pos += 14
+                        mm = m >> 1
+                        while mm:
+                            if dec.decode(sta, pos):
+                                val |= mm
+                            mm >>= 1
+                        val += 1
+                        zz[k] = -val if sign else val
+                        k += 1
+                    c["zzs"].append(zz)
+                    c["slots"].append(
+                        (my * c["v"] + v) * c["bx"] + mx * c["h"] + hh
+                    )
+    for c in comps:
+        coef = np.zeros((c["by"] * c["bx"], 64), np.int32)
+        if c["zzs"]:
+            coef[np.array(c["slots"])] = np.array(c["zzs"], np.int32)
+        c["coef"] = coef
+    return _planes_to_rgb(frame, qt)
+
+
+def _arith_code_block(enc, zz, std, sta, fixed, pred, ctx, cond, kx):
+    """Entropy-code one zigzag coefficient block through the F.2.4
+    statistical model — the exact bin-walk mirror of the decode tree in
+    :func:`_decode_arith_scan`.  ``pred``/``ctx`` are [value] cells
+    (per-component DC predictor and conditioning context); returns
+    nothing, mutates the coder and stats in place."""
+    cond_l, cond_u = cond
+    diff = zz[0] - pred[0]
+    pred[0] = zz[0]
+    base = ctx[0]
+    if diff == 0:
+        enc.encode(std, base, 0)
+        ctx[0] = 0
+    else:
+        enc.encode(std, base, 1)
+        sign = 1 if diff < 0 else 0
+        enc.encode(std, base + 1, sign)
+        sz = (-diff if sign else diff) - 1
+        pos = base + 2 + sign
+        if sz == 0:
+            enc.encode(std, pos, 0)
+            m = 0
+        else:
+            enc.encode(std, pos, 1)
+            m = 1
+            pos = 20
+            while (m << 1) <= sz:
+                enc.encode(std, pos, 1)
+                m <<= 1
+                pos += 1
+            enc.encode(std, pos, 0)
+        if m < ((1 << cond_l) >> 1):
+            ctx[0] = 0
+        elif m > ((1 << cond_u) >> 1):
+            ctx[0] = 12 + 4 * sign
+        else:
+            ctx[0] = 4 + 4 * sign
+        pos += 14
+        mm = m >> 1
+        while mm:
+            enc.encode(std, pos, 1 if sz & mm else 0)
+            mm >>= 1
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    k = 1
+    while k <= 63:
+        pos = 3 * (k - 1)
+        if k > last_nz:
+            enc.encode(sta, pos, 1)  # EOB
+            break
+        enc.encode(sta, pos, 0)
+        while zz[k] == 0:
+            enc.encode(sta, pos + 1, 0)
+            pos += 3
+            k += 1
+        enc.encode(sta, pos + 1, 1)
+        val = zz[k]
+        sign = 1 if val < 0 else 0
+        enc.encode(fixed, 0, sign)
+        sz = (-val if sign else val) - 1
+        pos += 2
+        if sz == 0:
+            enc.encode(sta, pos, 0)
+            m = 0
+        elif sz == 1:
+            enc.encode(sta, pos, 1)
+            enc.encode(sta, pos, 0)
+            m = 1
+        else:
+            enc.encode(sta, pos, 1)
+            enc.encode(sta, pos, 1)
+            m = 2
+            pos = 189 if k <= kx else 217
+            while (m << 1) <= sz:
+                enc.encode(sta, pos, 1)
+                m <<= 1
+                pos += 1
+            enc.encode(sta, pos, 0)
+        pos += 14
+        mm = m >> 1
+        while mm:
+            enc.encode(sta, pos, 1 if sz & mm else 0)
+            mm >>= 1
+        k += 1
+
+
+def encode_jpeg_arith(img, quality: int = 90) -> bytes:
+    """Sequential arithmetic-coded JPEG writer (SOF9, T.81 Annex D +
+    F.2.4 models): grayscale ((h, w) / (h, w, 1)) or RGB (h, w, 3) at
+    4:4:4 — one interleaved scan, default conditioning (DAC: L=0 U=1
+    per DC table, Kx=5 per AC table, written explicitly), no restart
+    markers.  Quantized coefficients come from the same
+    ``_plane_coefs`` path as the Huffman writer, so an arithmetic and
+    a Huffman encode of one image decode pixel-identically — the
+    coefficient-identity property the tests pin."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2 or img.shape[2] == 1
+    h, w = img.shape[:2]
+
+    def pad8(p):
+        H = -(-p.shape[0] // 8) * 8
+        W = -(-p.shape[1] // 8) * 8
+        return np.pad(p, ((0, H - p.shape[0]), (0, W - p.shape[1])),
+                      mode="edge")
+
+    qlum = _scaled_qt(_QT_LUM, quality)
+    qchrom = _scaled_qt(_QT_CHROM, quality)
+
+    def chunk(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += chunk(0xDB, b"\x00" + qlum.reshape(-1)[_ZZ].astype(
+        np.uint8).tobytes())
+    if gray:
+        planes = [pad8(img.reshape(h, w, -1)[:, :, 0])]
+        qts = [qlum]
+        ids = [(1, 0x11, 0)]
+        tsel = [(0, 0)]
+    else:
+        # the exact encode_jpeg conversion, so both writers quantize
+        # identical coefficients (the pixel-identity test contract)
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [
+            pad8(np.clip(np.round(p), 0, 255).astype(np.uint8))
+            for p in (y, cb, cr)
+        ]
+        out += chunk(0xDB, b"\x01" + qchrom.reshape(-1)[_ZZ].astype(
+            np.uint8).tobytes())
+        qts = [qlum, qchrom, qchrom]
+        ids = [(1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)]
+        tsel = [(0, 0), (1, 1), (1, 1)]
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for cid, hv, tq in ids:
+        sof += bytes([cid, hv, tq])
+    out += chunk(0xC9, sof)  # SOF9: extended sequential, arithmetic
+    # DAC: default conditioning, written explicitly (Tc=0: (U<<4)|L,
+    # Tc=1: Kx) for every table referenced by the scan
+    dac = bytearray()
+    for t in sorted({td for td, _ in tsel}):
+        dac += bytes([t, (1 << 4) | 0])
+    for t in sorted({ta for _, ta in tsel}):
+        dac += bytes([0x10 | t, 5])
+    out += chunk(0xCC, bytes(dac))
+    sos = bytes([len(planes)])
+    for (cid, _, _), (td, ta) in zip(ids, tsel):
+        sos += bytes([cid, (td << 4) | ta])
+    sos += bytes([0, 63, 0])
+    out += chunk(0xDA, sos)
+
+    coefs = [_plane_coefs(p, q) for p, q in zip(planes, qts)]
+    enc = _QMEncoder()
+    dc_stats: dict[int, _Stats] = {}
+    ac_stats: dict[int, _Stats] = {}
+    fixed = _Stats(1)
+    fixed.idx[0] = 113
+    preds = [[0] for _ in planes]
+    ctxs = [[0] for _ in planes]
+    mcux = coefs[0].shape[1]
+    mcuy = coefs[0].shape[0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, cf in enumerate(coefs):
+                td, ta = tsel[ci]
+                std = dc_stats.setdefault(td, _Stats(64))
+                sta = ac_stats.setdefault(ta, _Stats(256))
+                _arith_code_block(
+                    enc, cf[my, mx].tolist(), std, sta, fixed,
+                    preds[ci], ctxs[ci], (0, 1), 5,
+                )
+    out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

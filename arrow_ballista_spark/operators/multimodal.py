@@ -12,9 +12,9 @@ The reference has no multimodal surface; this is a north-star extension
 - decode is REAL for library-free formats — P6 PPM, uncompressed 24-bit
   BMP, 8/16-bit PNG incl. Adam7 interlace (stdlib zlib), sequential AND
   progressive JPEG (ITU T.81 Huffman + IDCT + Annex G,
-  ``operators/jpeg.py``, incl. 12-bit SOF1), PCM WAV — all
-  value-oracled; only the remaining codecs (WebP/MP3,
-  arithmetic-coded JPEG, 12-bit progressive)
+  ``operators/jpeg.py``, incl. 12-bit SOF1 and arithmetic-coded
+  SOF9), PCM WAV — all value-oracled; only the remaining codecs
+  (WebP/MP3, arithmetic/12-bit progressive JPEG)
   stay environment-gated behind ``NotImplementedError`` (no codec libs
   in this container; production swaps in PIL/ffmpeg), with
   ``fake_decode_meta`` standing in so the Spark-side plumbing (schema,
@@ -1522,14 +1522,15 @@ def resize_nearest(img, out_w: int, out_h: int):
 def decode_image(blob: bytes) -> object:
     """Image decode: REAL for library-free formats — P6 PPM, uncompressed
     24-bit BMP, 8/16-bit PNG incl. Adam7 interlace (stdlib zlib inflate +
-    filter reversal), sequential+progressive JPEG (ITU T.81 Huffman
-    + IDCT + Annex G, ``operators/jpeg.py`` — SOF0/SOF1/SOF2,
+    filter reversal), sequential+progressive+arithmetic JPEG (ITU
+    T.81 Huffman/QM-coder + IDCT + Annexes D and G,
+    ``operators/jpeg.py`` — SOF0/SOF1/SOF2/SOF9 incl. 12-bit SOF1,
     gray/YCbCr, 4:4:4/4:2:2/4:2:0, restart markers), GIF87a/89a
     (variable-width LZW, local color tables, 4-pass interlace), and
     TIFF 6.0 (II/MM, strips or tiles, uncompressed/PackBits/LZW/
     Deflate/new-style-JPEG incl. shared JPEGTables, predictor-2,
-    gray/RGB); only the remaining codecs (WebP, arithmetic-coded
-    JPEG, 12-bit progressive, old-style JPEG-in-TIFF) stay
+    gray/RGB); only the remaining codecs (WebP, arithmetic/12-bit
+    progressive JPEG, old-style JPEG-in-TIFF) stay
     environment-gated.
 
     The container has no image codec libraries (no PIL / cv2); in

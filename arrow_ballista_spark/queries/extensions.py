@@ -739,11 +739,15 @@ FROM px GROUP BY doc_id
         "grayscale image; EVEN doc_ids encode with the library-free "
         "T.81 Annex G PROGRESSIVE writer (SOF2: interleaved DC "
         "first+refinement at Al=1->0, spectral-band AC scans, EOB "
-        "runs, per-scan restart resync), odd doc_ids with the baseline "
+        "runs, per-scan restart resync), doc_id%4==1 with the "
+        "ARITHMETIC writer (SOF9 + DAC conditioning, T.81 Annex D "
+        "QM-coder over the F.2.4 statistical models — r9), the rest "
+        "with the baseline "
         "writer (quality 95, restart interval 3) — then everything "
         "decodes through the library-free T.81 reader (marker walk, "
-        "DQT/DHT parse, Huffman entropy decode with byte-unstuffing "
-        "and restart resync, multi-scan coefficient accumulation for "
+        "DQT/DHT/DAC parse, Huffman OR QM-coder entropy decode with "
+        "byte-unstuffing and restart resync, multi-scan coefficient "
+        "accumulation for "
         "SOF2, DC prediction, dequant, batched float64 IDCT — "
         "operators/jpeg.py) into channel means.  Why a LOSSY codec "
         "can be value-exact: a constant block has only a DC "
@@ -766,7 +770,10 @@ def ext_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def mk(batches):
         import numpy as np
 
-        from arrow_ballista_spark.operators.jpeg import encode_jpeg
+        from arrow_ballista_spark.operators.jpeg import (
+            encode_jpeg,
+            encode_jpeg_arith,
+        )
 
         for pdf in batches:
             blobs = []
@@ -775,16 +782,22 @@ def ext_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _ascii_bytes(t, 48), np.uint8
                 ).reshape(6, 8)
                 img = np.repeat(np.repeat(codes, 8, 0), 8, 1)
+                d = int(doc_id)
                 # even docs take the PROGRESSIVE path (SOF2 multi-scan
-                # accumulate: DC first+refine, AC bands, EOB runs), odd
-                # docs baseline — both value-exact on constant blocks,
-                # so one oracle witnesses both decoders
-                blobs.append(
-                    encode_jpeg(
-                        img, quality=95, restart=3,
-                        progressive=(int(doc_id) % 2 == 0),
+                # accumulate: DC first+refine, AC bands, EOB runs),
+                # doc_id%4==1 the ARITHMETIC path (SOF9 + DAC, Annex D
+                # QM-coder), the rest baseline Huffman — all
+                # value-exact on constant blocks, so one oracle
+                # witnesses all three decoders
+                if d % 4 == 1:
+                    blobs.append(encode_jpeg_arith(img, quality=95))
+                else:
+                    blobs.append(
+                        encode_jpeg(
+                            img, quality=95, restart=3,
+                            progressive=(d % 2 == 0),
+                        )
                     )
-                )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"), "blob": blobs}
             )

@@ -1413,9 +1413,15 @@ def test_jpeg_gating_and_degradation(spark):
     prog_good = encode_jpeg(img, quality=95, progressive=True)
     assert (multimodal.decode_image(prog_good)[:, :, 0] == 90).all()
 
+    # arithmetic sequential (SOF9) decodes natively since r9; the
+    # still-gated mode is arithmetic PROGRESSIVE (SOF10)
+    from arrow_ballista_spark.operators.jpeg import encode_jpeg_arith
+
+    arith_good = encode_jpeg_arith(img, quality=95)
+    assert (multimodal.decode_image(arith_good)[:, :, 0] == 90).all()
     arithmetic = (
         b"\xff\xd8"
-        + _jpeg_chunk(0xC9, struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
+        + _jpeg_chunk(0xCA, struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
         + b"\xff\xd9"
     )
     with pytest.raises(NotImplementedError):
@@ -1432,9 +1438,10 @@ def test_jpeg_gating_and_degradation(spark):
         (0, bytearray(good)),
         (1, bytearray(good[: len(good) // 2])),  # truncated mid-scan
         (2, bytearray(b"\xff\xd8\x00garbage")),  # bad marker alignment
-        (3, bytearray(arithmetic)),  # gated mode
+        (3, bytearray(arithmetic)),  # gated mode (SOF10)
         (4, bytearray(prog_good)),  # progressive decodes natively
         (5, bytearray(scanless_prog)),  # corrupt progressive degrades
+        (6, bytearray(arith_good)),  # arithmetic decodes natively
     ]
     df = spark.createDataFrame(
         pd.DataFrame(rows, columns=["doc_id", "blob"]),
@@ -1444,7 +1451,7 @@ def test_jpeg_gating_and_degradation(spark):
         r["doc_id"]: r["width"]
         for r in multimodal.image_stats(df).collect()
     }
-    assert got[0] == 16 and got[4] == 16
+    assert got[0] == 16 and got[4] == 16 and got[6] == 16
     assert got[2] is None and got[3] is None and got[5] is None
     # truncated streams either pad-decode (T.81 1-bit padding) or
     # degrade to NULL; they must never abort the batch

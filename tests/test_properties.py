@@ -1027,6 +1027,76 @@ def test_jpeg12_flat_block_roundtrip_property(bh, bw, crop_h, crop_w, seed):
         assert np.array_equal(out[:, :, ch], want)
 
 
+@given(
+    h=st.integers(1, 32),
+    w=st.integers(1, 32),
+    rgb=st.booleans(),
+    quality=st.sampled_from([50, 75, 90, 100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_arithmetic_matches_huffman_property(h, w, rgb, quality, seed):
+    """Arithmetic-coded sequential JPEG (SOF9, T.81 Annex D QM-coder +
+    F.2.4 statistical models) must decode PIXEL-IDENTICALLY to the
+    Huffman encode of the same image at the same quality: both writers
+    share the `_plane_coefs` quantized coefficients, so entropy coding
+    is the only difference and any pixel divergence is a coder bug.
+    Runs over arbitrary shapes, gray and 4:4:4 color, and the quality
+    range (which drives the QM estimator through skewed and balanced
+    contexts, exercising conditional exchange and carry paths)."""
+    import numpy as np
+
+    from arrow_ballista_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_arith,
+    )
+
+    rng = np.random.RandomState(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    img = rng.randint(0, 256, shape).astype(np.uint8)
+    da = decode_jpeg(encode_jpeg_arith(img, quality=quality))
+    dh = decode_jpeg(encode_jpeg(img, quality=quality))
+    assert np.array_equal(da, dh)
+
+
+def test_jpeg_arithmetic_gates_and_dc_exact():
+    """Arithmetic mode gates: SOF10 (progressive arithmetic) and DRI +
+    arithmetic degrade with NotImplementedError; a corrupt DAC Kx
+    raises ValueError; and quality-100 block-constant images stay
+    DC-exact through the arithmetic path (the fixture contract)."""
+    import numpy as np
+    import pytest
+
+    from arrow_ballista_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_arith,
+    )
+
+    rng = np.random.RandomState(9)
+    blocks = rng.randint(0, 256, (2, 3)).astype(np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), np.uint8))
+    blob = bytearray(encode_jpeg_arith(img, quality=100))
+    out = decode_jpeg(bytes(blob))
+    assert np.array_equal(out[:, :, 0], img)
+    sof = blob.find(b"\xff\xc9")
+    assert sof > 0
+    prog = bytearray(blob)
+    prog[sof + 1] = 0xCA  # SOF10: arithmetic progressive
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(prog))
+    dac = blob.find(b"\xff\xcc")
+    assert dac > 0
+    # DAC payload: 2-byte pairs after the length; corrupt an AC Kx to 0
+    bad = bytearray(blob)
+    p = dac + 4
+    while not (bad[p] & 0x10):
+        p += 2
+    bad[p + 1] = 0
+    with pytest.raises(ValueError, match="Kx"):
+        decode_jpeg(bytes(bad))
+
+
 def test_jpeg12_lossy_and_gates():
     """12-bit lossy content decodes close to (img >> 4) at quality 90;
     out-of-range samples, non-grayscale input, and the unsupported
