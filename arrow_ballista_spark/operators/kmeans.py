@@ -155,9 +155,21 @@ def _assign_vectorized(e: DataFrame, cents: DataFrame, id_col: str) -> DataFrame
     return e.mapInPandas(assign, f"{id_col} long, cluster long")
 
 
+def adaptive_cluster_count(n: int) -> int:
+    """SemDeDup cluster count that keeps the per-cluster Gram bounded:
+    k ~ sqrt(n) gives expected cluster size ~ sqrt(n) and total pair
+    work O(n^1.5) instead of the O(n^2/k) a FIXED k degenerates to.
+    Measured (SCALING.md r9): fixed k=8 ran 22x for 10x more data at
+    the 100x step; k=sqrt(n) ran 2.6x on the same fixture.  Floor of 8
+    keeps tiny corpora non-degenerate (the registry witness setting)."""
+    import math
+
+    return max(8, math.isqrt(max(0, n)))
+
+
 def semantic_dedup_pairs(
     embeddings: DataFrame,
-    k: int = 8,
+    k: int | None = None,
     iters: int = 2,
     tau: float = 0.35,
     id_col: str = "vec_id",
@@ -172,10 +184,13 @@ def semantic_dedup_pairs(
 
     This is the scale path for embedding dedup: the quadratic blow-up is
     confined to one cluster at a time — O(sum |c_i|^2) instead of O(n^2).
-    At corpus scale k grows with n (k ~ sqrt(n) keeps expected cluster
-    size ~ sqrt(n)), and the pairwise stage shuffles once on the cluster
-    id, each cluster a separate task; row norms are folded once per ROW
-    before the pair join, not once per pair.  Clustering itself is
+    ``k=None`` (the default) sizes k adaptively via
+    :func:`adaptive_cluster_count` (k ~ sqrt(n), one bounded count()
+    job), keeping total pair work O(n^1.5) — a FIXED k degenerates to
+    O(n^2/k), measured 22x-for-10x-data at the 100x step (SCALING.md
+    r9) where the adaptive k ran 2.6x.  The pairwise stage shuffles
+    once on the cluster id, each cluster a separate task; row norms
+    are folded once per ROW before the pair join, not once per pair.  Clustering itself is
     broadcast-Lloyd (:func:`kmeans_assign` — map-only assignment, no
     point shuffle).  Deterministic end-to-end (rand()-free init, fixed
     fold order), so the composition is value-exact against an unrolled
@@ -194,6 +209,12 @@ def semantic_dedup_pairs(
         norm,
     )
 
+    if k is None:
+        # scale-adaptive default (the pq_rerank_topk adaptive-R
+        # precedent): one bounded count() job sizes k ~ sqrt(n) so the
+        # per-cluster quadratic stays O(n^1.5) total; callers that need
+        # a value-pinned k (the oracle entries) pass it explicitly
+        k = adaptive_cluster_count(embeddings.count())
     assign = kmeans_assign(
         embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
         vectorized=vectorized,

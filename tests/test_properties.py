@@ -187,6 +187,42 @@ def test_connected_components_path_graph_log_rounds(spark):
     assert stats["rounds"] <= 7, stats
 
 
+def test_semantic_dedup_adaptive_k_default(spark):
+    """semantic_dedup_pairs with k=None sizes k via
+    adaptive_cluster_count (k ~ sqrt(n), floor 8 — the SCALING.md r9
+    fixed-k=22x-vs-adaptive-2.6x evidence) and returns the identical
+    pair set as the same k passed explicitly — the adaptive default
+    changes the partitioning knob, never the semantics."""
+    import numpy as np
+
+    from arrow_ballista_spark.operators.kmeans import (
+        adaptive_cluster_count,
+        semantic_dedup_pairs,
+    )
+
+    assert adaptive_cluster_count(0) == 8
+    assert adaptive_cluster_count(63) == 8
+    assert adaptive_cluster_count(100) == 10
+    assert adaptive_cluster_count(1_000_000) == 1000
+    rng = np.random.RandomState(3)
+    X = rng.randn(120, 8)
+    emb = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    auto = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(emb, tau=0.2).collect()
+    }
+    explicit = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(
+            emb, k=adaptive_cluster_count(120), tau=0.2
+        ).collect()
+    }
+    assert auto == explicit
+
+
 def test_iterative_operators_reliable_checkpoint_dir(spark, tmp_path):
     """checkpoint_dir= switches the round boundary from localCheckpoint
     (executor-memory, dies with the executor) to df.checkpoint() into a
