@@ -13,7 +13,7 @@ The reference has no multimodal surface; this is a north-star extension
   BMP, 8/16-bit PNG incl. Adam7 interlace (stdlib zlib), sequential AND
   progressive JPEG (ITU T.81 Huffman + IDCT + Annex G,
   ``operators/jpeg.py``, incl. 12-bit SOF1 and arithmetic-coded
-  SOF9), PCM WAV — all value-oracled; only the remaining codecs
+  SOF9), PCM WAV (8/16/24/32-bit int, 32/64-bit IEEE float, EXTENSIBLE wrapper) — all value-oracled; only the remaining codecs
   (WebP/MP3, arithmetic/12-bit progressive JPEG)
   stay environment-gated behind ``NotImplementedError`` (no codec libs
   in this container; production swaps in PIL/ffmpeg), with
@@ -774,10 +774,12 @@ def _ima_decode_nibble(pred: int, idx: int, n: int) -> tuple[int, int]:
 
 
 def decode_wav(blob: bytes):
-    """Decode RIFF/WAVE — pure struct/numpy: PCM (8/16/32-bit int,
-    format tag 1) plus the G.711 companded telephony formats (A-law
-    tag 6, µ-law tag 7 — one 256-entry expansion LUT each, ITU-T
-    G.711).
+    """Decode RIFF/WAVE — pure struct/numpy: PCM (8/16/24/32-bit int
+    and 32/64-bit IEEE float, format tags 1 and 3, including the
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapper whose SubFormat GUID
+    carries the real tag) plus the G.711 companded telephony formats
+    (A-law tag 6, µ-law tag 7 — one 256-entry expansion LUT each,
+    ITU-T G.711).
 
     Returns ``(samples, sample_rate)`` with samples shaped
     (n_frames, n_channels) as float64 in [-1, 1]."""
@@ -787,12 +789,13 @@ def decode_wav(blob: bytes):
 
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
-    i, fmt, data, fact = 12, None, None, None
+    i, fmt, fmt_body, data, fact = 12, None, b"", None, None
     while i + 8 <= len(blob):
         cid, size = blob[i : i + 4], struct.unpack_from("<I", blob, i + 4)[0]
         body = blob[i + 8 : i + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             data = body
         elif cid == b"fact" and size >= 4:  # true sample count (ADPCM)
@@ -801,6 +804,13 @@ def decode_wav(blob: bytes):
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, n_ch, rate, _, _, bits = fmt
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real format tag is the first u16
+        # of the SubFormat GUID (fmt extension at offset 24) — the
+        # container modern writers use for >16-bit and multichannel
+        if len(fmt_body) < 26:
+            raise ValueError("EXTENSIBLE fmt chunk too short")
+        (audio_format,) = struct.unpack_from("<H", fmt_body, 24)
     if audio_format in (6, 7):  # G.711 A-law / µ-law: 8-bit codes
         if bits != 8:
             # a tag-6/7 stream declaring non-8-bit samples is corrupt;
@@ -845,11 +855,31 @@ def decode_wav(blob: bytes):
             out = out[:fact]
         samples = np.array(out, np.float64).reshape(-1, 1) / 32768.0
         return samples, rate
+    if audio_format == 3:  # IEEE float (nominally already in [-1, 1])
+        if bits not in (32, 64):
+            raise ValueError(
+                f"IEEE-float WAV must be 32- or 64-bit (fmt says {bits})"
+            )
+        raw = np.frombuffer(
+            data, dtype=np.float32 if bits == 32 else np.float64
+        )
+        raw = raw[: (len(raw) // n_ch) * n_ch].reshape(-1, n_ch)
+        return raw.astype(np.float64), rate
     if audio_format != 1:
         raise NotImplementedError(
-            f"only PCM, G.711, and IMA-ADPCM WAV are library-free "
+            f"only PCM (int/float incl. 24-bit and EXTENSIBLE), G.711, "
+            f"and IMA-ADPCM WAV are library-free "
             f"(format tag {audio_format})"
         )
+    if bits == 24:  # packed 3-byte little-endian signed
+        b = np.frombuffer(data, np.uint8)
+        b = b[: (len(b) // 3) * 3].reshape(-1, 3).astype(np.int32)
+        raw = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        raw -= (raw & 0x800000) << 1  # sign-extend bit 23
+        raw = raw[: (len(raw) // n_ch) * n_ch].reshape(-1, n_ch)
+        return raw.astype(np.float64) / float(1 << 23), rate
+    if bits not in (8, 16, 32):
+        raise NotImplementedError(f"{bits}-bit PCM WAV not supported")
     dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
     raw = np.frombuffer(data, dtype=dtype)
     raw = raw[: (len(raw) // n_ch) * n_ch].reshape(-1, n_ch)

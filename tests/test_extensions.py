@@ -859,6 +859,70 @@ def test_png_decoder_roundtrip_all_filters():
         multimodal.decode_png(png)
 
 
+def test_wav_float_24bit_and_extensible():
+    """r9 WAV widening: IEEE-float (tag 3, 32/64-bit), packed 24-bit
+    PCM (sign-extended 3-byte little-endian), and the
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapper whose SubFormat GUID
+    carries the real tag — each must decode to the exact synthesized
+    samples; a truncated EXTENSIBLE fmt chunk raises ValueError."""
+    import struct
+
+    import numpy as np
+
+    from arrow_ballista_spark.operators.multimodal import decode_wav
+
+    def wav(tag, n_ch, rate, bits, payload, extensible=False):
+        if extensible:
+            ext = (
+                struct.pack("<HHI", 22, bits, 0)
+                + struct.pack("<H", tag) + b"\x00" * 14
+            )
+            fmt = struct.pack(
+                "<HHIIHH", 0xFFFE, n_ch, rate,
+                rate * n_ch * bits // 8, n_ch * bits // 8, bits,
+            ) + ext
+        else:
+            fmt = struct.pack(
+                "<HHIIHH", tag, n_ch, rate,
+                rate * n_ch * bits // 8, n_ch * bits // 8, bits,
+            )
+        out = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        out += b"\x00" if len(fmt) % 2 else b""
+        out += b"data" + struct.pack("<I", len(payload)) + payload
+        out += b"\x00" if len(payload) % 2 else b""
+        return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + out
+
+    x = np.linspace(-1, 1, 40, dtype=np.float32)
+    s, r = decode_wav(wav(3, 2, 8000, 32, x.tobytes()))
+    assert s.shape == (20, 2) and r == 8000
+    assert np.allclose(s.reshape(-1), x)
+    s, _ = decode_wav(wav(3, 1, 16000, 64, x.astype(np.float64).tobytes()))
+    assert s.shape == (40, 1) and np.allclose(s[:, 0], x)
+    vals = np.array(
+        [0, 1, -1, 8388607, -8388608, 123456, -654321], np.int32
+    )
+    raw = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+    )
+    s, _ = decode_wav(wav(1, 1, 44100, 24, raw))
+    assert np.allclose(s[:, 0], vals / float(1 << 23))
+    s2, _ = decode_wav(wav(1, 1, 44100, 24, raw, extensible=True))
+    assert np.array_equal(s, s2)
+    s3, _ = decode_wav(wav(3, 2, 8000, 32, x.tobytes(), extensible=True))
+    assert s3.shape == (20, 2)
+    # truncated EXTENSIBLE fmt (no SubFormat) raises, not misdecodes
+    short = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 8000, 1, 8)
+    blob = (
+        b"RIFF" + struct.pack("<I", 30) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(short)) + short
+        + b"data" + struct.pack("<I", 2) + b"\x00\x00"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="EXTENSIBLE"):
+        decode_wav(blob)
+
+
 def test_wav_decoder_and_audio_stats(spark):
     """WAV PCM decode must invert the synthesis (16-bit scaling, frame/
     channel shape), and the distributed audio_stats stage must agree
