@@ -1606,13 +1606,24 @@ def _decode_arith_scan(blob, start, frame, scan, qt, dac, dri):
     dc_ctx = {c["id"]: 0 for c in comps}
     pred = {c["id"]: 0 for c in comps}
 
+    for c in order:
+        # bind per-component stats/conditioning once — setdefault in
+        # the MCU loop would evaluate _Stats() per MCU just to drop it
+        if c["td"] not in dc_stats:
+            dc_stats[c["td"]] = _Stats(64)
+        if c["ta"] not in ac_stats:
+            ac_stats[c["ta"]] = _Stats(256)
+        c["_std"] = dc_stats[c["td"]]
+        c["_sta"] = ac_stats[c["ta"]]
+        c["_cond"] = dac["dc"].get(c["td"], (0, 1))
+        c["_kx"] = dac["ac"].get(c["ta"], 5)
     for m_i in range(mcux * mcuy):
         my, mx = divmod(m_i, mcux)
         for c in order:
-            std = dc_stats.setdefault(c["td"], _Stats(64))
-            sta = ac_stats.setdefault(c["ta"], _Stats(256))
-            cond_l, cond_u = dac["dc"].get(c["td"], (0, 1))
-            kx = dac["ac"].get(c["ta"], 5)
+            std = c["_std"]
+            sta = c["_sta"]
+            cond_l, cond_u = c["_cond"]
+            kx = c["_kx"]
             cid = c["id"]
             for v in range(c["v"]):
                 for hh in range(c["h"]):
