@@ -392,6 +392,11 @@ def _decode_scan(blob, start, frame, scan, qt, huff_dc, huff_ac, dri):
                 for hh in range(c["h"]):
                     zz = [0] * 64
                     s = rd.decode(dc_t)
+                    if s > 15:
+                        # T.81 F.1.2.1.2: DC SSSS beyond 15 has no
+                        # meaning in any precision — a corrupt stream
+                        # would otherwise drive a giant magnitude read
+                        raise ValueError(f"invalid DC size category {s}")
                     diff = _extend(rd.read(s), s)
                     pred[c["id"]] += diff
                     zz[0] = pred[c["id"]]
@@ -416,9 +421,13 @@ def _decode_scan(blob, start, frame, scan, qt, huff_dc, huff_ac, dri):
 
     for c in comps:
         # dense zigzag coefficient grid: the shared reconstruction input
-        coef = np.zeros((c["by"] * c["bx"], 64), np.int32)
+        # int64: a corrupt stream's DC predictor can accumulate past
+        # int32 across blocks (size categories are capped at 15, but
+        # the running sum is not) — int64 makes the grid assignment
+        # total instead of raising OverflowError mid-batch
+        coef = np.zeros((c["by"] * c["bx"], 64), np.int64)
         if c["zzs"]:
-            coef[np.array(c["slots"])] = np.array(c["zzs"], np.int32)
+            coef[np.array(c["slots"])] = np.array(c["zzs"], np.int64)
         c["coef"] = coef
     return _planes_to_rgb(frame, qt)
 
@@ -503,7 +512,7 @@ def _prog_init(frame) -> None:
         # non-interleaved scan coverage: the component's real block grid
         c["nbx"] = -(-(-(-w * c["h"] // hmax)) // 8)
         c["nby"] = -(-(-(-h * c["v"] // vmax)) // 8)
-        c["coef"] = np.zeros((c["by"] * c["bx"], 64), np.int32)
+        c["coef"] = np.zeros((c["by"] * c["bx"], 64), np.int64)
         c["pred"] = 0
         c["eobrun"] = 0
     frame["inited"] = True
@@ -597,6 +606,8 @@ def _dc_unit(rd, c, slot, ah, al, huff_dc):
     raw bit into bit position Al."""
     if ah == 0:
         s = rd.decode(huff_dc[c["td"]])
+        if s > 15:
+            raise ValueError(f"invalid DC size category {s}")
         c["pred"] += _extend(rd.read(s), s)
         c["coef"][slot, 0] = c["pred"] << al
     else:
@@ -1700,9 +1711,9 @@ def _decode_arith_scan(blob, start, frame, scan, qt, dac, dri):
                         (my * c["v"] + v) * c["bx"] + mx * c["h"] + hh
                     )
     for c in comps:
-        coef = np.zeros((c["by"] * c["bx"], 64), np.int32)
+        coef = np.zeros((c["by"] * c["bx"], 64), np.int64)
         if c["zzs"]:
-            coef[np.array(c["slots"])] = np.array(c["zzs"], np.int32)
+            coef[np.array(c["slots"])] = np.array(c["zzs"], np.int64)
         c["coef"] = coef
     return _planes_to_rgb(frame, qt)
 

@@ -804,6 +804,10 @@ def decode_wav(blob: bytes):
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, n_ch, rate, _, _, bits = fmt
+    if n_ch < 1 or rate < 1:
+        # a corrupt fmt chunk declaring zero channels or rate would
+        # divide by zero in the frame reshape / duration math
+        raise ValueError(f"bad WAV fmt: {n_ch} channels at {rate} Hz")
     if audio_format == 0xFFFE:
         # WAVE_FORMAT_EXTENSIBLE: the real format tag is the first u16
         # of the SubFormat GUID (fmt extension at offset 24) — the
