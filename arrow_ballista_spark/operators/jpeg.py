@@ -16,9 +16,10 @@ Scope (the overwhelmingly common crawl shapes):
   h/v sampling factors 1-2 (covers 4:4:4, 4:2:2, 4:2:0), restart
   markers (DRI/RSTn), APPn/COM skipped; arithmetic-coded sequential
   (SOF9 + DAC conditioning, Annex D QM-coder + the F.2.4 statistical
-  models).  Arithmetic progressive (SOF10), 12-bit arithmetic/
-  progressive, restarts-with-arithmetic, and hierarchical modes raise
-  ``NotImplementedError``.
+  models), and 12-bit on SOF2 (the coefficient accumulators and the
+  shared reconstruction are precision-aware).  Arithmetic progressive
+  (SOF10), 12-bit arithmetic, restarts-with-arithmetic, and
+  hierarchical modes raise ``NotImplementedError``.
 - encode (fixture/test helper, the ``encode_png`` pattern): baseline or
   progressive (``progressive=True``: interleaved DC first/refine at
   Al=1->0, per-component AC spectral bands at Al=1, AC refinement —
@@ -225,10 +226,13 @@ def decode_jpeg(blob: bytes):
             # SOF0/1 Huffman sequential, SOF2 progressive, SOF9
             # arithmetic-coded extended sequential (T.81 Annex D)
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
-            # T.81: baseline (SOF0) is 8-bit only; extended sequential
-            # (SOF1) adds 12-bit.  12-bit progressive is legal but out
-            # of scope here — it degrades, never misdecodes.
-            if not (prec == 8 or (prec == 12 and marker == 0xC1)):
+            # T.81 Table B.2: baseline (SOF0) is 8-bit only; extended
+            # sequential (SOF1) and progressive (SOF2) add 12-bit —
+            # the coefficient accumulators and the shared
+            # reconstruction are precision-aware, so both Huffman
+            # modes decode 12-bit.  12-bit arithmetic stays gated.
+            if not (prec == 8
+                    or (prec == 12 and marker in (0xC1, 0xC2))):
                 raise NotImplementedError(
                     f"{prec}-bit JPEG not supported (marker 0xFF{marker:02X})"
                 )

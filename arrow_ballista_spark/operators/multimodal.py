@@ -14,7 +14,7 @@ The reference has no multimodal surface; this is a north-star extension
   progressive JPEG (ITU T.81 Huffman + IDCT + Annex G,
   ``operators/jpeg.py``, incl. 12-bit SOF1 and arithmetic-coded
   SOF9), PCM WAV (8/16/24/32-bit int, 32/64-bit IEEE float, EXTENSIBLE wrapper) — all value-oracled; only the remaining codecs
-  (WebP/MP3, arithmetic/12-bit progressive JPEG)
+  (WebP/MP3, arithmetic-progressive and 12-bit-arithmetic JPEG)
   stay environment-gated behind ``NotImplementedError`` (no codec libs
   in this container; production swaps in PIL/ffmpeg), with
   ``fake_decode_meta`` standing in so the Spark-side plumbing (schema,
@@ -1563,8 +1563,8 @@ def decode_image(blob: bytes) -> object:
     (variable-width LZW, local color tables, 4-pass interlace), and
     TIFF 6.0 (II/MM, strips or tiles, uncompressed/PackBits/LZW/
     Deflate/new-style-JPEG incl. shared JPEGTables, predictor-2,
-    gray/RGB); only the remaining codecs (WebP, arithmetic/12-bit
-    progressive JPEG, old-style JPEG-in-TIFF) stay
+    gray/RGB); only the remaining codecs (WebP, arithmetic-progressive
+    and 12-bit-arithmetic JPEG, old-style JPEG-in-TIFF) stay
     environment-gated.
 
     The container has no image codec libraries (no PIL / cv2); in

@@ -1136,8 +1136,10 @@ def test_jpeg_arithmetic_gates_and_dc_exact():
 def test_jpeg12_lossy_and_gates():
     """12-bit lossy content decodes close to (img >> 4) at quality 90;
     out-of-range samples, non-grayscale input, and the unsupported
-    12-bit modes (SOF0 baseline, SOF2 progressive) are rejected —
-    SOF0/SOF2 by patching the SOF marker of a valid 12-bit stream."""
+    12-bit modes (SOF0 baseline, SOF9 arithmetic) are rejected —
+    by patching the SOF marker of a valid 12-bit stream.  (12-bit
+    SOF2 progressive decodes natively since the gate widened; its
+    positive fixture lives in test_codec_external.py.)"""
     import numpy as np
     import pytest
 
@@ -1157,7 +1159,7 @@ def test_jpeg12_lossy_and_gates():
     blob = bytearray(encode_jpeg12(img))
     sof = blob.find(b"\xff\xc1")
     assert sof > 0
-    for bad in (0xC0, 0xC2):  # 12-bit baseline / progressive
+    for bad in (0xC0, 0xC9):  # 12-bit baseline / arithmetic
         patched = bytearray(blob)
         patched[sof + 1] = bad
         with pytest.raises(NotImplementedError, match="12-bit"):
