@@ -582,7 +582,17 @@ def ivf_pq_residual_topk(
     the corpus residual is a broadcast join on cell + a map-only
     ``zip_with`` subtraction; query tables are nq*nprobe*m*n_codes rows
     — broadcast; the corpus shuffles only for the (query, corpus)
-    partial agg."""
+    partial agg.
+
+    The ``nprobe=4`` default targets CLUSTERED corpora — the regime
+    real embedding spaces produce, where it measures 1.000 recall@10
+    at library defaults (SCALING.md r9).  On weakly-clustered or
+    isotropic data cell pruning itself costs recall (measured ladder:
+    0.686/0.860/0.930/0.954 at nprobe 4/8/12/16 on the adversarial
+    isotropic 10x fixture, where nprobe=16 exactly meets the no-IVF
+    PQ+rerank ceiling): raise nprobe toward ``n_cells``, or drop IVF
+    and use :func:`pq_rerank_topk` whose adaptive-R default already
+    meets 0.95 there."""
     from arrow_ballista_spark.operators import ivf
     from arrow_ballista_spark.operators.similarity import norm
 
