@@ -1039,8 +1039,8 @@ FROM px GROUP BY doc_id
         "Deflate+predictor (Tech Note 2, stdlib zlib), %8==6 "
         "new-style JPEG strips (compression 7, shared JPEGTables tag "
         "347, 8x-kron DC-exact blocks so the mean oracle holds "
-        "byte-exactly), else plain "
-        "2-rows-per-strip; odd little-endian (II): %8==1 PackBits RLE "
+        "byte-exactly; the non-tiled non-JPEG even lanes use "
+        "2-rows-per-strip layout); odd little-endian (II): %8==1 PackBits RLE "
         "(§9), %8==5 Deflate, %8==3 LZW+predictor-2, %8==7 LZW tiled "
         "— all decoded "
         "through the library-free IFD walk (operators/multimodal.py:"
