@@ -10,7 +10,7 @@ The reference has no multimodal surface; this is a north-star extension
   ``mapInPandas`` stages (one Python worker per partition, whole batches
   over Arrow — never row-at-a-time UDFs);
 - decode is REAL for library-free formats — P6 PPM, uncompressed 24-bit
-  BMP, 8/16-bit PNG incl. Adam7 interlace (stdlib zlib), sequential AND
+  BMP, 1/2/4/8/16-bit PNG incl. Adam7 interlace (stdlib zlib), sequential AND
   progressive JPEG (ITU T.81 Huffman + IDCT + Annex G,
   ``operators/jpeg.py``, incl. 12-bit SOF1 and arithmetic-coded
   SOF9), PCM WAV (8/16/24/32-bit int, 32/64-bit IEEE float, EXTENSIBLE wrapper) — all value-oracled; only the remaining codecs
@@ -1360,11 +1360,14 @@ def decode_png(blob: bytes):
     """Decode PNG — stdlib ``zlib`` inflate + per-row filter reversal,
     no codec library (the format is public: RFC 2083 / W3C PNG spec).
 
-    Supports the overwhelmingly common web shapes: 8-bit depth, color
-    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
-    non-interlaced OR Adam7-interlaced (RFC 2083 §8.2: seven pass
-    sub-images, each with its own filter chain, reassembled by the
-    pass geometry), 8- or 16-bit depth.  Returns an (h, w, 3) uint8 RGB array — gray
+    Supports every legal depth/color combination the spec defines for
+    still images: color types 0 (gray), 2 (RGB), 3 (palette), 4
+    (gray+alpha), 6 (RGBA); depths 8 and 16, plus sub-8-bit (1/2/4,
+    gray and palette — packed MSB-first samples, filters over the
+    packed bytes with bpp=1, gray scaled by the exact 255/(2^d-1)
+    replication factor); non-interlaced OR Adam7-interlaced (RFC 2083
+    §8.2: seven pass sub-images, each with its own filter chain,
+    reassembled by the pass geometry).  Returns an (h, w, 3) uint8 RGB array — gray
     replicates, alpha is DROPPED (not composited), palette indices
     resolve through PLTE.  All five row filters (None/Sub/Up/Average/
     Paeth) are reversed; Sub is vectorized per byte lane (cumsum mod
@@ -1403,13 +1406,58 @@ def decode_png(blob: bytes):
         # the full image BEFORE touching the deflate stream) and
         # MemoryError past the batch degrade handler
         raise ValueError(f"implausible PNG dimensions {w}x{h}")
-    if depth not in (8, 16) or comp != 0 or filt != 0:
+    if depth not in (1, 2, 4, 8, 16) or comp != 0 or filt != 0:
         raise NotImplementedError(
             f"PNG depth={depth}/compression={comp}/filter-method={filt} "
-            "not supported library-free (8/16-bit, method 0 only)"
+            "not supported library-free (depth 1/2/4/8/16, method 0 only)"
         )
     if depth == 16 and color == 3:
         raise ValueError("16-bit palette PNG is not a legal combination")
+    if depth < 8:
+        # sub-8-bit (RFC 2083 §6.1: legal only for gray and palette):
+        # filters operate on the PACKED scanline bytes with bpp=1, then
+        # each row bit-unpacks MSB-first into d-bit samples; gray
+        # samples scale to 8-bit by the exact 255/(2^d-1) factor
+        # (255, 85, 17 — left-bit replication), palette indices look up
+        # PLTE unscaled
+        if color not in (0, 3):
+            raise ValueError(
+                f"depth-{depth} PNG with color type {color} is illegal"
+            )
+        raw = zlib.decompress(b"".join(idat))
+
+        def unpack(rows: np.ndarray, pw: int) -> np.ndarray:
+            bits = np.unpackbits(rows, axis=1)[:, : pw * depth]
+            vals = bits.reshape(rows.shape[0], pw, depth)
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            return (vals * weights).sum(axis=2).astype(np.uint8)
+
+        if interlace == 0:
+            rb = -(-w * depth // 8)
+            rows, _ = _png_unfilter(raw, 0, h, rb, 1, 1)
+            idxs = unpack(rows, w)
+        elif interlace == 1:
+            idxs = np.zeros((h, w), np.uint8)
+            pos = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                rb = -(-pw * depth // 8)
+                rows, pos = _png_unfilter(raw, pos, ph, rb, 1, 1)
+                idxs[y0::dy, x0::dx] = unpack(rows, pw)
+        else:
+            raise ValueError(f"bad PNG interlace method {interlace}")
+        if color == 3:
+            if plte is None:
+                raise ValueError("palette PNG without PLTE")
+            if idxs.max() >= len(plte):
+                raise ValueError("palette index out of range")
+            return np.ascontiguousarray(plte[idxs])
+        scale = 255 // ((1 << depth) - 1)
+        g = (idxs * scale).astype(np.uint8)
+        return np.ascontiguousarray(np.repeat(g[:, :, None], 3, axis=2))
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if nch is None:
         raise ValueError(f"bad PNG color type {color}")
@@ -1487,7 +1535,8 @@ def _png_filter_rows(rows, filters, bpp: int) -> bytearray:
 
 
 def encode_png(
-    img, filters=(0,), interlace: bool = False, depth16: bool = False
+    img, filters=(0,), interlace: bool = False, depth16: bool = False,
+    gray_bits: int = 0,
 ) -> bytes:
     """Minimal RGB8 PNG writer (stdlib zlib) — fixture/test helper so the
     decode path can be driven with REAL deflate streams and every row
@@ -1495,12 +1544,62 @@ def encode_png(
     encoding applies the exact inverse of the decoder's reversal.
     ``interlace=True`` writes Adam7 (RFC 2083 §8.2): the seven pass
     sub-images serialize in order, each with its own filter chain —
-    driving the decoder's interlaced reassembly with real streams."""
+    driving the decoder's interlaced reassembly with real streams.
+    ``gray_bits`` in {1, 2, 4} writes a sub-8-bit GRAYSCALE file
+    (color type 0) from an (h, w) array of values < 2^gray_bits:
+    samples pack MSB-first into row-padded scanlines and the filter
+    cycle applies to the packed bytes (bpp=1, RFC 2083 §6.1)."""
     import struct
     import zlib
 
     import numpy as np
 
+    if gray_bits:
+        if gray_bits not in (1, 2, 4):
+            raise ValueError("gray_bits must be 1, 2, or 4")
+        img = np.ascontiguousarray(img, dtype=np.uint8)
+        if img.ndim != 2 or img.max() >= (1 << gray_bits):
+            raise ValueError(
+                f"sub-8 gray input must be (h, w) with values "
+                f"< {1 << gray_bits}"
+            )
+        h, w = img.shape
+
+        def pack(sub: np.ndarray) -> np.ndarray:
+            ph, pw = sub.shape
+            bits = (
+                (sub[:, :, None] >> np.arange(gray_bits - 1, -1, -1)) & 1
+            ).reshape(ph, pw * gray_bits).astype(np.uint8)
+            return np.packbits(bits, axis=1)  # row-pads to byte
+
+        if interlace:
+            raw = bytearray()
+            for x0, y0, dx, dy in _ADAM7:
+                sub = img[y0::dy, x0::dx]
+                if sub.shape[0] == 0 or sub.shape[1] == 0:
+                    continue
+                raw += _png_filter_rows(pack(sub), filters, 1)
+        else:
+            raw = _png_filter_rows(pack(img), filters, 1)
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + typ
+                + data
+                + struct.pack(">I", zlib.crc32(typ + data))
+            )
+
+        ihdr = struct.pack(
+            ">IIBBBBB", w, h, gray_bits, 0, 0, 0,
+            1 if interlace else 0,
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w, nch = img.shape
     assert nch == 3, "encode_png writes color type 2 (RGB) only"

@@ -645,11 +645,11 @@ WITH px AS (
 SELECT doc_id,
        CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
        CAST(3 AS INT) AS channels,
-       {R("avg(CASE WHEN (i - 1) % 3 = 0 THEN CAST(code AS DOUBLE) END)", 4)}
+       {R("CASE WHEN doc_id % 8 = 3 THEN avg(CASE WHEN i <= 64 THEN floor(code / 16.0) * 17 END) ELSE avg(CASE WHEN (i - 1) % 3 = 0 THEN CAST(code AS DOUBLE) END) END", 4)}
          AS mean_r,
-       {R("avg(CASE WHEN (i - 1) % 3 = 1 THEN CAST(code AS DOUBLE) END)", 4)}
+       {R("CASE WHEN doc_id % 8 = 3 THEN avg(CASE WHEN i <= 64 THEN floor(code / 16.0) * 17 END) ELSE avg(CASE WHEN (i - 1) % 3 = 1 THEN CAST(code AS DOUBLE) END) END", 4)}
          AS mean_g,
-       {R("avg(CASE WHEN (i - 1) % 3 = 2 THEN CAST(code AS DOUBLE) END)", 4)}
+       {R("CASE WHEN doc_id % 8 = 3 THEN avg(CASE WHEN i <= 64 THEN floor(code / 16.0) * 17 END) ELSE avg(CASE WHEN (i - 1) % 3 = 2 THEN CAST(code AS DOUBLE) END) END", 4)}
          AS mean_b
 FROM px GROUP BY doc_id
 """,
@@ -660,8 +660,12 @@ FROM px GROUP BY doc_id
         "FIVE spec filters (None/Sub/Up/Average/Paeth); even doc_ids "
         "write the Adam7 interlaced layout (RFC 2083 §8.2: seven pass "
         "sub-images, per-pass filter chains — r8), odd the sequential "
-        "one, and doc_id%4==1 writes 16-BIT depth (byte-wise filters "
-        "with bpp=6, high-byte downscale — r8); then run the "
+        "one, doc_id%4==1 writes 16-BIT depth (byte-wise filters "
+        "with bpp=6, high-byte downscale — r8), and doc_id%8==3 "
+        "writes 4-BIT Adam7 GRAYSCALE from the first 64 bytes' high "
+        "nibbles (sub-8 packed samples, filters over packed bytes "
+        "with bpp=1, exact x17 gray scaling — r9, so the oracle "
+        "cases that lane to avg(floor(code/16)*17)); then run the "
         "stdlib-zlib decoder + channel statistics "
         "(operators/multimodal.py:decode_png — chunk walk, inflate, "
         "per-row filter reversal, pass reassembly all real) and check "
@@ -683,6 +687,22 @@ def ext_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             blobs = []
             for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                if d % 8 == 3:
+                    # 4-bit Adam7 GRAYSCALE lane (r9): high nibbles of
+                    # the first 64 bytes; decode scales by exactly 17
+                    # (255/15), so the oracle lane is
+                    # avg(floor(code/16)*17) on all three channels
+                    codes = np.frombuffer(
+                        _ascii_bytes(t, 64), np.uint8
+                    ).reshape(8, 8)
+                    blobs.append(
+                        multimodal.encode_png(
+                            codes >> 4, filters=(0, 1, 2, 3, 4),
+                            interlace=True, gray_bits=4,
+                        )
+                    )
+                    continue
                 px = np.frombuffer(
                     _ascii_bytes(t, 192), np.uint8
                 ).reshape(8, 8, 3)
@@ -693,10 +713,10 @@ def ext_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(
                     multimodal.encode_png(
                         px, filters=(0, 1, 2, 3, 4),
-                        interlace=(int(doc_id) % 2 == 0),
+                        interlace=(d % 2 == 0),
                         # doc_id % 4 == 1: 16-bit depth (v<<8|v widening;
                         # the high-byte downscale round-trips exactly)
-                        depth16=(int(doc_id) % 4 == 1),
+                        depth16=(d % 4 == 1),
                     )
                 )
             yield pd.DataFrame(

@@ -64,6 +64,10 @@ def _seeds():
         ("png_adam7",
          M.encode_png(rgb, filters=(0, 1, 2, 3, 4), interlace=True),
          M.decode_png),
+        ("png_sub8",
+         M.encode_png((rgb[:, :, 0] >> 4), filters=(0, 1, 2, 3, 4),
+                      interlace=True, gray_bits=4),
+         M.decode_png),
         ("gif", M.encode_gif(rgb), M.decode_gif),
         ("gif_anim", M.encode_gif_animation(frames),
          lambda b: list(M.decode_gif_frames(b))),

@@ -1505,3 +1505,37 @@ def test_triangle_orientation_invariance(spark, n, e, seed):
             for r in triangle_counts(edges, orient=orient).collect()
         }
         assert got == want, (orient, seed)
+
+
+@given(
+    d=st.sampled_from([1, 2, 4]),
+    h=st.integers(1, 24),
+    w=st.integers(1, 40),
+    interlace=st.booleans(),
+    cycle=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=50, deadline=None)
+def test_png_sub8_roundtrip_property(d, h, w, interlace, cycle, seed):
+    """Sub-8-bit grayscale PNG (RFC 2083 §6.1 — r9, the last PNG depth
+    gate): encode_png(gray_bits=d) -> decode_png is exact over 1/2/4-bit
+    depths, arbitrary shapes (incl. widths that don't fill the last
+    packed byte), Adam7 interlace, and the full filter cycle applied to
+    the PACKED scanline bytes (bpp=1).  Gray samples scale by the exact
+    255/(2^d-1) replication factor, so decode must hit it bit-for-bit."""
+    import numpy as np
+
+    from arrow_ballista_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 1 << d, (h, w)).astype(np.uint8)
+    blob = encode_png(
+        img, filters=(0, 1, 2, 3, 4) if cycle else (0,),
+        interlace=interlace, gray_bits=d,
+    )
+    out = decode_png(blob)
+    want = np.repeat((img * (255 // ((1 << d) - 1)))[:, :, None], 3, 2)
+    assert np.array_equal(out, want)
