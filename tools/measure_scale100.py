@@ -31,6 +31,10 @@ QUERIES = sys.argv[1:] or [
     "ext_dedup_canonical_central",
     "ext_pipeline_corpus_build",
     "ext_dedup_semantic_whitened",
+    # the adaptive-k scale path next to the k=8 oracle pin: the r9
+    # sweep measured 22.1x vs 2.6x at the 100x step — keep both in
+    # future ladders so the contrast stays visible
+    "ext_dedup_semantic_whitened__scaledk",
     "ext_sim_topk_pq_trained",
     "ext_graph_pagerank",
 ]
