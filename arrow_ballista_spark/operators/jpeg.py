@@ -1591,6 +1591,17 @@ def _decode_arith_scan(blob, start, frame, scan, qt, dac, dri):
         raise NotImplementedError(
             "restart markers with arithmetic coding not supported"
         )
+    if w * h > (1 << 21):
+        # tighter work bound than the general 1<<26 pixel cap: the QM
+        # coder never rejects garbage (every bit sequence decodes), so
+        # a corrupt SOF near the cap buys ~minutes of certain Python
+        # work where a corrupt Huffman stream fails fast on an invalid
+        # code.  2M pixels is far beyond this pipeline's thumbnail
+        # shapes; found by the r9 mutation-fuzz soak.
+        raise NotImplementedError(
+            f"arithmetic JPEG beyond 2M pixels ({w}x{h}) is outside "
+            "the pure-Python decoder's work budget"
+        )
     if len(scan) != len(comps):
         raise NotImplementedError(
             "non-interleaved multi-scan arithmetic JPEG not supported"

@@ -461,6 +461,15 @@ def decode_tiff(blob: bytes):
         if tw == 0 or tl == 0 or tw % 16 or tl % 16:
             raise ValueError(f"bad TIFF tile geometry {tw}x{tl}")
         ta, td = -(-w // tw), -(-h // tl)
+        if (ta * tw) * (td * tl) > (1 << 26):
+            # the PADDED canvas, not just the image, must pass the
+            # plausibility bound: a corrupt u32 tile dim that is still
+            # a multiple of 16 (e.g. 0xFF000010) makes ceil(w/tw)=1
+            # but ta*tw ~ 4e9 — a 128 GiB allocation before any pixel
+            # bound applies (found by the r9 mutation-fuzz soak)
+            raise ValueError(
+                f"implausible TIFF tile canvas {ta * tw}x{td * tl}"
+            )
         offs, cnts = tags["tile_offsets"], tags["tile_counts"]
         if len(offs) < ta * td or len(cnts) < ta * td:
             raise ValueError("TIFF tile offsets/counts too short")

@@ -73,6 +73,8 @@ def _seeds():
          lambda b: list(M.decode_gif_frames(b))),
         ("tiff", M.encode_tiff(img, lzw=True, predictor=True),
          M.decode_tiff),
+        ("tiff_tile", M.encode_tiff(img, tile=(16, 16), deflate=True),
+         M.decode_tiff),
         ("tiff_jpeg",
          M.encode_tiff(img, jpeg=95, jpeg_shared_tables=True),
          M.decode_tiff),
