@@ -5,11 +5,13 @@ always the same: Arrow-batched ``mapInPandas``, model loaded once per
 Python worker, map-only over the corpus scan.
 
 No reference parity (arrow-ballista has no Python batch-UDF surface —
-SURVEY.md §2 extension).  The model itself is pluggable; the container
-ships no ML runtime, so the default scorer is a deterministic stub
-(documented, SQL-expressible) and the Spark-side plumbing — schema,
-batching, worker lifecycle — is real and oracle-tested, exactly like the
-multimodal codec stubs (operators/multimodal.py).
+SURVEY.md §2 extension).  The model itself is pluggable; the witnessed
+registry entry (ext_model_score, since r8) runs a REAL numpy logistic
+model — fixed float64 weights over 8 engineered text features, scored
+with a per-worker matmul (queries/extensions.py) — and its oracle replays
+the same arithmetic in SQL, so both the plumbing AND a genuine
+model-inference computation are value-exact-tested.  Heavier runtimes
+(torch/onnx) slot into the same ``score_documents`` seam.
 
 Scale notes:
 - map-only: rides the scan, no shuffle, linear in corpus size;

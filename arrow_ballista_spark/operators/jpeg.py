@@ -1591,15 +1591,18 @@ def _decode_arith_scan(blob, start, frame, scan, qt, dac, dri):
         raise NotImplementedError(
             "restart markers with arithmetic coding not supported"
         )
-    if w * h > (1 << 21):
+    if w * h > (1 << 20):
         # tighter work bound than the general 1<<26 pixel cap: the QM
         # coder never rejects garbage (every bit sequence decodes), so
-        # a corrupt SOF near the cap buys ~minutes of certain Python
-        # work where a corrupt Huffman stream fails fast on an invalid
-        # code.  2M pixels is far beyond this pipeline's thumbnail
-        # shapes; found by the r9 mutation-fuzz soak.
+        # a corrupt SOF near the cap buys certain Python work where a
+        # corrupt Huffman stream fails fast on an invalid code.  Found
+        # by the r9 mutation-fuzz soak at 1<<21; r10 measured garbage
+        # decode at that cap at 7.4s — past the fuzz harness's 5s hang
+        # bound — so the cap is now 1M pixels (~3.6s worst case,
+        # boundary-pinned by test_codec_fuzz.py), still ~40x this
+        # pipeline's thumbnail envelope.
         raise NotImplementedError(
-            f"arithmetic JPEG beyond 2M pixels ({w}x{h}) is outside "
+            f"arithmetic JPEG beyond 1M pixels ({w}x{h}) is outside "
             "the pure-Python decoder's work budget"
         )
     if len(scan) != len(comps):

@@ -510,6 +510,16 @@ def decode_tiff(blob: bytes):
         if not parts:
             raise ValueError("TIFF with no strips")
         img = np.concatenate(parts, axis=0)
+        # completeness: a corrupt IFD whose strip arrays are shorter
+        # than ceil(h/rps) would otherwise return fewer rows than the
+        # declared height — wrong-shaped output flowing into image_stats
+        # as wrong metadata instead of a clean degrade (the lossless
+        # path raises "truncated TIFF strip data" for the same class)
+        if img.shape[0] != h:
+            raise ValueError(
+                f"JPEG-in-TIFF strips cover {img.shape[0]} rows, "
+                f"IFD declares {h}"
+            )
     else:
         raw = bytearray()
         rps = tags.get("rows_per_strip", [h])[0]
@@ -877,7 +887,15 @@ def decode_wav(blob: bytes):
             data, dtype=np.float32 if bits == 32 else np.float64
         )
         raw = raw[: (len(raw) // n_ch) * n_ch].reshape(-1, n_ch)
-        return raw.astype(np.float64), rate
+        samples = raw.astype(np.float64)
+        # documented contract: samples in [-1, 1].  A corrupt float
+        # payload is NaN/Inf-prone — reject non-finite data through the
+        # exception degrade lane (it would otherwise poison RMS/peak in
+        # audio_stats), and clamp the legal-but-hot tail (float WAVs may
+        # legitimately exceed full scale pre-mastering)
+        if not np.isfinite(samples).all():
+            raise ValueError("non-finite samples in IEEE-float WAV data")
+        return np.clip(samples, -1.0, 1.0), rate
     if audio_format != 1:
         raise NotImplementedError(
             f"only PCM (int/float incl. 24-bit and EXTENSIBLE), G.711, "

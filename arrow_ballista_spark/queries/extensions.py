@@ -2027,13 +2027,18 @@ def ext_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KMEANS_K = 8
 
-# Unrolled 2-iteration Lloyd's chain over a CTE `e(vec_id, v)` — shared by
-# ext_embed_kmeans, ext_dedup_semantic, and (over whitened vectors)
-# ext_dedup_semantic_whitened: a1 = final (vec_id, cid) assignment.
-_KMEANS_CHAIN = f"""c0 AS (
+
+def _kmeans_chain(k: int) -> str:
+    """Unrolled 2-iteration Lloyd's chain over a CTE ``e(vec_id, v)`` —
+    shared by ext_embed_kmeans, ext_dedup_semantic, and (over whitened
+    vectors) the two whitened entries: ``a1`` = final (vec_id, cid)
+    assignment.  ``k`` parameterizes the deterministic smallest-id init
+    (the adaptive-k entry embeds k = max(8, isqrt(n)) for the oracle SF's
+    fixture count; the fixed-k entries pin k=8)."""
+    return f"""c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
          v AS cent
-  FROM (SELECT * FROM e ORDER BY vec_id LIMIT {_KMEANS_K})
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k})
 ), d0 AS (
   SELECT vec_id, cid,
          list_sum(list_transform(generate_series(1, len(v)),
@@ -2062,6 +2067,9 @@ _KMEANS_CHAIN = f"""c0 AS (
     FROM d1) WHERE rn = 1
 )
 """
+
+
+_KMEANS_CHAIN = _kmeans_chain(_KMEANS_K)
 
 _KMEANS_CTE = (
     """
@@ -2998,7 +3006,9 @@ _ORACLE_SF_DIR = os.environ.get(
 )
 
 
-def _whitened_oracle(sf_dir: str = _ORACLE_SF_DIR) -> str | None:
+def _whitened_oracle(
+    sf_dir: str = _ORACLE_SF_DIR, k_clusters: int | None = None
+) -> str | None:
     """Generated literal-W oracle (the LSH-plane / IVF-centroid pattern):
     the deterministic driver-side whitening parameters for ``sf_dir``
     (default: the DRIVER's comparison SF) are embedded as literals, the
@@ -3030,6 +3040,9 @@ def _whitened_oracle(sf_dir: str = _ORACLE_SF_DIR) -> str | None:
     dims = ",\n         ".join(
         _whiten_dim_expr(mean, W, j, base=1) for j in range(_WHITEN_K)
     )
+    chain = (
+        _KMEANS_CHAIN if k_clusters is None else _kmeans_chain(k_clusters)
+    )
     return (
         f"""
 WITH raw AS (
@@ -3037,7 +3050,7 @@ WITH raw AS (
 ), e AS (
   SELECT vec_id, [{dims}] AS v FROM raw
 ), """
-        + _KMEANS_CHAIN
+        + chain
         + f"""
 SELECT aa.vec_id AS id_a, bb.vec_id AS id_b,
        CAST(aa.cid AS BIGINT) AS cluster,
@@ -3107,6 +3120,88 @@ def ext_dedup_semantic_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = semantic_dedup_pairs(white, k=_WHITEN_K, iters=2, tau=_WHITEN_TAU)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("cluster").cast("long").alias("cluster"),
+        cround(F.col("cos_raw"), 6).alias("cosine"),
+    )
+
+
+def _adaptive_k_for(sf_dir: str) -> int:
+    """The k that ``semantic_dedup_pairs(k=None)`` derives at ``sf_dir``:
+    max(8, isqrt(n)) over the embeddings fixture's row count.  Read from
+    parquet metadata driver-side at oracle-generation time — the same
+    bounded-fixture-read the literal-W pattern already performs."""
+    import pyarrow.parquet as pq
+
+    from arrow_ballista_spark.operators.kmeans import adaptive_cluster_count
+
+    n = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=[]
+    ).num_rows
+    return adaptive_cluster_count(n)
+
+
+def _whitened_adaptive_oracle(sf_dir: str = _ORACLE_SF_DIR) -> str | None:
+    """Value-exact oracle for the ADAPTIVE-k whitened entry: identical
+    literal-W whitening, but the Lloyd chain is unrolled at
+    k = max(8, isqrt(n)) — the exact value the library's ``k=None``
+    default computes from its one bounded count() job.  n comes from the
+    fixture's parquet metadata, so both engines cluster with the same k."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(emb_path):
+        return None
+    return _whitened_oracle(sf_dir, k_clusters=_adaptive_k_for(sf_dir))
+
+
+@query(
+    "ext_dedup_semantic_whitened_adaptive",
+    _whitened_adaptive_oracle(),
+    doc=(
+        "The SCALE-SAFE SemDeDup configuration as a first-class tracked "
+        "entry: whitened embeddings (same literal-W projection as "
+        "ext_dedup_semantic_whitened) deduplicated with the library "
+        "DEFAULT k=None — semantic_dedup_pairs sizes k adaptively as "
+        "max(8, isqrt(n)) via one bounded count() job, keeping total "
+        "pair work O(n^1.5).  The fixed-k=8 sibling entry remains the "
+        "pinned-k witness, but ITS config is the O(n^2/k) degenerate "
+        "that measured 22.1x for 10x data at the 100x step; this entry "
+        "witnesses the configuration a 100 TB run would actually use "
+        "(2.6x at the same step — SCALING.md r9).  Value-exact oracle: "
+        "the Lloyd chain is unrolled at the SAME k the default derives "
+        "(k = isqrt(fixture rows), from parquet metadata driver-side), "
+        "so the adaptive policy itself — not a hand-pinned k — is what "
+        "the driver hashes.  Scale shape: bounded driver eigh + map-only "
+        "whitening, one count() job, broadcast-Lloyd assignment, one "
+        "shuffle on cluster id; expected cluster size ~ sqrt(n)."
+    ),
+)
+def ext_dedup_semantic_whitened_adaptive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from arrow_ballista_spark.operators.kmeans import semantic_dedup_pairs
+    from arrow_ballista_spark.operators.pca import whitening_literals
+
+    mean, W = whitening_literals(sf_dir, k=_WHITEN_K)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    from arrow_ballista_spark.operators.caching import tracked_persist
+
+    white = tracked_persist(
+        emb.select(
+            "vec_id",
+            F.array(
+                *[
+                    F.expr(_whiten_dim_expr(mean, W, j, base=0))
+                    for j in range(_WHITEN_K)
+                ]
+            ).alias("embedding"),
+        )
+    )
+    # k=None: the library's adaptive default — THE config under test
+    out = semantic_dedup_pairs(white, k=None, iters=2, tau=_WHITEN_TAU)
     return out.select(
         "id_a",
         "id_b",

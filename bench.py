@@ -95,6 +95,10 @@ BENCH_QUERIES = [f"tpch_q{i}" for i in range(1, 23)] + [
     # round-7 additions
     "ext_sim_topk_pq_trained",
     "ext_multimodal_jpeg_stats",
+    # round-10: the adaptive-k (k=None default) whitened SemDeDup — the
+    # scale-safe configuration is now the TRACKED row; the fixed-k=8
+    # sibling stays benched as the pinned-k witness
+    "ext_dedup_semantic_whitened_adaptive",
     # h2o db-benchmark + nyctaxi shapes (the reference's other harnesses:
     # benchmarks/db-benchmark/join-datafusion.py, src/bin/nyctaxi.rs)
     "h2o_groupby_highcard",
@@ -123,6 +127,7 @@ CHECKSUM_VARIANTS = [
     "ext_embed_pq",
     "ext_multimodal_png_stats",
     "ext_dedup_semantic_whitened",
+    "ext_dedup_semantic_whitened_adaptive",
     # round-7 O(n)-row results
     "ext_multimodal_jpeg_stats",
 ]

@@ -24,6 +24,9 @@ SF_REGENERATED_ORACLES = {
     "ext_dedup_semantic_whitened": lambda sf_dir: __import__(
         "arrow_ballista_spark.queries.extensions", fromlist=["x"]
     )._whitened_oracle(sf_dir),
+    "ext_dedup_semantic_whitened_adaptive": lambda sf_dir: __import__(
+        "arrow_ballista_spark.queries.extensions", fromlist=["x"]
+    )._whitened_adaptive_oracle(sf_dir),
     "ext_sim_topk_pq_trained": lambda sf_dir: __import__(
         "arrow_ballista_spark.queries.advanced", fromlist=["x"]
     )._pq_trained_oracle(sf_dir),
@@ -58,6 +61,30 @@ def test_whitened_semantic_vs_duckdb_at_driver_sf(spark):
 
     qd = REG["ext_dedup_semantic_whitened"]
     assert qd.oracle is not None
+    df = qd.spark(spark, SF_DIR_T2)
+    assert_same_results(df, make_oracle(SF_DIR_T2), qd.oracle)
+
+
+def test_whitened_adaptive_vs_duckdb_at_driver_sf(spark):
+    """The adaptive-k whitened entry's registered oracle embeds both the
+    driver SF's whitening literals AND its adaptive k (= isqrt of the
+    fixture row count) — replay the driver's exact pinned comparison, and
+    pin that the embedded k really is what semantic_dedup_pairs(k=None)
+    derives there."""
+    from arrow_ballista_spark.operators.kmeans import adaptive_cluster_count
+    from arrow_ballista_spark.queries.extensions import (
+        _ORACLE_SF_DIR,
+        _adaptive_k_for,
+    )
+    from tests.conftest import SF_DIR_T2, make_oracle
+
+    qd = REG["ext_dedup_semantic_whitened_adaptive"]
+    assert qd.oracle is not None
+    k = _adaptive_k_for(_ORACLE_SF_DIR)
+    n = spark.read.parquet(f"{_ORACLE_SF_DIR}/embeddings.parquet").count()
+    assert k == adaptive_cluster_count(n)
+    assert k > 8, "driver fixture should exercise the adaptive regime"
+    assert f"LIMIT {k}" in qd.oracle
     df = qd.spark(spark, SF_DIR_T2)
     assert_same_results(df, make_oracle(SF_DIR_T2), qd.oracle)
 
@@ -2135,3 +2162,64 @@ def test_codec_oracles_nonascii_documents(spark, tmp_path):
         qd = REG[name]
         assert qd.oracle is not None, name
         assert_same_results(qd.spark(spark, str(nd)), con, qd.oracle)
+
+
+def test_tiff_jpeg_short_strip_array_degrades():
+    """ADVICE r9: a corrupt IFD whose strip_offsets/strip_counts arrays
+    are SHORTER than ceil(h/rps) must not silently return an image with
+    fewer rows than the declared height — completeness is now checked
+    after strip concatenation (the lossless path's 'truncated TIFF
+    strip data' equivalent for JPEG strips)."""
+    import struct
+
+    import numpy as np
+
+    from arrow_ballista_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    img = np.arange(16 * 8, dtype=np.uint8).reshape(16, 8)
+    blob = bytearray(encode_tiff(img, jpeg=95, rows_per_strip=8))
+    ifd = struct.unpack_from("<I", blob, 4)[0]
+    n = struct.unpack_from("<H", blob, ifd)[0]
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        tag, _typ, cnt = struct.unpack_from("<HHI", blob, off)
+        if tag in (273, 279):  # StripOffsets / StripByteCounts
+            assert cnt == 2
+            arr_off = struct.unpack_from("<I", blob, off + 8)[0]
+            first = struct.unpack_from("<I", blob, arr_off)[0]
+            struct.pack_into("<I", blob, off + 4, 1)  # claim ONE strip
+            struct.pack_into("<I", blob, off + 8, first)  # now inline
+    with pytest.raises(ValueError, match="strips cover 8 rows"):
+        decode_tiff(bytes(blob))
+
+
+def test_wav_float_nonfinite_rejected_and_hot_clamped():
+    """ADVICE r9: the IEEE-float WAV path returns samples under a
+    documented [-1, 1] contract — corrupt NaN/Inf payloads must take the
+    ValueError degrade lane (not poison audio_stats RMS/peak), and
+    legal-but-hot samples clamp to full scale."""
+    import struct
+
+    import numpy as np
+
+    from arrow_ballista_spark.operators.multimodal import decode_wav
+
+    def fwav(payload):
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+        out = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        out += b"data" + struct.pack("<I", len(payload)) + payload
+        return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + out
+
+    bad = np.array([0.5, np.nan, -0.25], np.float32)
+    with pytest.raises(ValueError, match="non-finite"):
+        decode_wav(fwav(bad.tobytes()))
+    bad[1] = np.inf
+    with pytest.raises(ValueError, match="non-finite"):
+        decode_wav(fwav(bad.tobytes()))
+    hot = np.array([0.5, 1.75, -3.0], np.float32)
+    s, rate = decode_wav(fwav(hot.tobytes()))
+    assert rate == 8000
+    assert np.allclose(s[:, 0], [0.5, 1.0, -1.0])
