@@ -536,26 +536,38 @@ def jaccard_verify(
     """Exact set-Jaccard on candidate pairs only (joins the gram arrays
     back; the candidate set — not n² — bounds the work).
 
-    The joined pairs repartition to the session's shuffle parallelism
-    BEFORE the intersect/union expressions evaluate: candidate rows are
-    two longs, so AQE's size-based coalesce would otherwise pack a
-    millions-of-pairs candidate set into 1-2 post-shuffle partitions and
-    run the O(|grams|^2-ish) array comparisons on two cores (observed:
-    the PPJoin 10x verify straggling at (1+1)/2 tasks).  An explicit
-    numeric repartition is exempt from AQE coalescing, and the one extra
-    shuffle moves only the gram arrays it would read anyway."""
+    The joined pairs REBALANCE before the intersect/union expressions
+    evaluate, for two reasons measured on the PPJoin entry:
+
+    - candidate rows are two longs, so AQE's size-based coalesce of the
+      JOIN's shuffle (sized from its INPUTS) packs a millions-of-pairs
+      candidate set into 1-2 post-shuffle partitions and runs the
+      O(|grams|^2-ish) array comparisons on two cores (observed: the
+      PPJoin 10x verify straggling at (1+1)/2 tasks — r6);
+    - a FIXED numeric repartition has the opposite failure at scale:
+      each verify row carries TWO full gram arrays, so 32 partitions
+      that are fine at 1.8M candidates melt at 18M — the r10 100x
+      ladder measured the verify stage at 286s pinned to 32 partitions
+      vs 57s at 128/512 (GC-bound on ~0.5M array-pairs per task,
+      12.5x wall for 10x candidates).
+
+    The REBALANCE hint sizes the exchange from the shuffled rows
+    THEMSELVES (which here include the arrays — AQE splits oversized
+    partitions and coalesces tiny ones toward the advisory size), so
+    the per-task working set stays flat as candidates grow with no
+    planning-time count job.  Interleaved A/B at the 100x fixture:
+    rebalance 58.6s vs pinned-32 98.4s warm (363.7 vs 385.9 cold) for
+    the full entry, and identical wall at sf0.1; a count-derived
+    explicit partition number measured strictly worse than both
+    (159.3s — the extra materialization action costs more than it
+    saves)."""
     ga = grams.select(
         F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a")
     )
     gb = grams.select(
         F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b")
     )
-    spark = candidates.sparkSession
-    try:
-        parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):  # e.g. "auto" on managed platforms
-        parts = spark.sparkContext.defaultParallelism
-    j = candidates.join(ga, "id_a").join(gb, "id_b").repartition(parts)
+    j = candidates.join(ga, "id_a").join(gb, "id_b").hint("rebalance")
     jac = F.size(F.array_intersect("grams_a", "grams_b")) / F.size(
         F.array_union("grams_a", "grams_b")
     )
