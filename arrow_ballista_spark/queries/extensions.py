@@ -3148,11 +3148,27 @@ def _whitened_adaptive_oracle(sf_dir: str = _ORACLE_SF_DIR) -> str | None:
     literal-W whitening, but the Lloyd chain is unrolled at
     k = max(8, isqrt(n)) — the exact value the library's ``k=None``
     default computes from its one bounded count() job.  n comes from the
-    fixture's parquet metadata, so both engines cluster with the same k."""
+    fixture's parquet metadata, so both engines cluster with the same k.
+    Same import-must-never-fail contract as ``_whitened_oracle``: absent
+    fixture -> None silently; present-but-unreadable -> warn + None
+    (rows-only degrade) rather than killing ``load_all()``."""
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     if not os.path.exists(emb_path):
         return None
-    return _whitened_oracle(sf_dir, k_clusters=_adaptive_k_for(sf_dir))
+    try:
+        k = _adaptive_k_for(sf_dir)
+    except Exception as e:
+        import warnings
+
+        warnings.warn(
+            "ext_dedup_semantic_whitened_adaptive oracle generation "
+            f"FAILED reading a present fixture ({emb_path}): {e!r} — "
+            "registering rows-only; the correctness check for this "
+            "entry is degraded.",
+            stacklevel=2,
+        )
+        return None
+    return _whitened_oracle(sf_dir, k_clusters=k)
 
 
 @query(
