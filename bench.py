@@ -381,10 +381,26 @@ def main() -> None:
         "families": families,
         "sf": sf,
     }
+    # Plan-independent CPU anchor (SCALING.md r10: the +5.9% r9 "drift"
+    # was a uniform host factor — fixed pure-CPU work wobbles ±6%
+    # run-to-run on this host).  Recording it beside every round's bench
+    # lets the next round normalize before flagging a regression:
+    # compare tpch_total / (pyloop_now / pyloop_then).
+    try:
+        from tools.host_calibrate import blas32_once, pyloop_once
+
+        calibration = {
+            "pyloop_sec": round(min(pyloop_once() for _ in range(3)), 4),
+            "blas32_sec": round(min(blas32_once() for _ in range(3)), 4),
+        }
+    except Exception:  # never let the anchor break the bench contract
+        calibration = None
+
     detail = {
         "iterations": iters,
         "warmup_sweeps": warmups,
         "failed": failed,
+        "host_calibration": calibration,
         "protocol": "interleaved_sweeps_paired_warm",
         "queries_min": times,
         "queries_median": medians,
