@@ -560,14 +560,35 @@ def jaccard_verify(
     the full entry, and identical wall at sf0.1; a count-derived
     explicit partition number measured strictly worse than both
     (159.3s — the extra materialization action costs more than it
-    saves)."""
+    saves).
+
+    REBALANCE is an AQE feature: on a caller-supplied session with
+    ``spark.sql.adaptive.enabled=false`` the hint degenerates to a plain
+    round-robin shuffle at the static partition count — exactly the r10
+    scale-killer this stage exists to avoid — so with AQE off we fall
+    back to an explicit wide repartition instead (the repo's own session
+    always enables AQE; this guards external callers — ADVICE r10)."""
     ga = grams.select(
         F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a")
     )
     gb = grams.select(
         F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b")
     )
-    j = candidates.join(ga, "id_a").join(gb, "id_b").hint("rebalance")
+    j = candidates.join(ga, "id_a").join(gb, "id_b")
+    spark = candidates.sparkSession
+    if (
+        str(spark.conf.get("spark.sql.adaptive.enabled", "true")).lower()
+        == "true"
+    ):
+        j = j.hint("rebalance")
+    else:
+        # no adaptive sizing available: spread the array-carrying rows
+        # wide enough that per-task working sets stay bounded (4x the
+        # session default approximates the 128-512 band the r10 100x
+        # A/B measured as flat)
+        j = j.repartition(
+            4 * int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        )
     jac = F.size(F.array_intersect("grams_a", "grams_b")) / F.size(
         F.array_union("grams_a", "grams_b")
     )

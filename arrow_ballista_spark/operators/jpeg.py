@@ -45,6 +45,7 @@ hot path swaps in a C codec behind the same ``decode_image`` seam.
 from __future__ import annotations
 
 import functools as _functools
+import os
 import struct
 
 import numpy as np
@@ -1591,19 +1592,26 @@ def _decode_arith_scan(blob, start, frame, scan, qt, dac, dri):
         raise NotImplementedError(
             "restart markers with arithmetic coding not supported"
         )
-    if w * h > (1 << 20):
+    arith_cap = int(
+        os.environ.get("SPARK_GRAFT_ARITH_JPEG_MAX_PIXELS", 1 << 20)
+    )
+    if w * h > arith_cap:
         # tighter work bound than the general 1<<26 pixel cap: the QM
         # coder never rejects garbage (every bit sequence decodes), so
         # a corrupt SOF near the cap buys certain Python work where a
         # corrupt Huffman stream fails fast on an invalid code.  Found
         # by the r9 mutation-fuzz soak at 1<<21; r10 measured garbage
         # decode at that cap at 7.4s — past the fuzz harness's 5s hang
-        # bound — so the cap is now 1M pixels (~3.6s worst case,
+        # bound — so the default cap is 1M pixels (~3.6s worst case,
         # boundary-pinned by test_codec_fuzz.py), still ~40x this
-        # pipeline's thumbnail envelope.
+        # pipeline's thumbnail envelope.  Larger VALID images are not
+        # wrong, just slow — callers whose envelope includes them can
+        # raise SPARK_GRAFT_ARITH_JPEG_MAX_PIXELS rather than being
+        # hard-failed by one host's fuzz timing budget (ADVICE r10).
         raise NotImplementedError(
-            f"arithmetic JPEG beyond 1M pixels ({w}x{h}) is outside "
-            "the pure-Python decoder's work budget"
+            f"arithmetic JPEG beyond {arith_cap} pixels ({w}x{h}) is "
+            "outside the pure-Python decoder's work budget (raise "
+            "SPARK_GRAFT_ARITH_JPEG_MAX_PIXELS to opt in)"
         )
     if len(scan) != len(comps):
         raise NotImplementedError(

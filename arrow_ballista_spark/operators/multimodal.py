@@ -891,10 +891,19 @@ def decode_wav(blob: bytes):
         # documented contract: samples in [-1, 1].  A corrupt float
         # payload is NaN/Inf-prone — reject non-finite data through the
         # exception degrade lane (it would otherwise poison RMS/peak in
-        # audio_stats), and clamp the legal-but-hot tail (float WAVs may
-        # legitimately exceed full scale pre-mastering)
+        # audio_stats), and clamp only the legal-but-hot tail (float WAVs
+        # may legitimately exceed full scale pre-mastering, but by dBs,
+        # not orders of magnitude).  A finite-but-absurd amplitude (e.g.
+        # 1e300 from flipped exponent bits) is corruption with the same
+        # poisoning potential as Inf, so it takes the same degrade lane;
+        # 64x full scale (+36 dBFS) is far beyond any real pre-mastering
+        # headroom.
         if not np.isfinite(samples).all():
             raise ValueError("non-finite samples in IEEE-float WAV data")
+        if samples.size and float(np.abs(samples).max()) > 64.0:
+            raise ValueError(
+                "implausible IEEE-float WAV amplitude (>64x full scale)"
+            )
         return np.clip(samples, -1.0, 1.0), rate
     if audio_format != 1:
         raise NotImplementedError(

@@ -208,5 +208,16 @@ def test_arith_garbage_decode_at_cap_boundary_is_bounded():
     # bound pins "seconds, not minutes" at the cap, while the 5s hang
     # bound continues to apply to the small mutation seeds above
     assert time.monotonic() - t0 < 12.0, "garbage decode at cap over budget"
-    with pytest.raises(NotImplementedError, match="1M pixels"):
+    with pytest.raises(NotImplementedError, match="1048576 pixels"):
         decode_jpeg(patched(side + 1, side))
+    # the cap is a work-budget knob, not a correctness bound: callers
+    # whose envelope includes 1M-2M-pixel valid images can opt in via
+    # the env var (ADVICE r10) — and a lowered cap takes effect too
+    import os
+
+    os.environ["SPARK_GRAFT_ARITH_JPEG_MAX_PIXELS"] = str(1 << 10)
+    try:
+        with pytest.raises(NotImplementedError, match="1024 pixels"):
+            decode_jpeg(patched(64, 64))
+    finally:
+        del os.environ["SPARK_GRAFT_ARITH_JPEG_MAX_PIXELS"]
