@@ -437,6 +437,41 @@ def main() -> None:
         detail["delta_total"] = delta_total
         out["delta_total"] = delta_total
         out["prev_round"] = prev["_round"]
+        # Anchor-normalized comparison (VERDICT r10 item 1): divide out
+        # the host factor before flagging a regression.  The r9->r10
+        # "drift" was a uniform multiplicative host slowdown (CPU steal /
+        # neighbor load) visible on byte-identical plans; the pyloop
+        # anchor is plan-independent pure-CPU work, so
+        # total / (pyloop_now / pyloop_prev) is the host-corrected
+        # number.  Regression is flagged on the NORMALIZED delta only.
+        prev_cal = _load_prev_calibration(repo_dir, prev["_round"])
+        if calibration and prev_cal and prev_cal.get("pyloop_sec"):
+            ratio = calibration["pyloop_sec"] / prev_cal["pyloop_sec"]
+            prev_total = round(
+                sum(
+                    v for k, v in prev_q.items() if k.startswith("tpch_")
+                ),
+                3,
+            )
+            norm_total = round(total / ratio, 3)
+            norm = {
+                "pyloop_prev": prev_cal["pyloop_sec"],
+                "pyloop_now": calibration["pyloop_sec"],
+                "host_ratio": round(ratio, 4),
+                "tpch_total_raw": total,
+                "tpch_total_normalized": norm_total,
+                "prev_tpch_total": prev_total,
+                "normalized_delta_total": round(norm_total - prev_total, 3),
+                "normalized_delta_pct": round(
+                    100.0 * (norm_total - prev_total) / prev_total, 2
+                ) if prev_total else None,
+                "regression_flag": bool(
+                    prev_total and norm_total > 1.05 * prev_total
+                ),
+            }
+            detail["normalized_vs_prev"] = norm
+            out["tpch_total_normalized"] = norm_total
+            out["host_ratio"] = norm["host_ratio"]
 
     detail_path = os.path.join(
         repo_dir, f"BENCH_DETAIL_r{_next_round(repo_dir)}.json"
@@ -460,6 +495,19 @@ def _next_round(repo_dir: str) -> int:
         if (m := re.search(r"BENCH_r(\d+)\.json$", path))
     ]
     return max(rounds, default=0) + 1
+
+
+def _load_prev_calibration(repo_dir: str, prev_round: int) -> dict | None:
+    """host_calibration block from the previous round's committed
+    BENCH_DETAIL file (the anchor to normalize against).  Returns None
+    when that round predates the anchor (r9 and earlier)."""
+    path = os.path.join(repo_dir, f"BENCH_DETAIL_r{prev_round}.json")
+    try:
+        with open(path) as f:
+            cal = json.load(f).get("host_calibration")
+        return cal if isinstance(cal, dict) else None
+    except (OSError, json.JSONDecodeError):
+        return None
 
 
 def _load_prev_round(repo_dir: str) -> dict | None:
