@@ -157,6 +157,12 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+#: Per-run (mode, per-batch {batch, n, cs}) records from checksum-sink
+#: executions — the measurement side-channel read by
+#: tools/measure_streaming_scale.py.  Bounded: one tiny dict per batch.
+CHECKSUM_SINK_RESULTS: list[dict] = []
+
+
 def run_available_now(
     stream_df: DataFrame, output_mode: str = "complete", **options: Any
 ) -> DataFrame:
@@ -169,7 +175,43 @@ def run_available_now(
     ``maxFilesPerTrigger``) returns stale intermediate rows next to final
     ones.  Callers must reduce to the latest row per key (for monotone
     counters, a max aggregate) — see ``stateful_user_counts``' call site.
+
+    MEASUREMENT MODE: with ``SPARK_GRAFT_STREAM_CHECKSUM_SINK`` set, the
+    memory sink is replaced by a foreachBatch sink that reduces each
+    micro-batch to one (count, bit_xor(xxhash64)) row executor-side —
+    nothing is materialized to the driver, so the measured wall is the
+    streaming computation alone (VERDICT r10 item 6: the session-counts
+    100x wall was ~half memory-sink collect of 9.5M rows).  Per-batch
+    checksums land in :data:`CHECKSUM_SINK_RESULTS`; the RETURNED frame
+    is EMPTY (original schema) — callers' post-processing stays valid
+    but yields no rows, so the knob is for measurement harnesses only.
     """
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_STREAM_CHECKSUM_SINK"):
+        batches: list[dict] = []
+
+        def _checksum_batch(bdf: DataFrame, batch_id: int) -> None:
+            r = bdf.selectExpr(
+                "count(1) AS n", "bit_xor(xxhash64(struct(*))) AS cs"
+            ).collect()[0]
+            batches.append(
+                {"batch": int(batch_id), "n": int(r["n"]), "cs": r["cs"]}
+            )
+
+        q = (
+            stream_df.writeStream.foreachBatch(_checksum_batch)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .options(**options)
+            .start()
+        )
+        q.awaitTermination()
+        CHECKSUM_SINK_RESULTS.append(
+            {"mode": output_mode, "batches": batches}
+        )
+        return stream_df.sparkSession.createDataFrame([], stream_df.schema)
+
     name = f"sink_{uuid.uuid4().hex[:10]}"
     q = (
         stream_df.writeStream.format("memory")
