@@ -22,6 +22,27 @@ if ROOT not in sys.path:
 
 OUT_DIR = os.path.join(ROOT, "plans_snapshot")
 
+#: The bench top-10 by per-entry min cost (BENCH_DETAIL_r10
+#: queries_min, `__cs` checksum twins folded into their base entry —
+#: the twin's plan is the base plan plus one final HashAggregate).
+#: The drift protocol's byte-identical-plans leg must cover what the
+#: bench actually spends its time on, not just TPC-H (VERDICT r10
+#: item 2), so these are part of the DEFAULT snapshot set.
+BENCH_TOP = [
+    "ext_dedup_canonical_central",
+    "ext_pipeline_corpus_build",
+    "ext_dedup_semantic_whitened_adaptive",
+    "ext_dedup_semantic_whitened",
+    "ext_graph_pagerank",
+    "ext_dedup_canonical",
+    "h2o_groupby_manykey",
+    "ext_sim_topk_pq_trained",
+    "ext_graph_triangles",
+    "ext_sim_topk_ivfpq",
+    "ext_dedup_clusters",
+    "ext_zorder_key",
+]
+
 
 def skeleton(plan: str) -> str:
     """Operator tree head with volatile tokens stripped."""
@@ -37,8 +58,8 @@ def main():
 
     spark = get_session(app_name="plan-snapshot", shuffle_partitions=32)
     reg = load_all()
-    names = sys.argv[1:] or sorted(
-        n for n in reg if re.fullmatch(r"tpch_q\d+", n)
+    names = sys.argv[1:] or (
+        sorted(n for n in reg if re.fullmatch(r"tpch_q\d+", n)) + BENCH_TOP
     )
     os.makedirs(OUT_DIR, exist_ok=True)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
