@@ -3972,17 +3972,20 @@ FROM pc LEFT JOIN sketch s ON pc.r = s.r AND pc.col = s.col
 GROUP BY term
 """,
     doc=(
-        "Streaming count-min sketch: the frequency sketch maintained as a "
-        "Structured Streaming stateful aggregate over the continuous "
-        "corpus-ingestion source — the state is the sketch itself, <= "
-        "depth*width rows NO MATTER HOW MUCH DATA ARRIVES (contrast a "
+        "Streaming count-min sketch: the frequency sketch maintained over "
+        "the continuous corpus-ingestion source via a per-batch register "
+        "merge (foreachBatch) — the 'state' is the sketch itself, <= "
+        "depth*width entries NO MATTER HOW MUCH DATA ARRIVES (contrast a "
         "streaming exact term count, whose state grows with the "
-        "vocabulary and eventually evicts).  Each micro-batch's tokens "
-        "explode onto the bounded cell space and the groupBy state "
-        "absorbs them (complete mode, availableNow); probing the final "
-        "sketch is the batch estimate path.  Oracle is the batch CMS "
-        "SQL — streaming and batch must agree on bounded input "
-        "(operators/sketch.py, streaming/pipeline.py:documents_stream)."
+        "vocabulary and eventually evicts).  Each micro-batch reduces to "
+        "its distinct (term, count) pairs under batch semantics, hashes "
+        "each distinct term ONCE, and merges <= depth*width weighted "
+        "cells into the register — vs the r10 complete-mode stateful-agg "
+        "shape that hashed every term OCCURRENCE (2 md5s each) and "
+        "measured ~2 orders below its streaming siblings "
+        "(streaming/pipeline.py:stream_count_min).  Counts are exact "
+        "sums either way, so the oracle stays the batch CMS SQL — "
+        "streaming and batch must agree on bounded input."
     ),
 )
 def ext_stream_sketch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3990,9 +3993,7 @@ def ext_stream_sketch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = streaming.documents_stream(spark, sf_dir)
     tok = docs.select(F.explode(F.expr("split(text, ' +')")).alias("w"))
-    cms = streaming.run_available_now(
-        sk.count_min_build(tok, "w", width=_CMS_W, depth=_CMS_D), "complete"
-    )
+    cms = streaming.stream_count_min(tok, "w", width=_CMS_W, depth=_CMS_D)
     probes = spark.createDataFrame(
         [(t,) for t in _CMS_PROBES], "term string"
     )

@@ -236,6 +236,68 @@ def run_available_now(
     return out
 
 
+def stream_count_min(
+    tok_stream: DataFrame,
+    term_col: str,
+    width: int,
+    depth: int,
+    **options: Any,
+) -> DataFrame:
+    """Streaming count-min sketch via a per-batch REGISTER MERGE
+    (foreachBatch) — the throughput path for the frequency sketch over a
+    continuous term stream.
+
+    The previous shape (complete-mode stateful groupBy over exploded
+    cells, still available as ``run_available_now(count_min_build(...),
+    "complete")``) pays 2 md5 hashes + a hex->long conv per term
+    OCCURRENCE — at 100x that's hundreds of millions of md5s and the
+    entry measured ~2 orders below its streaming siblings (SCALING.md
+    r10).  Inside foreachBatch we get BATCH semantics per micro-batch,
+    so each batch first reduces to (term, count) — one map-side-combined
+    groupBy whose keys are the batch's DISTINCT vocabulary, transient,
+    never persisted state — and only then hashes each distinct term once
+    and explodes its ``depth`` cells weighted by the count.  Natural-
+    language term frequency makes occurrences/vocabulary a 1-3
+    order-of-magnitude hash reduction.
+
+    The merged register is the sketch itself: <= depth*width driver-side
+    entries no matter how much data arrives (each batch contributes at
+    most depth*width partial cells, collected bounded).  Counts are
+    exact sums either way, so the result is byte-identical to
+    ``count_min_build`` over the concatenated input — the batch CMS SQL
+    stays the oracle (tests/test_streaming.py pins multi-batch
+    agreement)."""
+    from arrow_ballista_spark.operators import sketch as sk
+
+    register: dict[tuple[int, int], int] = {}
+
+    def _merge(bdf: DataFrame, batch_id: int) -> None:
+        per_term = bdf.groupBy(term_col).agg(F.count(F.lit(1)).alias("_n"))
+        cells = sk._cells_frame(
+            per_term, term_col, width, depth, carry=["_n"]
+        )
+        part = (
+            cells.groupBy("row", "col")
+            .agg(F.sum("_n").alias("cnt"))
+            .collect()
+        )
+        for r in part:
+            key = (r["row"], r["col"])
+            register[key] = register.get(key, 0) + r["cnt"]
+
+    q = (
+        tok_stream.writeStream.foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .options(**options)
+        .start()
+    )
+    q.awaitTermination()
+    return tok_stream.sparkSession.createDataFrame(
+        [(r, c, n) for (r, c), n in sorted(register.items())],
+        "row int, col long, cnt long",
+    )
+
+
 def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static join: enrich the event stream against a batch
     dimension table (the standard streaming-ETL lookup).  Spark plans the

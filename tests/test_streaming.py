@@ -171,6 +171,40 @@ def test_stream_sketch_state_is_bounded_and_exact_across_batches(
     )
 
 
+def test_stream_count_min_register_merge_equals_batch(spark, tmp_path):
+    """The foreachBatch register-merge CMS (the throughput path behind
+    ext_stream_sketch_counts) must be byte-identical to the batch
+    count_min_build over the concatenated input, across MULTIPLE
+    micro-batches — counts are exact sums, so per-batch distinct-term
+    pre-aggregation may not change a single cell."""
+    from pyspark.sql import functions as F
+
+    from arrow_ballista_spark.operators import sketch as sk
+    from arrow_ballista_spark.streaming import pipeline as st
+
+    rows = [(i, f"w{i % 37} w{i % 11} shared") for i in range(300)]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "docs_stream_rm")
+    batch.repartition(4).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    tok = stream.select(F.explode(F.expr("split(text, ' +')")).alias("w"))
+    got = st.stream_count_min(tok, "w", width=64, depth=3)
+    want = sk.count_min_build(
+        batch.select(F.explode(F.expr("split(text, ' +')")).alias("w")),
+        "w", width=64, depth=3,
+    )
+    assert got.count() <= 64 * 3
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
 def test_checksum_sink_matches_memory_sink_checksum(spark, tmp_path):
     """Measurement mode (SPARK_GRAFT_STREAM_CHECKSUM_SINK): the
     foreachBatch checksum sink must record the SAME final (count, xor
