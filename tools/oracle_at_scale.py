@@ -1,0 +1,224 @@
+"""Hash-compare Spark vs the DuckDB oracle for the HEAVY ladder entries
+at a scale fixture (default: a 10x replication of the driver's sf0.01
+comparison fixture) — VERDICT r10 item 3.
+
+Why: every one of the 206 registry oracle checks runs at sf0.01, so a
+*scale-dependent* wrong answer — adaptive k changing with n, an AQE plan
+switch flipping a tie-broken row, accumulator overflow — would pass every
+round and never be witnessed.  The reference verifies golden answers at
+SF1, its bench scale (``benchmarks/src/bin/tpch.rs:1544-1566``); this
+tool is the analogous bar for the entries whose plans actually change
+shape with data size.
+
+The literal-embedding oracles (whitening matrix, trained PQ codebooks,
+adaptive k) regenerate for the fixture via SPARK_GRAFT_ORACLE_SF_DIR —
+set here BEFORE the registry import, exactly how tests regenerate them
+per SF (tests/test_extensions.py) — so the comparison is the driver's
+own pinned-literal protocol, just at 10x the rows.
+
+Comparison protocol: identical to the driver emulation (sorted-column
+names, row counts, order-insensitive value hash, floats rounded to 2dp)
+on a VANILLA SparkSession (no engine confs — the engine must configure
+itself at runtime, as under the real driver).
+
+Usage:
+    python tools/make_scale_fixture.py 10 /root/testdata/sf0.01 /tmp/scale10x_sf001
+    python tools/oracle_at_scale.py [FIXTURE_DIR] [entry ...]
+
+Writes CORRECTNESS_SCALE10X.json at the repo root (fixture metadata +
+per-entry row counts, hashes, and walls).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import sys
+import time
+
+FIXTURE = (
+    sys.argv[1]
+    if len(sys.argv) > 1 and os.path.isdir(sys.argv[1])
+    else "/tmp/scale10x_sf001"
+)
+# must precede the registry import: the whitened / PQ-trained oracles
+# embed THIS dir's literals at module-import time
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = FIXTURE
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+#: The heavy tier: the ladder entries whose physical plans / parameters
+#: are data-size-dependent (iterative convergence, adaptive k, LSH band
+#: fan-out, AQE-sized exchanges) — the ones a fixed-SF oracle can't
+#: clear of scale-dependent wrong answers.
+#: ordered CHEAP-FIRST by measured sf0.01 DuckDB oracle cost (the
+#: all-pairs document oracles scale ~quadratically with docs: 50.7s at
+#: sf0.01 for canonical_central -> an hour-plus at 10x docs), so an
+#: interrupted run still leaves most of the tier witnessed — results
+#: are flushed to the artifact after EVERY entry.
+HEAVY_ENTRIES = [
+    "ext_dedup_editdist",
+    "ext_sim_topk_pq_trained",
+    "ext_dedup_semantic_whitened_adaptive",
+    "ext_pipeline_corpus_build",
+    "ext_dedup_ppjoin",
+    "ext_dedup_minhash_lsh",
+    "ext_graph_triangles",
+    "ext_dedup_clusters",
+    "ext_graph_pagerank",
+    "ext_dedup_canonical_central",
+]
+
+
+def value_hash(df) -> str:
+    """Order-insensitive row hash, floats at 2dp — byte-identical to the
+    driver emulation recipe (.claude/skills/verify/SKILL.md)."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = []
+    for tup in df.itertuples(index=False):
+        cells = []
+        for v in tup:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                cells.append("NULL")
+            elif isinstance(v, float):
+                cells.append(f"{round(v, 2):.2f}")
+            elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                cells.append(
+                    "["
+                    + ",".join(
+                        f"{round(float(x), 2):.2f}"
+                        if isinstance(x, float)
+                        else str(x)
+                        for x in v
+                    )
+                    + "]"
+                )
+            elif isinstance(v, bytes):
+                cells.append(v.hex())
+            elif hasattr(v, "isoformat"):
+                iso = v.isoformat()
+                cells.append(iso[:10] if iso.endswith("T00:00:00") else iso)
+            else:
+                cells.append(str(v))
+        rows.append("|".join(cells))
+    rows.sort()
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+def main() -> None:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    only = [a for a in sys.argv[1:] if not os.path.isdir(a)] or None
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("oracle-at-scale")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from arrow_ballista_spark.queries import load_all
+    from arrow_ballista_spark.operators.caching import release_caches
+
+    reg = load_all()
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {int(cpus)}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{FIXTURE}/{t}.parquet')"
+        )
+    n_docs = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    n_emb = con.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+
+    results: dict[str, dict] = {}
+    names = [n for n in (only or HEAVY_ENTRIES) if n in reg]
+    for i, name in enumerate(names):
+        qd = reg[name]
+        row: dict = {"err": None}
+        release_caches()
+        t0 = time.time()
+        try:
+            sdf = qd.spark(spark, FIXTURE).toPandas()
+            row["spark_sec"] = round(time.time() - t0, 1)
+            row["spark_rows"] = len(sdf)
+        except Exception as e:  # noqa: BLE001 — record + continue
+            row["err"] = f"spark: {type(e).__name__}: {e}"[:300]
+            results[name] = row
+            _flush(results, n_docs, n_emb)
+            print(f"[{i+1}/{len(names)}] {name}: SPARK FAIL", flush=True)
+            continue
+        if qd.oracle is None:
+            row["rows_only"] = True
+            results[name] = row
+            _flush(results, n_docs, n_emb)
+            print(
+                f"[{i+1}/{len(names)}] {name}: rows-only "
+                f"({len(sdf)} rows, {row['spark_sec']}s)",
+                flush=True,
+            )
+            continue
+        t0 = time.time()
+        try:
+            odf = con.execute(qd.oracle).df()
+            row["oracle_sec"] = round(time.time() - t0, 1)
+            row["oracle_rows"] = len(odf)
+        except Exception as e:  # noqa: BLE001
+            row["err"] = f"oracle: {type(e).__name__}: {e}"[:300]
+            results[name] = row
+            _flush(results, n_docs, n_emb)
+            print(f"[{i+1}/{len(names)}] {name}: ORACLE FAIL", flush=True)
+            continue
+        sdf.columns = [c.lower() for c in sdf.columns]
+        odf.columns = [c.lower() for c in odf.columns]
+        row["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)
+        row["rows_match"] = len(sdf) == len(odf)
+        row["hash_match"] = (
+            row["schema_match"]
+            and row["rows_match"]
+            and value_hash(sdf) == value_hash(odf)
+        )
+        results[name] = row
+        _flush(results, n_docs, n_emb)
+        verdict = "ok" if row["hash_match"] else "MISMATCH"
+        print(
+            f"[{i+1}/{len(names)}] {name}: {verdict} "
+            f"({row['spark_rows']} vs {row['oracle_rows']} rows, "
+            f"spark {row['spark_sec']}s / oracle {row['oracle_sec']}s)",
+            flush=True,
+        )
+
+    n_ok = sum(1 for r in results.values() if r.get("hash_match"))
+    print(
+        f"{n_ok}/{len(results)} hash-matched -> "
+        + os.path.join(ROOT, "CORRECTNESS_SCALE10X.json"),
+        flush=True,
+    )
+
+
+def _flush(results: dict, n_docs: int, n_emb: int) -> None:
+    """Write the artifact after every entry — the all-pairs oracles run
+    for tens of minutes each at 10x, and a partial artifact is evidence
+    where a crashed run would leave none."""
+    out = {
+        "fixture": FIXTURE,
+        "fixture_rows": {"documents": n_docs, "embeddings": n_emb},
+        "protocol": "driver-emulation hash compare at 10x the oracle SF",
+        "results": results,
+    }
+    with open(os.path.join(ROOT, "CORRECTNESS_SCALE10X.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
