@@ -35,6 +35,7 @@ import hashlib
 import json
 import math
 import os
+import re
 import sys
 import time
 
@@ -200,10 +201,20 @@ def main() -> None:
 
     n_ok = sum(1 for r in results.values() if r.get("hash_match"))
     print(
-        f"{n_ok}/{len(results)} hash-matched -> "
-        + os.path.join(ROOT, "CORRECTNESS_SCALE10X.json"),
+        f"{n_ok}/{len(results)} hash-matched -> " + _artifact_path(),
         flush=True,
     )
+
+
+def _artifact_path() -> str:
+    """Fixture-keyed artifact name (scale10x -> CORRECTNESS_SCALE10X.json,
+    scale5x -> CORRECTNESS_SCALE5X.json, ...) so runs against different
+    fixtures don't clobber each other; tools/merge_scale_oracles.py folds
+    them into the single judged artifact."""
+    base = os.path.basename(FIXTURE.rstrip("/"))
+    m = re.search(r"scale(\d+x)", base)
+    label = (m.group(1) if m else base).upper()
+    return os.path.join(ROOT, f"CORRECTNESS_SCALE{label}.json")
 
 
 def _flush(results: dict, n_docs: int, n_emb: int) -> None:
@@ -216,7 +227,7 @@ def _flush(results: dict, n_docs: int, n_emb: int) -> None:
         "protocol": "driver-emulation hash compare at 10x the oracle SF",
         "results": results,
     }
-    with open(os.path.join(ROOT, "CORRECTNESS_SCALE10X.json"), "w") as f:
+    with open(_artifact_path(), "w") as f:
         json.dump(out, f, indent=1)
 
 
