@@ -100,6 +100,11 @@ def main():
             if not os.path.isdir(sf_dir):
                 continue
             release_caches()
+            # the listener bus is async: progress events from the
+            # PREVIOUS (label, entry)'s end-to-end run can land after
+            # this clear and pollute the next compute run's rows_in /
+            # state stats — drain the bus before clearing
+            time.sleep(2.0)
             progress_log.clear()
             # compute-only wall FIRST: the checksum foreachBatch sink
             # reduces each batch executor-side, so this wall excludes
