@@ -124,6 +124,13 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("oracle-at-scale")
+        # infrastructure sizing, not an engine conf: the default 1g
+        # driver heap OOMs on SF1-size collect results; the engine's
+        # required runtime confs still come from _configure_reader
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -189,9 +196,29 @@ def main() -> None:
             and row["rows_match"]
             and value_hash(sdf) == value_hash(odf)
         )
+        if (
+            not row["hash_match"]
+            and row["schema_match"]
+            and row["rows_match"]
+        ):
+            # The driver hash rounds floats at 2 ABSOLUTE decimals — at
+            # SF1 magnitudes (11-significant-digit double sums) that is
+            # finer than float64 order-of-summation determinism: q1's
+            # sum_charge differs by one ulp between 16- and 32-partition
+            # plans and flips the .005 boundary.  Record whether the
+            # mismatch is ulp noise (rel 1e-9) or a real wrong answer.
+            row["float_rel_match"] = _rel_match(sdf, odf)
         results[name] = row
         _flush(results, n_docs, n_emb)
-        verdict = "ok" if row["hash_match"] else "MISMATCH"
+        verdict = (
+            "ok"
+            if row["hash_match"]
+            else (
+                "ulp-noise (rel match)"
+                if row.get("float_rel_match")
+                else "MISMATCH"
+            )
+        )
         print(
             f"[{i+1}/{len(names)}] {name}: {verdict} "
             f"({row['spark_rows']} vs {row['oracle_rows']} rows, "
@@ -206,15 +233,46 @@ def main() -> None:
     )
 
 
+def _rel_match(sdf, odf, rtol: float = 1e-9) -> bool:
+    """True when the only divergence is float noise: non-float columns
+    byte-equal, float columns equal within relative 1e-9 (vs the hash's
+    absolute-2dp rounding, which a single ulp can flip at SF1 sums)."""
+    import numpy as np
+
+    cols = sorted(sdf.columns)
+    try:
+        s = sdf[cols].sort_values(cols).reset_index(drop=True)
+        o = odf[cols].sort_values(cols).reset_index(drop=True)
+        for c in cols:
+            if s[c].dtype.kind == "f":
+                if not np.allclose(
+                    s[c].to_numpy(),
+                    o[c].to_numpy(),
+                    rtol=rtol,
+                    atol=1e-12,
+                    equal_nan=True,
+                ):
+                    return False
+            elif not (s[c].astype(str) == o[c].astype(str)).all():
+                return False
+        return True
+    except Exception:
+        return False
+
+
 def _artifact_path() -> str:
     """Fixture-keyed artifact name (scale10x -> CORRECTNESS_SCALE10X.json,
     scale5x -> CORRECTNESS_SCALE5X.json, ...) so runs against different
-    fixtures don't clobber each other; tools/merge_scale_oracles.py folds
-    them into the single judged artifact."""
-    base = os.path.basename(FIXTURE.rstrip("/"))
-    m = re.search(r"scale(\d+x)", base)
-    label = (m.group(1) if m else base).upper()
-    return os.path.join(ROOT, f"CORRECTNESS_SCALE{label}.json")
+    fixtures don't clobber each other.  SPARK_GRAFT_SCALE_LABEL overrides
+    the derived label (e.g. SF1 for the TPC-H run against the 10x-of-
+    sf0.1 fixture, whose basename would collide with the 10x-of-sf0.01
+    heavy-tier artifact)."""
+    label = os.environ.get("SPARK_GRAFT_SCALE_LABEL")
+    if not label:
+        base = os.path.basename(FIXTURE.rstrip("/"))
+        m = re.search(r"scale(\d+x)", base)
+        label = (m.group(1) if m else base).upper()
+    return os.path.join(ROOT, f"CORRECTNESS_SCALE{label.upper()}.json")
 
 
 def _flush(results: dict, n_docs: int, n_emb: int) -> None:
