@@ -586,15 +586,27 @@ def jaccard_verify(
         # wide enough that per-task working sets stay bounded (4x the
         # session default approximates the 128-512 band the r10 100x
         # A/B measured as flat)
-        j = j.repartition(
-            4 * int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        )
+        j = j.repartition(_static_verify_partitions(spark))
     jac = F.size(F.array_intersect("grams_a", "grams_b")) / F.size(
         F.array_union("grams_a", "grams_b")
     )
     return j.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def _static_verify_partitions(spark) -> int:
+    """Explicit partition count for the AQE-off verify fallback: 4x the
+    session shuffle partitions.  Managed platforms set the conf to
+    non-numeric values ('auto') — precisely the external-session
+    scenario the fallback guards — so parse defensively (ADVICE r11)
+    and land in the 128-512 band the r10 100x A/B measured as flat."""
+    try:
+        return 4 * int(
+            str(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        )
+    except (TypeError, ValueError):
+        return 800
 
 
 def minhash_dedup_pairs(

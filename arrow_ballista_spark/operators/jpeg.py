@@ -51,6 +51,39 @@ import struct
 import numpy as np
 
 
+_ARITH_CAP_WARNED = False
+
+
+def _arith_pixel_cap() -> int:
+    """Pixel budget for the pure-Python arithmetic decoder, from
+    SPARK_GRAFT_ARITH_JPEG_MAX_PIXELS (default 1<<20).  Parsed with a
+    warn-once-and-default fallback: a malformed value used to raise
+    ValueError at decode time, which the multimodal degrade lane
+    swallowed — silently degrading every arithmetic JPEG instead of
+    surfacing the config error (ADVICE r11).  Re-read per call (cheap)
+    so tests and callers can retune at runtime.  NOTE for cluster
+    deployments: the decode runs executor-side, so the variable must be
+    set in the EXECUTOR environment (spark.executorEnv.*) — a
+    driver-only export does not reach mapInPandas workers."""
+    raw = os.environ.get("SPARK_GRAFT_ARITH_JPEG_MAX_PIXELS")
+    if raw is None:
+        return 1 << 20
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        global _ARITH_CAP_WARNED
+        if not _ARITH_CAP_WARNED:
+            _ARITH_CAP_WARNED = True
+            import warnings
+
+            warnings.warn(
+                "SPARK_GRAFT_ARITH_JPEG_MAX_PIXELS=%r is not an int; "
+                "using the 1<<20 default" % (raw,),
+                stacklevel=2,
+            )
+        return 1 << 20
+
+
 def _zigzag_order() -> list[int]:
     """k-th entry = linear (row*8+col) position of the k-th coefficient
     in zigzag scan order (T.81 Figure 5) — generated, not typed."""
@@ -1592,9 +1625,7 @@ def _decode_arith_scan(blob, start, frame, scan, qt, dac, dri):
         raise NotImplementedError(
             "restart markers with arithmetic coding not supported"
         )
-    arith_cap = int(
-        os.environ.get("SPARK_GRAFT_ARITH_JPEG_MAX_PIXELS", 1 << 20)
-    )
+    arith_cap = _arith_pixel_cap()
     if w * h > arith_cap:
         # tighter work bound than the general 1<<26 pixel cap: the QM
         # coder never rejects garbage (every bit sequence decodes), so

@@ -21,6 +21,13 @@ The reference has no multimodal surface; this is a north-star extension
   partitioning, UDF signature, batch shape, 1→N frame explosion) stays
   testable end-to-end regardless.
 
+Decode contract note (r11): IEEE-float WAVs whose peak amplitude
+exceeds 64x full scale (+36 dBFS) are REJECTED to the degrade lane
+rather than clamped — a deliberate contract change from pre-r11
+behavior, since every observed >64x payload was fuzz garbage, not
+audio; legitimate hot-mastered or gain-staged floats sit well under
+the threshold (``decode_wav``).
+
 Scale notes: feature extraction is map-only (zero shuffle); frame
 sampling multiplies rows ~n_bytes/frame_size so it repartitions after
 explode when downstream aggregates; blobs stay in the executor — nothing

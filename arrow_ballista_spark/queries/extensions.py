@@ -1420,6 +1420,65 @@ def ext_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_stream_session_counts_closed",
+    """
+WITH gaps AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+), islands AS (
+    SELECT user_id, ts,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+    FROM gaps
+), sess AS (
+    SELECT MIN(ts) AS sess_start,
+           MAX(ts) + INTERVAL '30 minutes' AS sess_end,
+           user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM islands
+    GROUP BY user_id, sid
+)
+SELECT sess_start, sess_end, user_id, n_events
+FROM sess
+WHERE sess_end <= (SELECT date_trunc('milliseconds', MAX(ts))
+                   FROM events) - INTERVAL '2 hours'
+""",
+    doc=(
+        "the BOUNDED-STATE session operator: same gap-based session "
+        "windows as ext_stream_session_counts but in APPEND mode — a "
+        "session is emitted exactly once when the 2h watermark passes "
+        "its end, and its state row is evicted, so state holds only "
+        "OPEN sessions inside the watermark horizon instead of every "
+        "session ever (the 100 TB configuration; complete mode's state "
+        "equals the full session keyspace — SCALING.md r10/r11).  "
+        "Oracle is the batch gaps-and-islands SQL restricted to "
+        "watermark-closed sessions (sess_end <= max event time, "
+        "ms-truncated as Spark's event-time stats are, minus the 2h "
+        "delay); sessions still open at end-of-input are intentionally "
+        "absent — on a real continuous stream they emit when their gap "
+        "closes"
+    ),
+)
+def ext_stream_session_counts_closed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    out = streaming.run_available_now(
+        streaming.session_counts(streaming.events_stream(spark, sf_dir)),
+        "append",
+    )
+    return out.select(
+        F.col("sess_start").cast("timestamp_ntz").alias("sess_start"),
+        F.col("sess_end").cast("timestamp_ntz").alias("sess_end"),
+        "user_id",
+        "n_events",
+    )
+
+
+@query(
     "ext_stream_stateful_user_counts",
     """
 SELECT user_id, COUNT(*) AS total_events

@@ -162,6 +162,17 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
 #: tools/measure_streaming_scale.py.  Bounded: one tiny dict per batch.
 CHECKSUM_SINK_RESULTS: list[dict] = []
 
+#: In-process opt-in for the checksum measurement sink.  The env var
+#: alone used to flip the sink, so an INHERITED
+#: SPARK_GRAFT_STREAM_CHECKSUM_SINK (crashed measurement run, stale
+#: shell export) silently emptied every streaming entry's result —
+#: indistinguishable from a wrong answer in a correctness round (ADVICE
+#: r11).  Measurement harnesses must set this flag explicitly
+#: (tools/measure_streaming_scale.py does); with the env var set but the
+#: flag unset, run_available_now warns loudly and runs the normal
+#: memory-sink path.
+CHECKSUM_SINK_OPT_IN: bool = False
+
 
 def run_available_now(
     stream_df: DataFrame, output_mode: str = "complete", **options: Any
@@ -188,7 +199,21 @@ def run_available_now(
     """
     import os as _os
 
-    if _os.environ.get("SPARK_GRAFT_STREAM_CHECKSUM_SINK"):
+    if _os.environ.get("SPARK_GRAFT_STREAM_CHECKSUM_SINK") and (
+        not CHECKSUM_SINK_OPT_IN
+    ):
+        import warnings
+
+        warnings.warn(
+            "SPARK_GRAFT_STREAM_CHECKSUM_SINK is set but the in-process "
+            "opt-in (streaming.pipeline.CHECKSUM_SINK_OPT_IN) is not — "
+            "ignoring the env var and materializing results normally. "
+            "Measurement harnesses must set the flag explicitly.",
+            stacklevel=2,
+        )
+    if _os.environ.get("SPARK_GRAFT_STREAM_CHECKSUM_SINK") and (
+        CHECKSUM_SINK_OPT_IN
+    ):
         batches: list[dict] = []
 
         def _checksum_batch(bdf: DataFrame, batch_id: int) -> None:

@@ -381,17 +381,32 @@ def main() -> None:
         "families": families,
         "sf": sf,
     }
-    # Plan-independent CPU anchor (SCALING.md r10: the +5.9% r9 "drift"
-    # was a uniform host factor — fixed pure-CPU work wobbles ±6%
-    # run-to-run on this host).  Recording it beside every round's bench
-    # lets the next round normalize before flagging a regression:
-    # compare tpch_total / (pyloop_now / pyloop_then).
+    # Plan-independent CPU anchors (SCALING.md r10: the +5.9% r9 "drift"
+    # was a uniform host factor).  r11 lesson: ONE anchor is too noisy
+    # to bear the normalization — the pyloop swung 40% within a round
+    # (0.96 -> 1.35s) while every real TPC-H wall moved <8%, turning a
+    # -3.9% raw delta into a fictitious "-30% normalized improvement"
+    # (VERDICT r11 item 1).  A single-threaded Python loop sits in a
+    # different contention regime than a 32-thread JVM workload, so we
+    # now record THREE anchors spanning regimes — pyloop (per-core
+    # clock/steal), blas32 (aggregate FP throughput), spark_micro (a
+    # fixed aggregation over cached in-memory rows: the JVM regime the
+    # suite actually runs in) — and normalize by the MEDIAN of the
+    # per-anchor ratios, clamped, flagging instead of rescaling when
+    # the anchors disagree.
     try:
-        from tools.host_calibrate import blas32_once, pyloop_once
+        from tools.host_calibrate import (
+            blas32_once,
+            pyloop_once,
+            spark_micro_once,
+        )
 
         calibration = {
             "pyloop_sec": round(min(pyloop_once() for _ in range(3)), 4),
             "blas32_sec": round(min(blas32_once() for _ in range(3)), 4),
+            "spark_micro_sec": round(
+                min(spark_micro_once(spark) for _ in range(3)), 4
+            ),
         }
     except Exception:  # never let the anchor break the bench contract
         calibration = None
@@ -437,16 +452,28 @@ def main() -> None:
         detail["delta_total"] = delta_total
         out["delta_total"] = delta_total
         out["prev_round"] = prev["_round"]
-        # Anchor-normalized comparison (VERDICT r10 item 1): divide out
-        # the host factor before flagging a regression.  The r9->r10
-        # "drift" was a uniform multiplicative host slowdown (CPU steal /
-        # neighbor load) visible on byte-identical plans; the pyloop
-        # anchor is plan-independent pure-CPU work, so
-        # total / (pyloop_now / pyloop_prev) is the host-corrected
-        # number.  Regression is flagged on the NORMALIZED delta only.
+        # Anchor-normalized comparison (VERDICT r10 item 1, hardened per
+        # r11 item 1): host_ratio is the MEDIAN of the per-anchor ratios
+        # across every anchor both rounds recorded, clamped to
+        # [0.8, 1.25].  When the anchors themselves disagree by >25%
+        # (max/min ratio), the host moved non-uniformly across regimes
+        # and no single scalar corrects a JVM workload — we FLAG instead
+        # of rescaling (ratio pinned to 1.0, anchors_disagree=true) so a
+        # noisy anchor can never again manufacture a ±30% phantom swing.
         prev_cal = _load_prev_calibration(repo_dir, prev["_round"])
-        if calibration and prev_cal and prev_cal.get("pyloop_sec"):
-            ratio = calibration["pyloop_sec"] / prev_cal["pyloop_sec"]
+        anchor_ratios = {
+            k: round(calibration[k] / prev_cal[k], 4)
+            for k in ("pyloop_sec", "blas32_sec", "spark_micro_sec")
+            if calibration and prev_cal
+            and calibration.get(k) and prev_cal.get(k)
+        }
+        if anchor_ratios:
+            rvals = sorted(anchor_ratios.values())
+            disagree = bool(rvals[-1] / rvals[0] > 1.25)
+            if disagree:
+                ratio = 1.0
+            else:
+                ratio = min(max(statistics.median(rvals), 0.8), 1.25)
             prev_total = round(
                 sum(
                     v for k, v in prev_q.items() if k.startswith("tpch_")
@@ -455,8 +482,13 @@ def main() -> None:
             )
             norm_total = round(total / ratio, 3)
             norm = {
-                "pyloop_prev": prev_cal["pyloop_sec"],
-                "pyloop_now": calibration["pyloop_sec"],
+                "anchors_prev": {
+                    k: prev_cal.get(k)
+                    for k in ("pyloop_sec", "blas32_sec", "spark_micro_sec")
+                },
+                "anchors_now": calibration,
+                "anchor_ratios": anchor_ratios,
+                "anchors_disagree": disagree,
                 "host_ratio": round(ratio, 4),
                 "tpch_total_raw": total,
                 "tpch_total_normalized": norm_total,
@@ -472,6 +504,8 @@ def main() -> None:
             detail["normalized_vs_prev"] = norm
             out["tpch_total_normalized"] = norm_total
             out["host_ratio"] = norm["host_ratio"]
+            if disagree:
+                out["anchors_disagree"] = True
 
     detail_path = os.path.join(
         repo_dir, f"BENCH_DETAIL_r{_next_round(repo_dir)}.json"

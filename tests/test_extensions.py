@@ -1335,6 +1335,23 @@ def test_jaccard_verify_aqe_off_falls_back_to_wide_repartition(spark):
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
+def test_static_verify_partitions_tolerates_non_numeric_conf():
+    """ADVICE r11: managed Spark platforms set
+    spark.sql.shuffle.partitions to non-numeric values ('auto'); the
+    AQE-off fallback must not raise ValueError on them — it lands in
+    the measured 128-512 band instead."""
+    from types import SimpleNamespace
+
+    def fake(value):
+        return SimpleNamespace(
+            conf=SimpleNamespace(get=lambda *_a, **_k: value)
+        )
+
+    assert dedup._static_verify_partitions(fake("auto")) == 800
+    assert dedup._static_verify_partitions(fake(None)) == 800
+    assert dedup._static_verify_partitions(fake("64")) == 256
+
+
 def test_pq_encode_matches_numpy(spark):
     """pq_encode must agree with a direct numpy recomputation: md5-ordered
     codebook sample, per-subspace argmin (smallest-code ties), summed

@@ -238,11 +238,26 @@ def test_checksum_sink_matches_memory_sink_checksum(spark, tmp_path):
         "count(1) AS n", "bit_xor(xxhash64(struct(*))) AS cs"
     ).collect()[0]
 
-    st.CHECKSUM_SINK_RESULTS.clear()
+    # env var WITHOUT the in-process opt-in: warn + normal results (a
+    # leaked export must not silently empty streaming results — ADVICE
+    # r11)
+    import warnings
+
     os.environ["SPARK_GRAFT_STREAM_CHECKSUM_SINK"] = "1"
     try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            guarded = st.run_available_now(agg_stream(), "complete")
+        assert guarded.count() == 7
+        assert any(
+            "CHECKSUM_SINK" in str(w.message) for w in caught
+        )
+
+        st.CHECKSUM_SINK_RESULTS.clear()
+        st.CHECKSUM_SINK_OPT_IN = True
         out = st.run_available_now(agg_stream(), "complete")
     finally:
+        st.CHECKSUM_SINK_OPT_IN = False
         del os.environ["SPARK_GRAFT_STREAM_CHECKSUM_SINK"]
     assert out.count() == 0
     assert out.schema == mem.schema

@@ -58,6 +58,36 @@ def blas32_once(dim: int = 2048) -> float:
     return time.monotonic() - t0
 
 
+def spark_micro_once(spark, rows: int = 4_000_000) -> float:
+    """Fixed aggregation over cached in-memory rows — the anchor in the
+    SAME regime as the benched suite (multi-threaded JVM whole-stage
+    codegen), which pyloop/blas32 are not: r11's pyloop swung 40% within
+    one round while every real TPC-H wall moved <8% (VERDICT r11 item 1).
+    The input is cached on first call (materialization excluded from the
+    timing), so repeated calls time pure JVM aggregation throughput."""
+    global _SPARK_MICRO_DF
+    if _SPARK_MICRO_DF is None or _SPARK_MICRO_DF.sparkSession is not spark:
+        df = spark.range(rows).selectExpr(
+            "id % 9973 AS k", "CAST(id AS DOUBLE) * 1.0001 AS v"
+        )
+        df = df.cache()
+        df.count()  # materialize outside the timed region
+        _SPARK_MICRO_DF = df
+    t0 = time.monotonic()
+    r = (
+        _SPARK_MICRO_DF.groupBy("k")
+        .agg({"v": "sum"})
+        .agg({"sum(v)": "sum"})
+        .collect()
+    )
+    if float(r[0][0]) < 0:
+        print(r)
+    return time.monotonic() - t0
+
+
+_SPARK_MICRO_DF = None
+
+
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     py = [pyloop_once() for _ in range(reps)]

@@ -80,11 +80,26 @@ SELECT o_orderkey + {{i}} * {{o}} AS o_orderkey,
        o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
 FROM read_parquet('{SRC}/orders.parquet')""")
 
+# q11-aware replication (VERDICT r11 item 3): uniform key-offset
+# replication multiplies the q11 national total by R while every
+# per-key sum stays constant, so `value > 0.001 * total` excludes
+# everything and the SF-scale witness was agreement-on-empty.  Boost
+# replica 0's l_extendedprice by 20*R on the sparse deterministic key
+# set l_partkey % 997 = 0 (~0.1% of keys): the pass condition becomes
+# 20*m > 1 + 20*s (m = key's original value/threshold margin, s = the
+# boosted keys' value share) — independent of R — so ~10 keys qualify
+# at any replication factor and the filter is witnessed non-trivially.
+# (Source-column binding: DuckDB resolves `l_partkey` in the CASE to
+# the table column, not the offset alias — verified.)
 build("lineitem", f"""
 SELECT l_orderkey + {{i}} * {{o}} AS l_orderkey,
        l_partkey + {{i}} * {{p}} AS l_partkey,
        l_suppkey + {{i}} * {{s}} AS l_suppkey,
-       l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+       l_linenumber, l_quantity,
+       l_extendedprice * (CASE WHEN {{i}} = 0 AND l_partkey % 997 = 0
+                               THEN {20 * R} ELSE 1 END)
+         AS l_extendedprice,
+       l_discount, l_tax,
        l_returnflag, l_linestatus, l_shipdate
 FROM read_parquet('{SRC}/lineitem.parquet')""")
 

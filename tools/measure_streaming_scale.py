@@ -38,6 +38,7 @@ if ROOT not in sys.path:
 QUERIES = sys.argv[1:] or [
     "ext_stream_tumbling_counts",
     "ext_stream_session_counts",
+    "ext_stream_session_counts_closed",
     "ext_stream_stateful_user_counts",
     "ext_stream_dedup",
     "ext_stream_stream_join",
@@ -93,6 +94,32 @@ def main():
 
     spark.streams.addListener(Capture())
     reg = load_all()
+    # in-process opt-in for the checksum sink: the env var alone no
+    # longer flips it (a leaked export must not silently empty results
+    # in a correctness round — ADVICE r11)
+    from arrow_ballista_spark.streaming import pipeline as _pipeline
+
+    _pipeline.CHECKSUM_SINK_OPT_IN = True
+    # One discarded warmup run before any timed sample: the FIRST
+    # applyInPandasWithState execution of the session pays python-worker
+    # pool spin-up that the r11 table recorded inside sec_compute
+    # (stateful_user_counts 91.8s compute vs 25.1s total — VERDICT r11
+    # what's-wrong 4).  Warm at the smallest fixture so the column means
+    # streaming compute, not worker cold-start.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for warm_name in (
+            "ext_stream_stateful_user_counts",
+            "ext_stream_session_counts",
+        ):
+            if warm_name in reg:
+                try:
+                    reg[warm_name].spark(spark, warm_dir).count()
+                except Exception as e:  # noqa: BLE001 — warmup only
+                    print(f"# warmup {warm_name}: {e}"[:200], flush=True)
+        release_caches()
+        time.sleep(2.0)
+        progress_log.clear()
     rows = []
     for name in QUERIES:
         rec = {"query": name}
