@@ -461,19 +461,8 @@ def main() -> None:
         # of rescaling (ratio pinned to 1.0, anchors_disagree=true) so a
         # noisy anchor can never again manufacture a ±30% phantom swing.
         prev_cal = _load_prev_calibration(repo_dir, prev["_round"])
-        anchor_ratios = {
-            k: round(calibration[k] / prev_cal[k], 4)
-            for k in ("pyloop_sec", "blas32_sec", "spark_micro_sec")
-            if calibration and prev_cal
-            and calibration.get(k) and prev_cal.get(k)
-        }
+        anchor_ratios, ratio, disagree = _host_ratio(calibration, prev_cal)
         if anchor_ratios:
-            rvals = sorted(anchor_ratios.values())
-            disagree = bool(rvals[-1] / rvals[0] > 1.25)
-            if disagree:
-                ratio = 1.0
-            else:
-                ratio = min(max(statistics.median(rvals), 0.8), 1.25)
             prev_total = round(
                 sum(
                     v for k, v in prev_q.items() if k.startswith("tpch_")
@@ -518,6 +507,36 @@ def main() -> None:
         pass  # read-only checkout: the stdout summary still stands alone
 
     print(summary_line(out, times))
+
+
+def _host_ratio(
+    calibration: dict | None, prev_cal: dict | None
+) -> tuple[dict, float, bool]:
+    """(per-anchor ratios, clamped-median host ratio, disagree flag).
+
+    Ratio = median of now/prev over every anchor both rounds recorded,
+    clamped to [0.8, 1.25].  When the anchors spread >25% among
+    themselves the host moved non-uniformly across regimes and no
+    scalar corrects a JVM workload — ratio pins to 1.0 and the flag is
+    set so the caller FLAGS instead of rescaling (VERDICT r11 item 1:
+    a single pyloop anchor swinging 40% within a round manufactured a
+    phantom -30% normalized delta)."""
+    anchor_ratios = {
+        k: round(calibration[k] / prev_cal[k], 4)
+        for k in ("pyloop_sec", "blas32_sec", "spark_micro_sec")
+        if calibration and prev_cal
+        and calibration.get(k) and prev_cal.get(k)
+    }
+    if not anchor_ratios:
+        return {}, 1.0, False
+    rvals = sorted(anchor_ratios.values())
+    disagree = bool(rvals[-1] / rvals[0] > 1.25)
+    ratio = (
+        1.0
+        if disagree
+        else min(max(statistics.median(rvals), 0.8), 1.25)
+    )
+    return anchor_ratios, ratio, disagree
 
 
 def _next_round(repo_dir: str) -> int:

@@ -52,3 +52,34 @@ def test_checksum_variants_subset_of_bench_queries():
     paired plain/__cs samples land in the same sweep."""
     for name in bench.CHECKSUM_VARIANTS:
         assert name in bench.BENCH_QUERIES, name
+
+
+def test_host_ratio_median_clamp_and_disagree():
+    """The cross-round normalization anchor (VERDICT r11 item 1):
+    median of per-anchor ratios clamped to [0.8, 1.25]; >25% spread
+    among the anchors pins the ratio to 1.0 and sets the disagree flag
+    (flag, don't rescale)."""
+    now = {"pyloop_sec": 1.0, "blas32_sec": 0.1, "spark_micro_sec": 0.35}
+
+    # agreeing anchors: median of {1.0, 1.1, 1.0588...} is inside the
+    # clamp band
+    prev = {"pyloop_sec": 1.0, "blas32_sec": 0.0909, "spark_micro_sec": 0.33}
+    ratios, ratio, disagree = bench._host_ratio(now, prev)
+    assert set(ratios) == {"pyloop_sec", "blas32_sec", "spark_micro_sec"}
+    assert not disagree
+    assert abs(ratio - sorted(ratios.values())[1]) < 1e-9
+
+    # uniform big slowdown clamps at 1.25 instead of over-correcting
+    prev_fast = {k: v / 2 for k, v in now.items()}
+    _, ratio, disagree = bench._host_ratio(now, prev_fast)
+    assert not disagree and ratio == 1.25
+
+    # disagreeing regimes (the r11 pathology): pinned to 1.0 + flagged
+    prev_mixed = {"pyloop_sec": 0.7, "blas32_sec": 0.1, "spark_micro_sec": 0.35}
+    _, ratio, disagree = bench._host_ratio(now, prev_mixed)
+    assert disagree and ratio == 1.0
+
+    # missing anchors on either side: only the intersection is used
+    ratios, _, _ = bench._host_ratio(now, {"pyloop_sec": 1.0})
+    assert set(ratios) == {"pyloop_sec"}
+    assert bench._host_ratio(None, prev) == ({}, 1.0, False)
