@@ -170,6 +170,9 @@ def main() -> None:
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
         )
+        # O(n)-row entries (h2o manykey at 100x: ~10M result rows) bust
+        # the 1g default before the driver heap does
+        .config("spark.driver.maxResultSize", "8g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -188,7 +191,21 @@ def main() -> None:
     n_docs = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
     n_emb = con.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
 
+    # seed from an existing artifact for the SAME fixture so a partial
+    # re-run (one fixed entry) accumulates instead of clobbering the
+    # sweep's evidence; re-run entries overwrite their own row
     results: dict[str, dict] = {}
+    try:
+        with open(_artifact_path()) as f:
+            prior = json.load(f)
+        if prior.get("fixture") == FIXTURE:
+            results = {
+                k: v
+                for k, v in prior.get("results", {}).items()
+                if isinstance(v, dict)
+            }
+    except (OSError, json.JSONDecodeError):
+        pass
     names = [n for n in (only or HEAVY_ENTRIES) if n in reg]
     for i, name in enumerate(names):
         qd = reg[name]
