@@ -497,10 +497,17 @@ def ccnet_perplexity_buckets(
     Determinism contract: cross-entropy is first rounded with the
     portable half-away-from-zero floor formula (``digits`` places, the
     same macro the oracle layer uses) so BOTH engines compute cutoffs
-    over identical doubles; the interpolated tercile then either equals
-    a grid value exactly (zero-fraction case, same on both sides) or
-    falls strictly between two adjacent grid values (where a 1-ulp
-    engine difference cannot reclassify any document).
+    over identical doubles; the cutoff itself is then an exact ORDER
+    STATISTIC — the value at integer rank ceil(n/3) (resp. ceil(2n/3))
+    within each language, selected by row_number with pure integer rank
+    arithmetic — NOT an interpolated quantile.  The r11 contract relied
+    on interpolation falling strictly between grid values; the r12 SF1
+    sweep falsified that at 50k docs, where lang 'de''s interpolated
+    tercile landed within one ulp of the grid value 3.7433 and Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` interpolated to
+    opposite sides of it, flipping 30 documents' buckets.  An order
+    statistic IS a grid value, identical in both engines at every n —
+    no floating-point interpolation exists to disagree about.
 
     Returns ``(id_col, lang_col, n_transitions, cross_entropy, bucket,
     bucket_label)`` with bucket 1/2/3 = head/middle/tail.
@@ -527,10 +534,31 @@ def ccnet_perplexity_buckets(
         "n_transitions",
         cround(F.col("cross_entropy"), digits).alias("cross_entropy"),
     )
-    p1, p2 = repr(1 / 3), repr(2 / 3)
-    cuts = scored.groupBy(lang_col).agg(
-        F.expr(f"percentile(cross_entropy, {p1})").alias("_c33"),
-        F.expr(f"percentile(cross_entropy, {p2})").alias("_c66"),
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(lang_col)
+    ranked = scored.select(
+        F.col(lang_col),
+        "cross_entropy",
+        F.row_number()
+        .over(w.orderBy("cross_entropy"))
+        .alias("_rn"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+    )
+    # ceil(n/3) = (n + 2) DIV 3 — integer arithmetic end to end
+    cuts = ranked.groupBy(lang_col).agg(
+        F.max(
+            F.when(
+                F.col("_rn") == F.expr("(_n + 2) DIV 3"),
+                F.col("cross_entropy"),
+            )
+        ).alias("_c33"),
+        F.max(
+            F.when(
+                F.col("_rn") == F.expr("(_n * 2 + 2) DIV 3"),
+                F.col("cross_entropy"),
+            )
+        ).alias("_c66"),
     )
     return scored.join(F.broadcast(cuts), lang_col).select(
         F.col(id_col),

@@ -97,6 +97,11 @@ _CANARIES = [
 # (self-healing — no manual removal step; add a row with the round the
 # change lands in whenever a round modifies an existing entry).
 _EVIDENCE_RESET = {
+    # r12: tercile cutoffs moved from interpolated quantiles to exact
+    # order statistics after the 50k-doc sweep caught Spark and DuckDB
+    # interpolating to opposite sides of a grid value (new oracle text
+    # AND slightly different bucket boundaries)
+    "ext_quality_ccnet_buckets": 12,
     # r8: real numpy logistic model replaced the length stub (new oracle)
     "ext_model_score": 8,
     # r9: every codec oracle was byte-pinned (regexp_replace non-ASCII

@@ -3680,9 +3680,6 @@ def ext_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_P13, _P23 = repr(1 / 3), repr(2 / 3)
-
-
 @query(
     "ext_quality_ccnet_buckets",
     f"""
@@ -3711,10 +3708,18 @@ WITH toks AS (
   LEFT JOIN c1 ON b.lang = c1.lang AND b.w1 = c1.w1
   LEFT JOIN vocab ON b.lang = vocab.lang
   GROUP BY b.doc_id, b.lang
+), ranked AS (
+  SELECT lang, cross_entropy,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cross_entropy)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM ce
 ), cuts AS (
-  SELECT lang, quantile_cont(cross_entropy, {_P13}) AS c33,
-               quantile_cont(cross_entropy, {_P23}) AS c66
-  FROM ce GROUP BY lang
+  SELECT lang,
+         MAX(CASE WHEN rn = (n + 2) // 3 THEN cross_entropy END) AS c33,
+         MAX(CASE WHEN rn = (n * 2 + 2) // 3 THEN cross_entropy END)
+           AS c66
+  FROM ranked GROUP BY lang
 )
 SELECT ce.doc_id, ce.lang, ce.n_transitions, ce.cross_entropy,
        CASE WHEN ce.cross_entropy <= cuts.c33 THEN 1
@@ -3730,11 +3735,14 @@ FROM ce JOIN cuts ON ce.lang = cuts.lang
         "language on that language's reference slice (even doc_id), "
         "score every doc, and cut each language at its perplexity "
         "terciles; 'head' is the high-quality third used for "
-        "pretraining.  Cutoffs are computed over 4dp-rounded scores so "
-        "both engines interpolate identical doubles; an interpolated "
-        "cutoff either equals a grid value (same both sides) or falls "
-        "strictly between two (where 1-ulp engine skew cannot "
-        "reclassify a doc) — operators/text.py:ccnet_perplexity_buckets."
+        "pretraining.  Cutoffs are computed over 4dp-rounded scores and "
+        "taken as exact ORDER STATISTICS (value at integer rank "
+        "ceil(n/3), row_number + integer division on both engines) — "
+        "the r11 interpolated-quantile contract was falsified by the "
+        "r12 50k-doc sweep, where the 'de' tercile interpolated to "
+        "within one ulp of grid value 3.7433 and the engines landed on "
+        "opposite sides, flipping 30 buckets — "
+        "operators/text.py:ccnet_perplexity_buckets."
         "  Scale shape: per-language LM counts ride the lm_cross_entropy "
         "plan; cutoffs are a per-language percentile agg to k x 2 "
         "doubles broadcast back (swap exact percentile for mergeable "

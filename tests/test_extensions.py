@@ -1059,13 +1059,12 @@ def test_temperature_mixture_limits(spark):
 
 
 def test_ccnet_buckets_match_python_terciles(spark):
-    """Every bucket label equals the Python re-derivation: numpy linear
-    percentile (the same interpolation `percentile`/`quantile_cont` use)
-    over the 4dp-rounded scores, <=-cutoff labeling — exact even on
-    tie-heavy score distributions, where a balance heuristic would
-    spuriously fail."""
-    import numpy as np
-
+    """Every bucket label equals the Python re-derivation: the exact
+    order-statistic cutoff (value at integer rank ceil(n/3), r12 —
+    interpolated quantiles were falsified at 50k docs where the engines
+    interpolated to opposite sides of a grid value) over the 4dp-rounded
+    scores, <=-cutoff labeling — exact even on tie-heavy score
+    distributions, where a balance heuristic would spuriously fail."""
     from arrow_ballista_spark.operators import text as text_ops
 
     docs = load_table(spark, SF_DIR, "documents")
@@ -1080,11 +1079,10 @@ def test_ccnet_buckets_match_python_terciles(spark):
         by_lang[r["lang"]].append(r)
     label_of = {1: "head", 2: "middle", 3: "tail"}
     for lang, rows in by_lang.items():
-        scores = np.array([r["cross_entropy"] for r in rows])
-        # np.quantile with the raw fraction: percentile(100/3)/100 is a
-        # 1-ulp different p than the engine's literal 1/3
-        c33 = float(np.quantile(scores, 1 / 3, method="linear"))
-        c66 = float(np.quantile(scores, 2 / 3, method="linear"))
+        scores = sorted(r["cross_entropy"] for r in rows)
+        n = len(scores)
+        c33 = scores[(n + 2) // 3 - 1]
+        c66 = scores[(n * 2 + 2) // 3 - 1]
         for r in rows:
             want = 1 if r["cross_entropy"] <= c33 else (
                 2 if r["cross_entropy"] <= c66 else 3
