@@ -54,6 +54,7 @@ def pagerank(
     """
     from arrow_ballista_spark.operators.caching import (
         reliable_checkpoint,
+        tracked_local_checkpoint,
         tracked_persist,
     )
 
@@ -66,17 +67,40 @@ def pagerank(
         ).limit(0)
     from arrow_ballista_spark.operators.memguard import spill_safe_side
 
-    # tracked persists: every iteration re-references the edge list and
-    # degrees — without them an expensive upstream edge generator (e.g.
-    # the LSH dedup pipeline) re-runs once per iteration per reference
-    # (measured 45s -> 7s at sf0.01).  Released via release_caches().
-    # spill_safe_side: under a constrained local heap the small rank/
-    # degree frames auto-broadcast and the non-spillable build OOMs
-    # (the 1500m sweep, SCALING.md) — hint sort-merge there instead.
-    edges = spill_safe_side(tracked_persist(edges))
-    deg = spill_safe_side(
+    # tracked persists: every iteration re-references the edge list —
+    # without them an expensive upstream edge generator (e.g. the LSH
+    # dedup pipeline) re-runs once per iteration per reference (measured
+    # 45s -> 7s at sf0.01).  Released via release_caches().
+    # The out-degree is attached to the edge list ONCE here (r12
+    # optimization): the old shape computed a separate ``deg`` aggregate
+    # and re-joined it inside every iteration — iters extra keyed joins
+    # of the full edge list.  A count window partitioned by src needs
+    # exactly one shuffle+sort of the edges and no join at all, and the
+    # persisted frame then carries (src, dst, deg) into every iteration.
+    # r/deg per edge and the per-dst SUM are unchanged, so ranks are
+    # identical.
+    # spill_safe_side: under a constrained local heap the small rank
+    # frames auto-broadcast and the non-spillable build OOMs (the 1500m
+    # sweep, SCALING.md) — hint sort-merge there instead.
+    from pyspark.sql import Window as _W
+
+    # localCheckpoint BEFORE the window: an expensive upstream edge
+    # generator (the LSH dedup pipeline) otherwise rides along as
+    # LINEAGE of the persisted frame, and every iteration's reference
+    # re-plants that whole subtree in the final plan — the pagerank
+    # entry's pre-r12 plan was 1,417 lines / 149 Exchange nodes of
+    # mostly-duplicated LSH lineage that Catalyst re-analyzed on every
+    # plan build (execution already hit the cache; the cost was driver
+    # planning).  The checkpoint truncates lineage to a flat RDD scan;
+    # the window's hash partitioning by src is preserved by the persist
+    # on top for the per-iteration join.
+    edges = tracked_local_checkpoint(edges.select("src", "dst"))
+    edges = spill_safe_side(
         tracked_persist(
-            edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+            edges.withColumn(
+                "deg",
+                F.count(F.lit(1)).over(_W.partitionBy("src")),
+            )
         )
     )
     base = float((1.0 - d) / n)
@@ -87,7 +111,6 @@ def pagerank(
         ranks = spill_safe_side(ranks)
         contrib = (
             edges.join(ranks, edges.src == ranks.v)
-            .join(deg, "src")
             .groupBy("dst")
             .agg(F.sum(F.col("r") / F.col("deg")).alias("contrib"))
         )
@@ -181,13 +204,18 @@ def triangle_counts(
             )
             .select("o.u", "o.v")
         )
-    from arrow_ballista_spark.operators.caching import tracked_persist
+    from arrow_ballista_spark.operators.caching import (
+        tracked_local_checkpoint,
+    )
 
-    op = tracked_persist(o)
-    # materialize EAGERLY: three wedge-join branches read this inside one
-    # action and a lazy persist lets them race, each recomputing the
-    # upstream pipeline (the r6 triangle lesson, 33s vs 6s at 10x)
-    op.count()
+    # eager localCheckpoint: materializes the oriented edges before the
+    # three wedge-join branches read them (the r6 persist-race lesson,
+    # 33s vs 6s at 10x — previously persist + count()) AND truncates
+    # lineage, so the branches reference a flat RDD scan instead of each
+    # re-planting the whole upstream pipeline: the triangles entry's
+    # pre-r12 final plan was 8,982 lines / 1,039 Exchange nodes of
+    # triplicated LSH lineage that Catalyst re-analyzed per plan build.
+    op = tracked_local_checkpoint(o)
     op = spill_safe_side(op)
     ab = op.select(F.col("u").alias("a"), F.col("v").alias("b"))
     ac = op.select(F.col("u").alias("a"), F.col("v").alias("c"))

@@ -525,14 +525,22 @@ def ccnet_perplexity_buckets(
     from arrow_ballista_spark.queries import cround
 
     # lm_cross_entropy's grouped form returns the group key, so lang
-    # rides the scoring plan — no re-join of the corpus to recover it
-    scored = lm_cross_entropy(
-        df, text_col, id_col, is_train, group_col=lang_col
-    ).select(
-        F.col(id_col),
-        F.col(lang_col),
-        "n_transitions",
-        cround(F.col("cross_entropy"), digits).alias("cross_entropy"),
+    # rides the scoring plan — no re-join of the corpus to recover it.
+    # tracked persist (r12): the scored frame feeds BOTH the tercile
+    # cutoff aggregation and the final bucket labeling join — without it
+    # the whole bigram-LM scoring pipeline (two keyed aggs + broadcast
+    # count tables) executes twice per invocation.
+    from arrow_ballista_spark.operators.caching import tracked_persist
+
+    scored = tracked_persist(
+        lm_cross_entropy(
+            df, text_col, id_col, is_train, group_col=lang_col
+        ).select(
+            F.col(id_col),
+            F.col(lang_col),
+            "n_transitions",
+            cround(F.col("cross_entropy"), digits).alias("cross_entropy"),
+        )
     )
     from pyspark.sql import Window
 

@@ -3037,6 +3037,25 @@ def ext_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _whiten_dim_raw(mean, W, j: int, base: int) -> str:
+    """The UNROUNDED whitened coordinate ``sum_i W[j][i] * (v[i] -
+    mean[i])`` as a portable left-to-right ``+`` chain over array column
+    ``v`` — see :func:`_whiten_dim_expr` for the literal/portability
+    contract.  Split out (r12) so the Spark side can evaluate the
+    ~512-term chain ONCE per (row, dim) and apply the R rounding macro
+    to the materialized sum: ``R(expr)`` textually embeds ``expr`` three
+    times (abs, floor input, sign test), which tripled both the
+    expression-tree size Catalyst plans and the per-row evaluation work
+    when the chain is inlined."""
+    return " + ".join(
+        # float() first: plain-python repr round-trips the exact bits in
+        # both engines (numpy>=2 scalar repr would emit 'np.float64(..)')
+        f"CAST('{float(W[j][i])!r}' AS DOUBLE)"
+        f" * (v[{i + base}] - CAST('{float(mean[i])!r}' AS DOUBLE))"
+        for i in range(len(mean))
+    )
+
+
 def _whiten_dim_expr(mean, W, j: int, base: int) -> str:
     """One whitened coordinate as portable SQL over array column ``v``:
     ``R(sum_i W[j][i] * (v[i] - mean[i]), 6)``.  The sum is an explicit
@@ -3045,14 +3064,47 @@ def _whiten_dim_expr(mean, W, j: int, base: int) -> str:
     would otherwise type bare decimals as DECIMAL), so Spark and DuckDB
     evaluate bit-identical doubles.  ``base``: Spark arrays index from 0,
     DuckDB lists from 1."""
-    terms = " + ".join(
-        # float() first: plain-python repr round-trips the exact bits in
-        # both engines (numpy>=2 scalar repr would emit 'np.float64(..)')
-        f"CAST('{float(W[j][i])!r}' AS DOUBLE)"
-        f" * (v[{i + base}] - CAST('{float(mean[i])!r}' AS DOUBLE))"
-        for i in range(len(mean))
+    return R(_whiten_dim_raw(mean, W, j, base), 6)
+
+
+def _whitened_embeddings(spark, sf_dir: str):
+    """The tracked-persisted whitened frame ``(vec_id, embedding)`` both
+    whitened entries (and the bench ``__scaledk`` variant) cluster over.
+
+    r12 shape: the persisted frame holds the RAW projection sums (each
+    ~512-term literal chain evaluated once per row), and the 6dp R
+    rounding — a handful of arithmetic ops per value, exactly the macro
+    DuckDB runs on the identical raw double — is a cheap projection ON
+    TOP of the cache.  The previous shape inlined each chain into the R
+    macro (3 textual copies -> ~12k-term expressions): 3x the
+    materialization work and an expression tree Catalyst re-traversed on
+    every downstream plan.  Values are bit-identical: the raw sum is the
+    same left-to-right chain, and floor/abs/sign on a materialized
+    double equal the inline evaluation."""
+    from arrow_ballista_spark.operators.caching import tracked_persist
+    from arrow_ballista_spark.operators.pca import whitening_literals
+
+    mean, W = whitening_literals(sf_dir, k=_WHITEN_K)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
     )
-    return R(terms, 6)
+    raw = tracked_persist(
+        emb.select(
+            "vec_id",
+            F.array(
+                *[
+                    F.expr(_whiten_dim_raw(mean, W, j, base=0))
+                    for j in range(_WHITEN_K)
+                ]
+            ).alias("_raw"),
+        )
+    )
+    return raw.select(
+        "vec_id",
+        F.array(
+            *[F.expr(R(f"_raw[{j}]", 6)) for j in range(_WHITEN_K)]
+        ).alias("embedding"),
+    )
 
 
 _WHITEN_K = 8
@@ -3155,29 +3207,10 @@ WHERE {_sql_cosine("ea.v", "eb.v")} >= {_WHITEN_TAU}
 )
 def ext_dedup_semantic_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrow_ballista_spark.operators.kmeans import semantic_dedup_pairs
-    from arrow_ballista_spark.operators.pca import whitening_literals
 
-    mean, W = whitening_literals(sf_dir, k=_WHITEN_K)
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
-    )
-    from arrow_ballista_spark.operators.caching import tracked_persist
-
-    # persist the whitened frame: the projection is a ~12k-term codegen
-    # expression (512 literal terms x 3 R-macro repeats x 8 dims) and the
-    # Lloyd iterations below scan their input several times — without the
-    # persist every scan re-evaluates it (16.9s -> ~8s at sf0.1 bench)
-    white = tracked_persist(
-        emb.select(
-            "vec_id",
-            F.array(
-                *[
-                    F.expr(_whiten_dim_expr(mean, W, j, base=0))
-                    for j in range(_WHITEN_K)
-                ]
-            ).alias("embedding"),
-        )
-    )
+    # raw projection sums persisted once, 6dp rounding projected on top
+    # (see _whitened_embeddings — r12: chain evaluated 1x, not 3x)
+    white = _whitened_embeddings(spark, sf_dir)
     out = semantic_dedup_pairs(white, k=_WHITEN_K, iters=2, tau=_WHITEN_TAU)
     return out.select(
         "id_a",
@@ -3256,25 +3289,10 @@ def ext_dedup_semantic_whitened_adaptive(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from arrow_ballista_spark.operators.kmeans import semantic_dedup_pairs
-    from arrow_ballista_spark.operators.pca import whitening_literals
 
-    mean, W = whitening_literals(sf_dir, k=_WHITEN_K)
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
-    )
-    from arrow_ballista_spark.operators.caching import tracked_persist
-
-    white = tracked_persist(
-        emb.select(
-            "vec_id",
-            F.array(
-                *[
-                    F.expr(_whiten_dim_expr(mean, W, j, base=0))
-                    for j in range(_WHITEN_K)
-                ]
-            ).alias("embedding"),
-        )
-    )
+    # raw projection sums persisted once, 6dp rounding projected on top
+    # (see _whitened_embeddings — r12: chain evaluated 1x, not 3x)
+    white = _whitened_embeddings(spark, sf_dir)
     # k=None: the library's adaptive default — THE config under test
     out = semantic_dedup_pairs(white, k=None, iters=2, tau=_WHITEN_TAU)
     return out.select(
@@ -3998,12 +4016,20 @@ FROM est e JOIN exact x ON e.term = x.term
 )
 def ext_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrow_ballista_spark.operators import sketch as sk
+    from arrow_ballista_spark.operators.caching import tracked_persist
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         F.explode(F.expr("split(text, ' +')")).alias("w")
     )
-    cms = sk.count_min_build(tok, "w", width=_CMS_W, depth=_CMS_D)
+    # tracked persist (r12): the bounded sketch feeds BOTH the estimate
+    # join and count_min_estimate's parameter-drift guard (a collect) —
+    # without it the full corpus tokenize+explode+groupBy ran once per
+    # consumer (the r12 profile showed the token stream computed 3x:
+    # twice via the sketch, once for the exact-count side)
+    cms = tracked_persist(
+        sk.count_min_build(tok, "w", width=_CMS_W, depth=_CMS_D)
+    )
     probes = spark.createDataFrame(
         [(t,) for t in _CMS_PROBES], "term string"
     )

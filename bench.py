@@ -166,32 +166,13 @@ def _whitened_scaledk(spark, sf_dir):
 
     from pyspark.sql import functions as F
 
-    from arrow_ballista_spark.catalog import load_table
-    from arrow_ballista_spark.operators.caching import tracked_persist
     from arrow_ballista_spark.operators.kmeans import semantic_dedup_pairs
-    from arrow_ballista_spark.operators.pca import whitening_literals
     from arrow_ballista_spark.queries.extensions import (
-        _whiten_dim_expr,
-        _WHITEN_K,
+        _whitened_embeddings,
         _WHITEN_TAU,
     )
 
-    mean, W = whitening_literals(sf_dir, k=_WHITEN_K)
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id"),
-        F.col("embedding").cast("array<double>").alias("v"),
-    )
-    white = tracked_persist(
-        emb.select(
-            "vec_id",
-            F.array(
-                *[
-                    F.expr(_whiten_dim_expr(mean, W, j, base=0))
-                    for j in range(_WHITEN_K)
-                ]
-            ).alias("embedding"),
-        )
-    )
+    white = _whitened_embeddings(spark, sf_dir)
     k = max(8, int(math.sqrt(white.count())))
     out = semantic_dedup_pairs(
         white, k=k, iters=2, tau=_WHITEN_TAU, vectorized=True
