@@ -42,6 +42,95 @@ def _sqdist(vec: str, cent: str) -> F.Column:
     )
 
 
+# r12: below this many k*dim distance terms the exact kernel embeds the
+# centroids as literal expression chains (map-only assignment, driver-side
+# centroid state — no crossJoin/groupBy shuffle per iteration).  Above it
+# the unrolled expression tree puts Catalyst parse/codegen on the
+# critical path and the broadcast-fold shape wins (same-host A/B at
+# sf0.1: dim-8 whitened entries −0.8..−1.0 s with literals; dim-64
+# entries +1.3..+5.1 s — the cutoff sits between 352 and 512 terms).
+_LITERAL_TERMS_MAX = 384
+
+
+def _dlit(x: float) -> str:
+    """repr round-trips the exact float64 bits; CAST keeps Spark typing
+    it DOUBLE (the literal-W / IVF-centroid portability contract)."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _collect_centroids(e: DataFrame, k: int, id_col: str):
+    """Deterministic seed: the k smallest-id points (TakeOrdered — k
+    rows to the driver, the bounded IVF-centroid pattern).  Returns
+    ``[(cid, [floats...]), ...]`` with cid = 0-based rank."""
+    rows = e.orderBy(id_col).limit(k).collect()
+    return [(i, list(r["v"])) for i, r in enumerate(rows)]
+
+
+def _assign_literal(e: DataFrame, cent_rows, id_col: str) -> DataFrame:
+    """Map-only nearest-centroid assignment with the centroids embedded
+    as exact literals: per centroid an explicit left-to-right squared-L2
+    chain (identical summation order and float64 values as the
+    ``aggregate(sequence(...))`` fold over a broadcast centroid column),
+    argmin by ``array_min`` over (dist, cid) structs — the same
+    (dist, cid) lexicographic tie-break as ``min_by``.  Returns
+    ``(id_col, v, cluster)`` — the vector rides along so downstream
+    stages need no re-join of assignments against the point set."""
+    structs = []
+    for cid, cent in cent_rows:
+        chain = " + ".join(
+            f"(v[{i}] - {_dlit(c)}) * (v[{i}] - {_dlit(c)})"
+            for i, c in enumerate(cent)
+        )
+        structs.append(
+            f"struct((CAST(0.0 AS DOUBLE) + {chain}) AS dist, "
+            f"CAST({cid} AS BIGINT) AS cid)"
+        )
+    argmin = f"array_min(array({', '.join(structs)})).cid"
+    return e.select(
+        F.col(id_col), F.col("v"), F.expr(argmin).alias("cluster")
+    )
+
+
+def _lloyd_literal(
+    e: DataFrame, cent_rows, iters: int, id_col: str
+) -> DataFrame:
+    """Lloyd core with driver-side centroid state (the IVF pattern):
+    every iteration's Spark plan is lineage-flat map-only assignment;
+    the update is one two-phase (cluster, dim) mean aggregation whose
+    k*dim rounded rows collect to the driver — bit-exact the same means
+    (``round(avg(val), 6)``) the in-plan update computes.  Returns the
+    final ``(id_col, v, cluster)`` assignment."""
+    assigned = None
+    for it in range(iters):
+        assigned = _assign_literal(e, cent_rows, id_col)
+        if it < iters - 1:
+            pos_rows = (
+                assigned.select(
+                    "cluster", F.posexplode("v").alias("pos", "val")
+                )
+                .groupBy("cluster", "pos")
+                .agg(F.round(F.avg("val"), 6).alias("m"))
+                .collect()
+            )
+            by_cid: dict = {}
+            for r in pos_rows:
+                by_cid.setdefault(int(r["cluster"]), {})[int(r["pos"])] = (
+                    float(r["m"])
+                )
+            cent_rows = [
+                (cid, [dims[p] for p in sorted(dims)])
+                for cid, dims in sorted(by_cid.items())
+            ]
+    return assigned
+
+
+def _literal_dim(e: DataFrame) -> int:
+    """Vector length from one row (a bounded head(1) action) — sizes the
+    literal-vs-fold kernel decision."""
+    head = e.select("v").head(1)
+    return len(head[0]["v"]) if head and head[0]["v"] is not None else 0
+
+
 def kmeans_assign(
     embeddings: DataFrame,
     k: int = 8,
@@ -66,7 +155,11 @@ def kmeans_assign(
     - ``vectorized=False`` (default, the oracle path): JVM higher-order
       fold, bit-exact against the generated DuckDB SQL.  The fold is
       interpreted, so its constant is high — fine up to n*k ~ 10^7
-      distance evaluations.
+      distance evaluations.  When ``k * dim <= _LITERAL_TERMS_MAX`` the
+      same exact arithmetic instead runs as a literal-centroid unrolled
+      chain (map-only, no crossJoin/groupBy shuffle per iteration,
+      driver-side centroid state) — bit-identical values, measured
+      faster below the cutoff and slower above it (r12 A/B).
     - ``vectorized=True`` (the SCALE path): Arrow-batched ``mapInPandas``
       with one numpy matmul per batch against the broadcast centroid
       matrix — measured ~50x faster per distance at n*k ~ 10^8
@@ -79,6 +172,16 @@ def kmeans_assign(
     e = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
+    # r12: small k*dim exact runs take the literal kernel (map-only, no
+    # crossJoin/groupBy shuffle per iteration, flat lineage) — values
+    # bit-identical to the fold (same summation order, repr-round-tripped
+    # float64 literals, same (dist, cid) tie-break); see _LITERAL_TERMS_MAX
+    if not vectorized and k * _literal_dim(e) <= _LITERAL_TERMS_MAX:
+        cent_rows = _collect_centroids(e, k, id_col)
+        if cent_rows:
+            return _lloyd_literal(e, cent_rows, iters, id_col).select(
+                id_col, "cluster"
+            )
     # deterministic seed: the k smallest-id points (TakeOrdered, k rows)
     w = Window.orderBy(id_col)
     cents = (
@@ -215,6 +318,34 @@ def semantic_dedup_pairs(
         # per-cluster quadratic stays O(n^1.5) total; callers that need
         # a value-pinned k (the oracle entries) pass it explicitly
         k = adaptive_cluster_count(embeddings.count())
+    if not vectorized:
+        e0 = embeddings.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        if k * _literal_dim(e0) <= _LITERAL_TERMS_MAX:
+            cent_rows = _collect_centroids(e0, k, id_col)
+            if cent_rows:
+                # literal kernel: the assignment already carries the
+                # vector, so no re-join of (id, cluster) against the
+                # point set (one full point-set shuffle join saved);
+                # eager tracked localCheckpoint materializes the Lloyd
+                # result once for both sides of the cluster self-join
+                # AND truncates the (literal-heavy) assignment lineage
+                # to a flat RDD scan (release via release_caches()).
+                from arrow_ballista_spark.operators.caching import (
+                    tracked_local_checkpoint,
+                )
+
+                assigned = _lloyd_literal(e0, cent_rows, iters, id_col)
+                e = tracked_local_checkpoint(
+                    assigned.select(
+                        F.col(id_col),
+                        "cluster",
+                        F.col("v").alias("vec"),
+                        norm(F.col("v")).alias("nrm"),
+                    )
+                )
+                return _pairs_exact(e, tau, id_col)
     assign = kmeans_assign(
         embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
         vectorized=vectorized,
@@ -234,6 +365,14 @@ def semantic_dedup_pairs(
             norm(F.col("vec")).alias("nrm"),
         )
     )
+    return _pairs_exact(e, tau, id_col)
+
+
+def _pairs_exact(e: DataFrame, tau: float, id_col: str) -> DataFrame:
+    """Per-cluster exact pairwise cosine over a materialized
+    ``(id, cluster, vec, nrm)`` frame (see semantic_dedup_pairs)."""
+    from arrow_ballista_spark.operators.similarity import cosine_with_norms
+
     a = e.select(
         F.col(id_col).alias("id_a"),
         F.col("cluster"),

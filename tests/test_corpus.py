@@ -176,14 +176,24 @@ def test_canonical_dedup_shuffle_path_matches_broadcast(spark):
 
 
 def test_kmeans_assignment_broadcasts_centroids(spark):
-    """The Lloyd assignment stage must broadcast the k centroids (map-only
-    scan of the points) — never shuffle the point set against them."""
+    """The Lloyd assignment stage must be map-only over the point scan —
+    never shuffle the point set against the centroids.  r12 gate, pinned
+    from both sides: below _LITERAL_TERMS_MAX distance terms the
+    centroids are bounded driver state embedded as exact literals (NO
+    join and NO exchange at all); above it the k centroids broadcast
+    into the fold kernel (broadcast join, still no point shuffle)."""
     from arrow_ballista_spark.operators.kmeans import kmeans_assign
 
     emb = load_table(spark, SF_DIR, "embeddings")
+    # k=4 x dim 64 = 256 terms <= 384: literal kernel, fully map-only
     plan = explain.explain_str(kmeans_assign(emb, k=4, iters=2), "simple")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    # k=8 x dim 64 = 512 terms > 384: broadcast-fold kernel
+    plan8 = explain.explain_str(kmeans_assign(emb, k=8, iters=2), "simple")
+    assert "BroadcastNestedLoopJoin" in plan8 or "BroadcastExchange" in plan8
+    assert "CartesianProduct" not in plan8
 
 
 def test_merge_upsert_and_snapshot_diff_semantics(spark):
