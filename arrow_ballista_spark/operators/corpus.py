@@ -371,6 +371,7 @@ def canonical_dedup(
     id_col: str = "doc_id",
     prefer_col: str = "n_chars",
     broadcast_threshold_rows: int | None = None,
+    n_components: int | None = None,
 ) -> DataFrame:
     """Keep-one-per-cluster dedup: given ``components`` ``(id, cluster_id)``
     from :func:`dedup.connected_components`, retain per cluster the doc with
@@ -385,8 +386,11 @@ def canonical_dedup(
     ``broadcast_threshold_rows`` (default from spark conf
     ``spark.ballista.canonicalDedup.broadcastRows``, 10M); above it the
     join shuffles on ``id_col`` and AQE may still promote genuinely-small
-    cases at runtime.  The per-cluster pick is a window over clusters —
-    bounded by the largest duplicate clique, not the corpus.
+    cases at runtime.  ``n_components`` lets a caller that already knows
+    the CC output's row count (``connected_components`` reports it as
+    ``stats["n_nodes"]`` — observed during its own checkpoint action)
+    skip the guard's count job.  The per-cluster pick is a window over
+    clusters — bounded by the largest duplicate clique, not the corpus.
     """
     comp = components.select(
         F.col("id").alias(id_col), F.col("cluster_id")
@@ -397,7 +401,9 @@ def canonical_dedup(
                 "spark.ballista.canonicalDedup.broadcastRows", "10000000"
             )
         )
-    n_comp = comp.count()  # one job over the (checkpointed) CC output
+    # one job over the (checkpointed) CC output — unless the caller
+    # already has the count from the CC loop's fused observation
+    n_comp = n_components if n_components is not None else comp.count()
     if n_comp <= broadcast_threshold_rows:
         comp = F.broadcast(comp)
     labeled = docs.join(comp, id_col, "left").withColumn(

@@ -794,7 +794,10 @@ def connected_components(
     pipeline once per round); the checkpoint RDDs are registered with
     ``operators.caching`` so ``release_caches()`` frees them instead of
     leaking per invocation.  The convergence probe is a scalar sum of
-    labels, strictly decreasing until fixpoint.
+    labels, strictly decreasing until fixpoint, collected as an OBSERVED
+    METRIC during the checkpoint's own materialization (``observe`` +
+    ``Observation``) rather than a separate aggregation job — each round
+    runs one Spark job, not two.
 
     ``checkpoint_dir``: localCheckpoint blocks die with their executor —
     at cluster scale a single lost executor would kill a multi-hour CC
@@ -808,6 +811,8 @@ def connected_components(
     ``stats`` (optional dict) receives ``{"rounds": N}`` so tests can pin
     the logarithmic round bound on path graphs.
     """
+    from pyspark.sql import Observation
+
     # the union consumes `pairs` twice — persist so an expensive upstream
     # (the LSH pipeline) materializes once, not per branch
     pairs = tracked_persist(pairs.select(a_col, b_col))
@@ -818,12 +823,31 @@ def connected_components(
     )
     edges = tracked_persist(edges.distinct())
     checkpoint = checkpointer(checkpoint_dir)
+    # Convergence probe fused into the checkpoint action (r12): the label
+    # sum is collected as an observed metric DURING the eager checkpoint's
+    # materialization instead of a separate agg job after it — one Spark
+    # job per round instead of two (both localCheckpoint and reliable
+    # df.checkpoint run under Dataset.withAction, so CollectMetrics fires).
+    # Same expression, same values, strictly-decreasing-until-fixpoint
+    # criterion unchanged.
+    obs = Observation()
     labels = checkpoint(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
+        .observe(
+            obs,
+            F.sum("label").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    first = obs.get
+    prev_sum = first["s"]
+    if stats is not None:
+        # node count rides the same observation for free — callers that
+        # need |components| (canonical_dedup's broadcast guard) can skip
+        # their own count job over the CC output
+        stats["n_nodes"] = first["n"]
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -848,8 +872,11 @@ def connected_components(
         # Skipped in round 1 — see the docstring's measured tradeoff
         # (clique-y LSH graphs pay a wasted shuffle; deep chains pay one
         # extra round, inside the pinned log bound).
+        obs = Observation()
         if rounds == 1:
-            labels = checkpoint(propagated)
+            labels = checkpoint(
+                propagated.observe(obs, F.sum("label").alias("s"))
+            )
         else:
             lk = propagated.select(
                 F.col("id").alias("_lid"), F.col("label").alias("_llabel")
@@ -861,8 +888,9 @@ def connected_components(
                     F.coalesce(F.col("_llabel"), F.col("label"))
                     .alias("label"),
                 )
+                .observe(obs, F.sum("label").alias("s"))
             )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

@@ -58,7 +58,7 @@ def pq_codebooks(
     ]
 
 
-def pq_encode(
+def pq_code_rows(
     df: DataFrame,
     vec_col: str,
     id_col: str,
@@ -66,12 +66,13 @@ def pq_encode(
     k: int = 16,
     books: "list[list[list[float]]] | None" = None,
 ) -> DataFrame:
-    """Encode every vector: ``(id_col, codes array<int> length m,
-    recon_err double)`` with ``recon_err`` the total squared quantization
-    error (sum over subspaces of the winning codeword's squared L2
-    distance — unrounded; callers round for oracle output).  ``books``
-    lets a caller that already collected the codebooks (ADC search)
-    skip the duplicate sample job."""
+    """Per-subspace PQ assignment as ``(id_col, s, code, dist)`` ROWS —
+    the encode dataflow of :func:`pq_encode` stopped before its final
+    per-id array aggregation.  The ADC search paths consume exactly this
+    row shape (they used to call ``pq_encode`` and immediately
+    ``posexplode`` the codes array back into rows — a wasted per-id
+    shuffle + collect_list + explode on every search; r12).  ``dist`` is
+    the winning codeword's squared L2 distance (feeds recon_err)."""
     spark = df.sparkSession
     if books is None:
         books = pq_codebooks(df, id_col, vec_col, m, k)
@@ -105,10 +106,27 @@ def pq_encode(
             " (acc, i) -> acc + (sv[i-1] - cw[i-1]) * (sv[i-1] - cw[i-1]))"
         ),
     )
-    best = scored.groupBy(id_col, "s").agg(
+    return scored.groupBy(id_col, "s").agg(
         F.expr("min_by(code, struct(dist, code))").alias("code"),
         F.min("dist").alias("dist"),
     )
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 8,
+    k: int = 16,
+    books: "list[list[list[float]]] | None" = None,
+) -> DataFrame:
+    """Encode every vector: ``(id_col, codes array<int> length m,
+    recon_err double)`` with ``recon_err`` the total squared quantization
+    error (sum over subspaces of the winning codeword's squared L2
+    distance — unrounded; callers round for oracle output).  ``books``
+    lets a caller that already collected the codebooks (ADC search)
+    skip the duplicate sample job."""
+    best = pq_code_rows(df, vec_col, id_col, m=m, k=k, books=books)
     return best.groupBy(id_col).agg(
         F.expr(
             "transform(array_sort(collect_list(struct(s, code))),"
@@ -184,9 +202,9 @@ def pq_adc_topk(
         books = pq_codebooks(corpus, corpus_id, vec, m, n_codes)
     sub = len(books[0][0])
     cb = _codebook_df(spark, books, m, n_codes)
-    codes = pq_encode(
+    codes = pq_code_rows(
         corpus, vec, corpus_id, m=m, k=n_codes, books=books
-    ).select(corpus_id, F.posexplode("codes").alias("s", "code"))
+    ).select(corpus_id, "s", "code")
     qsv = queries.select(
         F.col(query_id),
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
@@ -269,9 +287,9 @@ def ivf_pq_topk(
         cents,
         nprobe,
     ).select(query_id, "cell")
-    codes = pq_encode(
+    codes = pq_code_rows(
         corpus, vec, corpus_id, m=m, k=n_codes, books=books
-    ).select(corpus_id, F.posexplode("codes").alias("s", "code"))
+    ).select(corpus_id, "s", "code")
     cb = _codebook_df(spark, books, m, n_codes)
     tables = (
         queries.select(
@@ -654,9 +672,9 @@ def ivf_pq_residual_topk(
             F.expr("zip_with(v, ce, (a, b) -> a - b)").alias("rv"),
         )
     )
-    codes = pq_encode(
+    codes = pq_code_rows(
         rcorpus, "rv", corpus_id, m=m, k=n_codes, books=books
-    ).select(corpus_id, F.posexplode("codes").alias("s", "code"))
+    ).select(corpus_id, "s", "code")
     probed = ivf.probe_cells(
         queries.select(F.col(query_id), F.col(vec).alias("qv")),
         "qv",

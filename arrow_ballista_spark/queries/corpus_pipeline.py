@@ -304,8 +304,12 @@ def ext_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_dedup_pairs(
         docs, "text", "doc_id", threshold=0.5, num_perm=128, rows_per_band=4
     ).select("id_a", "id_b")
-    comp = dedup.connected_components(pairs)
-    kept = corpus.canonical_dedup(docs, comp, "doc_id", "n_chars")
+    cc_stats: dict = {}
+    comp = dedup.connected_components(pairs, stats=cc_stats)
+    kept = corpus.canonical_dedup(
+        docs, comp, "doc_id", "n_chars",
+        n_components=cc_stats.get("n_nodes"),
+    )
     return kept.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
@@ -568,9 +572,13 @@ def ext_pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_dedup_pairs(
         qdocs, "text", "doc_id", threshold=0.5, num_perm=128, rows_per_band=4
     ).select("id_a", "id_b")
-    comp = dedup.connected_components(pairs)
+    cc_stats: dict = {}
+    comp = dedup.connected_components(pairs, stats=cc_stats)
     kept = tracked_persist(
-        corpus.canonical_dedup(qdocs, comp, "doc_id", "n_chars").select(
+        corpus.canonical_dedup(
+            qdocs, comp, "doc_id", "n_chars",
+            n_components=cc_stats.get("n_nodes"),
+        ).select(
             "doc_id", "text"
         )
     )
