@@ -1387,6 +1387,39 @@ def test_pq_encode_matches_numpy(spark):
         assert abs(got[i][1] - err) < 1e-9, i
 
 
+def test_pq_code_rows_is_encode_without_the_final_agg(spark):
+    """pq_code_rows (the ADC-search row shape, r12) regrouped per id must
+    equal pq_encode's codes arrays and recon_err exactly — the refactor
+    contract: the search paths consume the encode dataflow stopped
+    before its final per-id aggregation, never a different one."""
+    import numpy as np
+
+    from arrow_ballista_spark.operators.pq import pq_code_rows, pq_encode
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(40, 16)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    m, k = 4, 8
+    rows = pq_code_rows(df, "embedding", "vec_id", m=m, k=k).collect()
+    assert {(r.vec_id, r.s) for r in rows} == {
+        (i, s) for i in range(40) for s in range(m)
+    }
+    regrouped: dict[int, tuple[list[int], float]] = {}
+    for i in range(40):
+        mine = sorted((r.s, r.code, r.dist) for r in rows if r.vec_id == i)
+        regrouped[i] = ([c for _, c, _ in mine], sum(d for _, _, d in mine))
+    enc = {
+        r.vec_id: (list(r.codes), r.recon_err)
+        for r in pq_encode(df, "embedding", "vec_id", m=m, k=k).collect()
+    }
+    for i in range(40):
+        assert enc[i][0] == regrouped[i][0], i
+        assert abs(enc[i][1] - regrouped[i][1]) < 1e-9, i
+
+
 def test_image_stats_degrades_on_corrupt_blobs(spark):
     """Corrupt/truncated blobs of every native format must yield NULL
     rows, never abort the batch: truncated PNG headers raise

@@ -187,6 +187,22 @@ def test_connected_components_path_graph_log_rounds(spark):
     assert stats["rounds"] <= 7, stats
 
 
+def test_connected_components_reports_node_count(spark):
+    """stats['n_nodes'] (r12: observed during the initial checkpoint's
+    materialization, consumed by canonical_dedup's broadcast guard to
+    skip a count job) must equal the number of distinct nodes in the
+    pair graph — which is exactly the CC output's row count."""
+    from arrow_ballista_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (8, 9), (9, 8)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    out = connected_components(pairs, stats=stats).collect()
+    assert stats["n_nodes"] == 7  # {0,1,2,5,6,8,9}
+    assert stats["n_nodes"] == len(out)
+
+
 def test_semantic_dedup_adaptive_k_default(spark):
     """semantic_dedup_pairs with k=None sizes k via
     adaptive_cluster_count (k ~ sqrt(n), floor 8 — the SCALING.md r9
