@@ -17,15 +17,18 @@ generated DuckDB oracle:
   k rows, driver work O(k*d), corpus-size-independent.  (Production PQ
   trains per-subspace k-means; the assignment dataflow below is
   identical — swap the codebook source.)
-- **Assignment is map-only in spirit**: the m*k codebook broadcasts;
-  each (vector, subspace) computes k squared-L2 distances with the
-  deterministic left-to-right fold and keeps the argmin via
-  ``min_by(code, struct(dist, code))`` — ties break to the smallest
-  code, matching the SQL oracle's ``row_number() ORDER BY dist, code``.
-- **Regroup is one keyed agg**: codes collect per vector ordered by
-  subspace; the reconstruction error is the sum of per-subspace minima
-  (rounded — summation order across subspaces is the one
-  nondeterministic reduce).
+- **Assignment is map-only** (r12): the m*k codebook rides as one
+  constant-folded nested-array literal; each vector computes, per
+  subspace, k squared-L2 distances with the deterministic left-to-right
+  fold and keeps the argmin via ``array_min`` over ``struct(dist,
+  code)`` — ties break to the smallest code, matching the SQL oracle's
+  ``row_number() ORDER BY dist, code``.  No explode, no codebook join,
+  no (id, s) re-aggregation.
+- **Codes and recon_err are projections**: the codes array and the
+  reconstruction error (per-subspace minima folded in subspace order)
+  come straight off the per-row struct array — zero shuffles in the
+  encode (rounded by callers — the 6dp registry contract absorbs
+  summation-order noise).
 """
 
 from __future__ import annotations
@@ -58,6 +61,182 @@ def pq_codebooks(
     ]
 
 
+def _sq_fold(vec, cw, s, sub: int):
+    """Squared-L2 between subvector ``s`` of ``vec`` and codeword ``cw``
+    via the canonical left-to-right fold — the SAME addend order as the
+    pre-r12 slice+aggregate form and the DuckDB oracles' list_reduce, so
+    the map-only kernels below are bit-identical to the joined shape
+    they replaced."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(sub)),
+        F.lit(0.0).cast("double"),
+        lambda acc, i: acc
+        + (vec[s * F.lit(sub) + i - 1] - cw[i - 1])
+        * (vec[s * F.lit(sub) + i - 1] - cw[i - 1]),
+    )
+
+
+def _pq_dist_tables(vec, books):
+    """Per-query ADC table as a nested-array column: ``tbl[s][code]`` =
+    exact subspace distance from ``vec``'s subvector ``s`` to codeword
+    ``code`` — same fold as :func:`_sq_fold`, shaped for the map-only
+    ``tbl[s][codes[s]]`` lookup in the search paths (replaces the
+    (s, code)-keyed join + per-(query, corpus) SUM: the m addends now
+    fold in subspace order inside one row; the ranking key rounds to
+    6dp before comparison, so summation-order noise ~1e-15 cannot move
+    it — the pq_adc_topk engine-stability contract)."""
+    sub = len(books[0][0])
+    return F.transform(
+        F.lit(books),
+        lambda sb, s: F.transform(
+            sb, lambda cw, c: _sq_fold(vec, cw, s, sub)
+        ),
+    )
+
+
+def _adc_sum(m: int):
+    """The map-only ADC distance: sum of the per-subspace table lookups,
+    folded in subspace order over the ``_qt``/``_codes`` columns."""
+    return F.expr(
+        f"aggregate(sequence(0, {m - 1}), cast(0.0 as double),"
+        " (acc, s) -> acc + _qt[s][_codes[s]])"
+    )
+
+
+def _pq_assign_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: "list[list[list[float]]]",
+    cents: "list[list[float]] | None" = None,
+    residual: bool = False,
+) -> DataFrame:
+    """ONE vectorized pass over the corpus computing, per row: the IVF
+    cell (when ``cents`` is given), the residual basis swap (when
+    ``residual``), and the per-subspace PQ assignment — returned as
+    ``(id_col[, cell int], _codes array<int>, _dists array<double>)``.
+
+    Why a Python kernel (guide §4.2): the per-row work here is k*m
+    squared-L2 folds (+ n_cells cosine folds for IVF) — higher-order
+    SQL array functions evaluate this INTERPRETED (CodegenFallback),
+    measured ~1 us per multiply-add, while the pre-r12 shape paid an
+    explode to (vector, subspace) rows, a codebook broadcast join and a
+    groupBy(id, s) argmin shuffle around the same interpreted folds.
+    One ``mapInArrow`` batch hands the whole block to numpy: measured
+    5x faster than the join shape at sf0.1 (0.25 s vs 1.21 s for the
+    encode pass) with ZERO exchanges — the corpus never shuffles.
+
+    Bit-exactness contract (the oracle equality argument, preserved
+    term by term):
+
+    - subspace distance: ``acc += (sv_i - cw_i)^2`` accumulated in
+      ``i`` order — elementwise float64, identical to the SQL
+      ``aggregate`` left-to-right fold and the DuckDB ``list_reduce``;
+    - argmin ties: ``np.argmin`` keeps the FIRST minimum = smallest
+      code, the ``min_by(code, struct(dist, code))`` /
+      ``row_number() ORDER BY dist, code`` contract;
+    - cell cosine: dot and row-norm accumulated in coordinate order
+      (the ``_sql_dot`` fold), centroid norms from the same Python
+      floats that ``ivf.assign_cells`` embeds as literals, ``argmax``
+      first-max ties = ``array_position(sims, array_max(sims))``;
+    - residual: elementwise ``v - centroid[cell]`` = ``zip_with``.
+
+    Only (id, vector) cross the Python boundary (column-pruned select —
+    guide §4.1); numpy state is built once per task before the batch
+    loop (§4.5).  Callers must pre-filter zero-norm rows when ``cents``
+    is given (the serving-index population), as the JVM path always did.
+    """
+    import math
+
+    from pyspark.sql import types as T
+
+    m = len(books)
+    sub = len(books[0][0])
+    d = m * sub
+    books_py = [[[float(x) for x in cw] for cw in sb] for sb in books]
+    cents_py = (
+        [[float(x) for x in c] for c in cents] if cents is not None else None
+    )
+    # centroid norms as the SAME Python floats assign_cells bakes into
+    # its SQL literals (math.sqrt over the Python left-to-right sum)
+    cnorms_py = (
+        [math.sqrt(sum(x * x for x in c)) for c in cents_py]
+        if cents_py is not None
+        else None
+    )
+
+    def assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        B = np.asarray(books_py, dtype=np.float64)
+        C = (
+            np.asarray(cents_py, dtype=np.float64)
+            if cents_py is not None
+            else None
+        )
+        cn = (
+            np.asarray(cnorms_py, dtype=np.float64)
+            if cnorms_py is not None
+            else None
+        )
+        for batch in batches:
+            ids = batch.column(0)
+            va = batch.column(1)
+            n = len(va)
+            V = va.flatten().to_numpy(zero_copy_only=False).reshape(n, d)
+            cols, names = [ids], [id_col]
+            X = V
+            if C is not None:
+                nc = C.shape[0]
+                accd = np.zeros((n, nc), dtype=np.float64)
+                accn = np.zeros(n, dtype=np.float64)
+                for i in range(d):  # coordinate order == the SQL fold
+                    accd += V[:, i : i + 1] * C[:, i][None, :]
+                    accn += V[:, i] * V[:, i]
+                sims = accd / (np.sqrt(accn)[:, None] * cn[None, :])
+                cell = sims.argmax(axis=1)  # first max == smallest cell
+                if residual:
+                    X = V - C[cell]
+                cols.append(pa.array(cell.astype(np.int32)))
+                names.append("cell")
+            codes = np.empty((n, m), dtype=np.int32)
+            dists = np.empty((n, m), dtype=np.float64)
+            for s in range(m):
+                SV = X[:, s * sub : (s + 1) * sub]
+                acc = np.zeros((n, B.shape[1]), dtype=np.float64)
+                for i in range(sub):  # i order == the SQL fold
+                    diff = SV[:, i : i + 1] - B[s, :, i][None, :]
+                    acc += diff * diff
+                cs = acc.argmin(axis=1)  # first min == smallest code
+                codes[:, s] = cs
+                dists[:, s] = acc[np.arange(n), cs]
+            off = pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32))
+            cols.append(
+                pa.ListArray.from_arrays(
+                    off, pa.array(codes.reshape(-1), type=pa.int32())
+                )
+            )
+            cols.append(
+                pa.ListArray.from_arrays(
+                    off, pa.array(dists.reshape(-1), type=pa.float64())
+                )
+            )
+            yield pa.RecordBatch.from_arrays(cols, names + ["_codes", "_dists"])
+
+    fields = [T.StructField(id_col, df.schema[id_col].dataType)]
+    if cents is not None:
+        fields.append(T.StructField("cell", T.IntegerType()))
+    fields += [
+        T.StructField("_codes", T.ArrayType(T.IntegerType())),
+        T.StructField("_dists", T.ArrayType(T.DoubleType())),
+    ]
+    src = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    return src.mapInArrow(assign, T.StructType(fields))
+
+
 def pq_code_rows(
     df: DataFrame,
     vec_col: str,
@@ -68,47 +247,22 @@ def pq_code_rows(
 ) -> DataFrame:
     """Per-subspace PQ assignment as ``(id_col, s, code, dist)`` ROWS —
     the encode dataflow of :func:`pq_encode` stopped before its final
-    per-id array aggregation.  The ADC search paths consume exactly this
-    row shape (they used to call ``pq_encode`` and immediately
-    ``posexplode`` the codes array back into rows — a wasted per-id
-    shuffle + collect_list + explode on every search; r12).  ``dist`` is
-    the winning codeword's squared L2 distance (feeds recon_err)."""
-    spark = df.sparkSession
+    per-id array aggregation.  Since r12 the assignment is the
+    :func:`_pq_assign_arrow` vectorized pass; the only Generate in the
+    plan posexplodes m ALREADY-DECIDED rows per vector — no codebook
+    join, no (id, s) shuffle.  ``dist`` is the winning codeword's
+    squared L2 distance (feeds recon_err)."""
     if books is None:
         books = pq_codebooks(df, id_col, vec_col, m, k)
-    sub = len(books[0][0])
-    cb = spark.createDataFrame(
-        [
-            (s, c, books[s][c])
-            for s in range(m)
-            for c in range(k)
-        ],
-        "s int, code int, cw array<double>",
-    )
-    e = df.select(
+    kern = _pq_assign_arrow(df, id_col, vec_col, books)
+    return kern.select(
         F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    )
-    # (vector, subspace) rows: slice is JVM-side, no Python
-    sv = e.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
-        F.col("_v").alias("_v"),
+        F.posexplode(F.arrays_zip("_codes", "_dists")).alias("s", "b"),
     ).select(
         id_col,
-        "s",
-        F.expr(f"slice(_v, s * {sub} + 1, {sub})").alias("sv"),
-    )
-    scored = sv.join(F.broadcast(cb), "s").withColumn(
-        "dist",
-        F.expr(
-            f"aggregate(sequence(1, {sub}), cast(0.0 as double),"
-            " (acc, i) -> acc + (sv[i-1] - cw[i-1]) * (sv[i-1] - cw[i-1]))"
-        ),
-    )
-    return scored.groupBy(id_col, "s").agg(
-        F.expr("min_by(code, struct(dist, code))").alias("code"),
-        F.min("dist").alias("dist"),
+        F.col("s").cast("int").alias("s"),
+        F.col("b._codes").alias("code"),
+        F.col("b._dists").alias("dist"),
     )
 
 
@@ -123,24 +277,24 @@ def pq_encode(
     """Encode every vector: ``(id_col, codes array<int> length m,
     recon_err double)`` with ``recon_err`` the total squared quantization
     error (sum over subspaces of the winning codeword's squared L2
-    distance — unrounded; callers round for oracle output).  ``books``
-    lets a caller that already collected the codebooks (ADC search)
-    skip the duplicate sample job."""
-    best = pq_code_rows(df, vec_col, id_col, m=m, k=k, books=books)
-    return best.groupBy(id_col).agg(
+    distance — unrounded; callers round for oracle output).  Map-only
+    since r12: codes and recon_err project straight off
+    :func:`_pq_assign_arrow`, deleting the explode + groupBy(id, s) +
+    groupBy(id) collect_list round-trip (2 exchanges) from the encode.
+    The cross-subspace sum folds in subspace order — one of the orders
+    the previous nondeterministic ``SUM`` could produce; callers round
+    to 6dp (the registry contract), which absorbs order noise.
+    ``books`` lets a caller that already collected the codebooks skip
+    the duplicate sample job."""
+    if books is None:
+        books = pq_codebooks(df, id_col, vec_col, m, k)
+    kern = _pq_assign_arrow(df, id_col, vec_col, books)
+    return kern.select(
+        id_col,
+        F.col("_codes").alias("codes"),
         F.expr(
-            "transform(array_sort(collect_list(struct(s, code))),"
-            " x -> x.code)"
-        ).alias("codes"),
-        F.sum("dist").alias("recon_err"),
-    )
-
-
-def _codebook_df(spark, books, m: int, n_codes: int):
-    """The (s, code, cw) codebook frame every ADC path broadcasts."""
-    return spark.createDataFrame(
-        [(s, c, books[s][c]) for s in range(m) for c in range(n_codes)],
-        "s int, code int, cw array<double>",
+            "aggregate(_dists, cast(0.0 as double), (acc, x) -> acc + x)"
+        ).alias("recon_err"),
     )
 
 
@@ -167,7 +321,6 @@ def _ranked_topk(scored, query_id: str, corpus_id: str, k: int,
         )
     )
 
-
 def pq_adc_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -193,41 +346,27 @@ def pq_adc_topk(
     resolve by id identically on both sides (the tfidf lesson: rank by
     the rounded value, not the raw one).
 
-    Scale shape: the query tables (nq * m * n_codes rows) BROADCAST to
-    the code join — the corpus side never shuffles before the partial
-    (query, corpus) aggregation; per-query top-k is a bounded window.
-    """
-    spark = corpus.sparkSession
+    Scale shape (r12): the corpus encodes in one vectorized map-only
+    pass (:func:`_pq_assign_arrow`); the nq query ADC tables
+    (:func:`_pq_dist_tables`, bounded) broadcast into a nested-loop
+    join and the distance is m array lookups per (query, corpus) row —
+    the corpus never shuffles before the per-query top-k window.  The
+    pre-r12 shape paid two exchanges here (codes groupBy(id, s) + the
+    (query, corpus) SUM)."""
     if books is None:  # quality path: train_codebooks(...)
         books = pq_codebooks(corpus, corpus_id, vec, m, n_codes)
-    sub = len(books[0][0])
-    cb = _codebook_df(spark, books, m, n_codes)
-    codes = pq_code_rows(
-        corpus, vec, corpus_id, m=m, k=n_codes, books=books
-    ).select(corpus_id, "s", "code")
-    qsv = queries.select(
-        F.col(query_id),
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
-        F.col(vec).cast("array<double>").alias("_v"),
-    ).select(
-        query_id,
-        "s",
-        F.expr(f"slice(_v, s * {sub} + 1, {sub})").alias("qv"),
+    coded = _pq_assign_arrow(corpus, corpus_id, vec, books).select(
+        F.col(corpus_id), F.col("_codes")
     )
-    tables = qsv.join(F.broadcast(cb), "s").select(
-        query_id,
-        "s",
-        "code",
-        F.expr(
-            f"aggregate(sequence(1, {sub}), cast(0.0 as double),"
-            " (acc, i) -> acc + (qv[i-1] - cw[i-1]) * (qv[i-1] - cw[i-1]))"
-        ).alias("tdist"),
+    qt = queries.select(
+        F.col(query_id), F.col(vec).cast("array<double>").alias("_qv")
+    ).select(
+        F.col(query_id), _pq_dist_tables(F.col("_qv"), books).alias("_qt")
     )
     scored = (
-        codes.join(F.broadcast(tables), ["s", "code"])
+        coded.crossJoin(F.broadcast(qt))
         .filter(F.col(query_id) != F.col(corpus_id))
-        .groupBy(query_id, corpus_id)
-        .agg(F.sum("tdist").alias("adist"))
+        .withColumn("adist", _adc_sum(len(books)))
     )
     return _ranked_topk(scored, query_id, corpus_id, k, "adist",
                         "approx_dist")
@@ -260,68 +399,43 @@ def ivf_pq_topk(
     caveat as :func:`pq_codebooks` vs trained k-means.
 
     Ranking key is (6dp-rounded ADC distance, corpus_id) — the
-    :func:`pq_adc_topk` engine-stability contract.  Scale shape: the
-    n_cells centroids and the m*k codebook are bounded driver
-    artifacts; cell assignment and encoding are map-only over the
-    corpus; probes broadcast; at rest the corpus is written partitioned
-    by cell so a probe prunes at the file level (the ext_sim_topk_ivf
-    layout note)."""
+    :func:`pq_adc_topk` engine-stability contract.  Scale shape (r12):
+    the n_cells centroids and the m*k codebook are bounded driver
+    artifacts; ONE vectorized pass over the corpus computes both the
+    cell assignment and the PQ codes (:func:`_pq_assign_arrow` — no
+    idx/codes branch to persist); the nq*nprobe probed (query, cell)
+    rows carry their ADC tables and broadcast into a cell-keyed join,
+    so the corpus never shuffles — the pre-r12 shape's codes groupBy,
+    corpus_id-keyed candidate join, and (query, corpus) SUM exchanges
+    are all gone.  At rest the corpus is written partitioned by cell so
+    a probe prunes at the file level (the ext_sim_topk_ivf layout
+    note)."""
     from arrow_ballista_spark.operators import ivf
     from arrow_ballista_spark.operators.similarity import norm
 
-    spark = corpus.sparkSession
     cents = ivf.choose_centroids(corpus, corpus_id, vec, n_cells)
     if books is None:  # quality path: train_codebooks(...)
         books = pq_codebooks(corpus, corpus_id, vec, m, n_codes)
-    sub = len(books[0][0])
-    idx = ivf.assign_cells(
-        corpus.select(F.col(corpus_id), F.col(vec).alias("cv")).filter(
-            norm(F.col("cv")) > 0
+    nz = corpus.select(
+        F.col(corpus_id), F.col(vec).cast("array<double>").alias("_v")
+    ).filter(norm(F.col("_v")) > 0)
+    coded = _pq_assign_arrow(nz, corpus_id, "_v", books, cents=cents)
+    qt = ivf.probe_cells(
+        queries.select(
+            F.col(query_id), F.col(vec).cast("array<double>").alias("_qv")
         ),
-        "cv",
-        cents,
-    ).select(corpus_id, "cell")
-    probed = ivf.probe_cells(
-        queries.select(F.col(query_id), F.col(vec).alias("qv")),
-        "qv",
+        "_qv",
         cents,
         nprobe,
-    ).select(query_id, "cell")
-    codes = pq_code_rows(
-        corpus, vec, corpus_id, m=m, k=n_codes, books=books
-    ).select(corpus_id, "s", "code")
-    cb = _codebook_df(spark, books, m, n_codes)
-    tables = (
-        queries.select(
-            F.col(query_id),
-            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
-            F.col(vec).cast("array<double>").alias("_v"),
-        )
-        .select(
-            query_id, "s", F.expr(f"slice(_v, s * {sub} + 1, {sub})").alias("qv")
-        )
-        .join(F.broadcast(cb), "s")
-        .select(
-            query_id,
-            "s",
-            "code",
-            F.expr(
-                f"aggregate(sequence(1, {sub}), cast(0.0 as double),"
-                " (acc, i) -> acc + (qv[i-1] - cw[i-1]) * (qv[i-1] - cw[i-1]))"
-            ).alias("tdist"),
-        )
-    )
-    cand = (
-        F.broadcast(probed)
-        .join(idx, "cell")
-        .filter(F.col(query_id) != F.col(corpus_id))
-        .select(query_id, corpus_id)
+    ).select(
+        F.col(query_id),
+        F.col("cell"),
+        _pq_dist_tables(F.col("_qv"), books).alias("_qt"),
     )
     scored = (
-        cand.join(codes, corpus_id)
-        .join(F.broadcast(tables), [query_id, "s", "code"])
-        .groupBy(query_id, corpus_id)
-        .agg(F.sum("tdist").alias("adist"))
+        coded.join(F.broadcast(qt), "cell")
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .withColumn("adist", _adc_sum(len(books)))
     )
     return _ranked_topk(scored, query_id, corpus_id, k, "adist",
                         "approx_dist")
@@ -572,7 +686,6 @@ def train_residual_codebooks(
     cells = _cosine_cells(X, C)
     return _lloyd_books(X - C[cells], m, k, iters)
 
-
 def ivf_pq_residual_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -596,11 +709,13 @@ def ivf_pq_residual_topk(
     coarse term absorbed).  Ranking contract as everywhere: 6dp-rounded
     distance, id ties.
 
-    Scale shape: centroids and codebooks stay bounded driver artifacts;
-    the corpus residual is a broadcast join on cell + a map-only
-    ``zip_with`` subtraction; query tables are nq*nprobe*m*n_codes rows
-    — broadcast; the corpus shuffles only for the (query, corpus)
-    partial agg.
+    Scale shape (r12): centroids and codebooks stay bounded driver
+    artifacts; ONE vectorized pass over the corpus computes cell,
+    residual and PQ codes (:func:`_pq_assign_arrow` with
+    ``residual=True`` — the pre-r12 idx persist + two centroid joins +
+    codes groupBy are gone), and the per-(query, probed cell) residual
+    tables broadcast into a single cell-keyed join, so the corpus never
+    shuffles before the per-query top-k window.
 
     The ``nprobe=4`` default targets CLUSTERED corpora — the regime
     real embedding spaces produce, where it measures 1.000 recall@10
@@ -614,7 +729,6 @@ def ivf_pq_residual_topk(
     from arrow_ballista_spark.operators import ivf
     from arrow_ballista_spark.operators.similarity import norm
 
-    spark = corpus.sparkSession
     if books is not None and cents is None:
         # residual codebooks are only meaningful in the basis of the
         # centroids they were trained against — silently training fresh
@@ -637,92 +751,38 @@ def ivf_pq_residual_topk(
             books = train_residual_codebooks(
                 corpus, corpus_id, vec, cents, m=m, k=n_codes, X=X
             )
-    sub = len(books[0][0])
-    centdf = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-        "cell int, ce array<double>",
+    nz = corpus.select(
+        F.col(corpus_id), F.col(vec).cast("array<double>").alias("_v")
+    ).filter(norm(F.col("_v")) > 0)
+    coded = _pq_assign_arrow(
+        nz, corpus_id, "_v", books, cents=cents, residual=True
     )
-    cb = _codebook_df(spark, books, m, n_codes)
-    from arrow_ballista_spark.operators.caching import tracked_persist
-
-    # persist: the cell assignment (n_cells interpreted dot folds per
-    # row — the dominant map cost) feeds BOTH the residual encode and
-    # the candidate join; without it Spark recomputes it per branch
-    # (the ivf_topk precedent, operators/ivf.py)
-    idx = tracked_persist(
-        ivf.assign_cells(
-            corpus.select(F.col(corpus_id), F.col(vec).alias("cv")).filter(
-                norm(F.col("cv")) > 0
+    centlit = F.lit([[float(x) for x in c] for c in cents])
+    qt = (
+        ivf.probe_cells(
+            queries.select(
+                F.col(query_id), F.col(vec).cast("array<double>").alias("_qv")
             ),
-            "cv",
+            "_qv",
             cents,
-        ).select(corpus_id, "cell")
-    )
-    idx.count()  # materialize eagerly: both branches below read it inside
-    # one action, and a lazy persist races (the triangle_counts precedent)
-    # corpus residuals: broadcast centroid join + map-only subtraction
-    rcorpus = (
-        corpus.select(
-            F.col(corpus_id), F.col(vec).cast("array<double>").alias("v")
+            nprobe,
         )
-        .join(idx, corpus_id)
-        .join(F.broadcast(centdf), "cell")
-        .select(
-            corpus_id,
-            F.expr("zip_with(v, ce, (a, b) -> a - b)").alias("rv"),
-        )
-    )
-    codes = pq_code_rows(
-        rcorpus, "rv", corpus_id, m=m, k=n_codes, books=books
-    ).select(corpus_id, "s", "code")
-    probed = ivf.probe_cells(
-        queries.select(F.col(query_id), F.col(vec).alias("qv")),
-        "qv",
-        cents,
-        nprobe,
-    ).select(query_id, "cell", "qv")
-    # per-(query, probed cell) residual distance tables
-    tables = (
-        probed.join(F.broadcast(centdf), "cell")
-        .select(
-            query_id,
-            "cell",
-            F.expr(
-                "zip_with(cast(qv as array<double>), ce,"
-                " (a, b) -> a - b)"
-            ).alias("qrv"),
+        .withColumn(
+            "_qrv",
+            F.zip_with(
+                F.col("_qv"), centlit[F.col("cell")], lambda a, b: a - b
+            ),
         )
         .select(
-            query_id,
-            "cell",
-            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
-            "qrv",
+            F.col(query_id),
+            F.col("cell"),
+            _pq_dist_tables(F.col("_qrv"), books).alias("_qt"),
         )
-        .select(
-            query_id, "cell", "s",
-            F.expr(f"slice(qrv, s * {sub} + 1, {sub})").alias("qsv"),
-        )
-        .join(F.broadcast(cb), "s")
-        .select(
-            query_id, "cell", "s", "code",
-            F.expr(
-                f"aggregate(sequence(1, {sub}), cast(0.0 as double),"
-                " (acc, i) -> acc + (qsv[i-1] - cw[i-1])"
-                " * (qsv[i-1] - cw[i-1]))"
-            ).alias("tdist"),
-        )
-    )
-    cand = (
-        F.broadcast(probed.select(query_id, "cell"))
-        .join(idx, "cell")
-        .filter(F.col(query_id) != F.col(corpus_id))
-        .select(query_id, corpus_id, "cell")
     )
     scored = (
-        cand.join(codes, corpus_id)
-        .join(F.broadcast(tables), [query_id, "cell", "s", "code"])
-        .groupBy(query_id, corpus_id)
-        .agg(F.sum("tdist").alias("adist"))
+        coded.join(F.broadcast(qt), "cell")
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .withColumn("adist", _adc_sum(len(books)))
     )
     return _ranked_topk(scored, query_id, corpus_id, k, "adist",
                         "approx_dist")

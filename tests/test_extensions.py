@@ -1420,6 +1420,77 @@ def test_pq_code_rows_is_encode_without_the_final_agg(spark):
         assert abs(enc[i][1] - regrouped[i][1]) < 1e-9, i
 
 
+def test_pq_assign_arrow_cell_and_residual_match_jvm(spark):
+    """The r12 vectorized assignment kernel (_pq_assign_arrow) must be
+    BIT-identical to the JVM operators it fused: cell = ivf.assign_cells
+    (coordinate-order dot/norm folds, argmax first-max ties), residual =
+    zip_with(v, centroid, a - b), codes/dists = the per-subspace
+    left-to-right squared-L2 fold with smallest-code ties.  Exact float
+    equality on every field — the oracle-equality argument rests on it."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from arrow_ballista_spark.operators import ivf
+    from arrow_ballista_spark.operators.pq import (
+        _pq_assign_arrow,
+        pq_codebooks,
+    )
+
+    rng = np.random.RandomState(11)
+    X = rng.randn(50, 16)
+    X[7] = X[3]  # duplicate vectors: exercise exact-tie code paths
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = ivf.choose_centroids(df, "vec_id", "embedding", 4)
+    books = pq_codebooks(df, "vec_id", "embedding", m=4, k=8)
+    kern = {
+        r.vec_id: (r.cell, list(r._codes), list(r._dists))
+        for r in _pq_assign_arrow(
+            df, "vec_id", "embedding", books, cents=cents, residual=True
+        ).collect()
+    }
+    jvm_cell = {
+        r.vec_id: r.cell
+        for r in ivf.assign_cells(
+            df.select("vec_id", F.col("embedding").alias("_v")), "_v", cents
+        ).collect()
+    }
+    centlit = F.lit([[float(x) for x in c] for c in cents])
+    jvm_res = {
+        r.vec_id: list(r.rv)
+        for r in ivf.assign_cells(
+            df.select("vec_id", F.col("embedding").alias("_v")), "_v", cents
+        )
+        .select(
+            "vec_id",
+            F.zip_with(
+                F.col("_v"), centlit[F.col("cell")], lambda a, b: a - b
+            ).alias("rv"),
+        )
+        .collect()
+    }
+    sub = len(books[0][0])
+    for i in range(50):
+        cell, codes, dists = kern[i]
+        assert cell == jvm_cell[i], i
+        rv = jvm_res[i]
+        for s in range(4):
+            # exact left-to-right fold over the JVM residual values
+            best = None
+            for c, cw in enumerate(books[s]):
+                acc = 0.0
+                for j in range(sub):
+                    dlt = rv[s * sub + j] - cw[j]
+                    acc = acc + dlt * dlt
+                if best is None or acc < best[0]:
+                    best = (acc, c)
+            assert codes[s] == best[1], (i, s)
+            assert dists[s] == best[0], (i, s)  # exact float equality
+
+
 def test_image_stats_degrades_on_corrupt_blobs(spark):
     """Corrupt/truncated blobs of every native format must yield NULL
     rows, never abort the batch: truncated PNG headers raise
