@@ -43,12 +43,13 @@ def _sqdist(vec: str, cent: str) -> F.Column:
 
 
 # r12: below this many k*dim distance terms the exact kernel embeds the
-# centroids as literal expression chains (map-only assignment, driver-side
-# centroid state — no crossJoin/groupBy shuffle per iteration).  Above it
-# the unrolled expression tree puts Catalyst parse/codegen on the
-# critical path and the broadcast-fold shape wins (same-host A/B at
-# sf0.1: dim-8 whitened entries −0.8..−1.0 s with literals; dim-64
-# entries +1.3..+5.1 s — the cutoff sits between 352 and 512 terms).
+# centroids as literal expression chains (codegen'd JVM arithmetic —
+# map-only assignment, driver-side centroid state, no crossJoin/groupBy
+# shuffle per iteration).  Above it the unrolled expression tree puts
+# Catalyst parse/codegen on the critical path (same-host A/B at sf0.1:
+# dim-8 whitened entries −0.8..−1.0 s with literals; dim-64 entries
+# +1.3..+5.1 s — the cutoff sits between 352 and 512 terms) and the
+# ordered-accumulation Arrow kernel (_assign_exact_arrow) takes over.
 _LITERAL_TERMS_MAX = 384
 
 
@@ -91,18 +92,69 @@ def _assign_literal(e: DataFrame, cent_rows, id_col: str) -> DataFrame:
     )
 
 
-def _lloyd_literal(
-    e: DataFrame, cent_rows, iters: int, id_col: str
+def _assign_exact_arrow(e: DataFrame, cent_rows, id_col: str) -> DataFrame:
+    """Map-only nearest-centroid assignment as ONE vectorized Arrow pass
+    — the BIT-EXACT twin of the broadcast-fold kernel for k*dim above
+    the literal cutoff (the r12 _pq_assign_arrow pattern): squared-L2
+    accumulated per coordinate in order (``acc += (v_i - c_i)^2`` —
+    elementwise float64, identical to the ``aggregate`` left-to-right
+    fold), ``np.argmin`` first-min ties == ``min_by(cid,
+    struct(dist, cid))`` with cids ascending.  The interpreted fold
+    costs ~1 us per distance term; this kernel hands each Arrow batch
+    to numpy and needs no crossJoin, no groupBy(id) argmin shuffle.
+    Returns ``(id_col, v, cluster)`` — the vector rides along so
+    downstream stages need no re-join against the point set."""
+    from pyspark.sql import types as T
+
+    cids_py = [int(cid) for cid, _ in cent_rows]
+    cents_py = [[float(x) for x in c] for _, c in cent_rows]
+    d = len(cents_py[0])
+
+    def assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        C = np.asarray(cents_py, dtype=np.float64)
+        cids = np.asarray(cids_py, dtype=np.int64)
+        for batch in batches:
+            ids = batch.column(0)
+            va = batch.column(1)
+            n = len(va)
+            V = va.flatten().to_numpy(zero_copy_only=False).reshape(n, d)
+            D = np.zeros((n, len(cids)), dtype=np.float64)
+            for i in range(d):  # coordinate order == the SQL fold
+                diff = V[:, i : i + 1] - C[:, i][None, :]
+                D += diff * diff
+            yield pa.RecordBatch.from_arrays(
+                [ids, va, pa.array(cids[D.argmin(axis=1)])],
+                [id_col, "v", "cluster"],
+            )
+
+    schema = T.StructType(
+        [
+            e.schema[id_col],
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+            T.StructField("cluster", T.LongType()),
+        ]
+    )
+    return e.select(F.col(id_col), F.col("v")).mapInArrow(assign, schema)
+
+
+def _lloyd_driver(
+    e: DataFrame, cent_rows, iters: int, id_col: str, literal: bool
 ) -> DataFrame:
     """Lloyd core with driver-side centroid state (the IVF pattern):
-    every iteration's Spark plan is lineage-flat map-only assignment;
-    the update is one two-phase (cluster, dim) mean aggregation whose
-    k*dim rounded rows collect to the driver — bit-exact the same means
+    every iteration's Spark plan is lineage-flat map-only assignment
+    (literal-chain kernel below the term cutoff, vectorized Arrow
+    kernel above it — both bit-exact, see the assigners); the update is
+    one two-phase (cluster, dim) mean aggregation whose k*dim rounded
+    rows collect to the driver — bit-exact the same means
     (``round(avg(val), 6)``) the in-plan update computes.  Returns the
     final ``(id_col, v, cluster)`` assignment."""
+    assign_fn = _assign_literal if literal else _assign_exact_arrow
     assigned = None
     for it in range(iters):
-        assigned = _assign_literal(e, cent_rows, id_col)
+        assigned = assign_fn(e, cent_rows, id_col)
         if it < iters - 1:
             pos_rows = (
                 assigned.select(
@@ -122,13 +174,6 @@ def _lloyd_literal(
                 for cid, dims in sorted(by_cid.items())
             ]
     return assigned
-
-
-def _literal_dim(e: DataFrame) -> int:
-    """Vector length from one row (a bounded head(1) action) — sizes the
-    literal-vs-fold kernel decision."""
-    head = e.select("v").head(1)
-    return len(head[0]["v"]) if head and head[0]["v"] is not None else 0
 
 
 def kmeans_assign(
@@ -152,14 +197,15 @@ def kmeans_assign(
 
     Two assignment kernels, same dataflow:
 
-    - ``vectorized=False`` (default, the oracle path): JVM higher-order
-      fold, bit-exact against the generated DuckDB SQL.  The fold is
-      interpreted, so its constant is high — fine up to n*k ~ 10^7
-      distance evaluations.  When ``k * dim <= _LITERAL_TERMS_MAX`` the
-      same exact arithmetic instead runs as a literal-centroid unrolled
-      chain (map-only, no crossJoin/groupBy shuffle per iteration,
-      driver-side centroid state) — bit-identical values, measured
-      faster below the cutoff and slower above it (r12 A/B).
+    - ``vectorized=False`` (default, the oracle path): driver-state
+      Lloyd with a map-only bit-exact assignment — a literal-centroid
+      unrolled chain when ``k * dim <= _LITERAL_TERMS_MAX`` (codegen'd
+      JVM arithmetic; giant trees above the cutoff put Catalyst on the
+      critical path), else the ordered-accumulation Arrow kernel
+      (:func:`_assign_exact_arrow` — numpy per batch, same left-to-right
+      fold bit-for-bit).  Either way: no crossJoin/groupBy shuffle per
+      iteration, values bit-exact against the generated DuckDB SQL
+      (r12 A/Bs for both the cutoff and the kernel swap).
     - ``vectorized=True`` (the SCALE path): Arrow-batched ``mapInPandas``
       with one numpy matmul per batch against the broadcast centroid
       matrix — measured ~50x faster per distance at n*k ~ 10^8
@@ -172,16 +218,22 @@ def kmeans_assign(
     e = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
-    # r12: small k*dim exact runs take the literal kernel (map-only, no
-    # crossJoin/groupBy shuffle per iteration, flat lineage) — values
-    # bit-identical to the fold (same summation order, repr-round-tripped
-    # float64 literals, same (dist, cid) tie-break); see _LITERAL_TERMS_MAX
-    if not vectorized and k * _literal_dim(e) <= _LITERAL_TERMS_MAX:
+    # r12: every exact run takes a driver-state Lloyd loop (map-only
+    # assignment, no crossJoin/groupBy shuffle per iteration, flat
+    # lineage) — literal-chain kernel below _LITERAL_TERMS_MAX, the
+    # vectorized bit-exact Arrow kernel above it; values bit-identical
+    # to the fold either way (same summation order, same (dist, cid)
+    # tie-break).  The centroid dim comes off the collected seed rows,
+    # so the old head(1) dim-probe job is gone too.
+    if not vectorized:
         cent_rows = _collect_centroids(e, k, id_col)
         if cent_rows:
-            return _lloyd_literal(e, cent_rows, iters, id_col).select(
-                id_col, "cluster"
-            )
+            literal = k * len(cent_rows[0][1]) <= _LITERAL_TERMS_MAX
+            return _lloyd_driver(
+                e, cent_rows, iters, id_col, literal
+            ).select(id_col, "cluster")
+        # empty corpus: fall through (the frame loop yields an empty
+        # assignment with the right schema)
     # deterministic seed: the k smallest-id points (TakeOrdered, k rows)
     w = Window.orderBy(id_col)
     cents = (
@@ -322,13 +374,19 @@ def semantic_dedup_pairs(
         e0 = embeddings.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
         )
-        if k * _literal_dim(e0) <= _LITERAL_TERMS_MAX:
-            cent_rows = _collect_centroids(e0, k, id_col)
-            if cent_rows:
-                # literal kernel: the assignment already carries the
-                # vector, so no re-join of (id, cluster) against the
-                # point set (one full point-set shuffle join saved);
-                # eager tracked localCheckpoint materializes the Lloyd
+        cent_rows = _collect_centroids(e0, k, id_col)
+        if cent_rows:
+            # driver-state Lloyd (see kmeans_assign): the assignment
+            # already carries the vector, so no re-join of
+            # (id, cluster) against the point set (one full point-set
+            # shuffle join saved)
+            literal = k * len(cent_rows[0][1]) <= _LITERAL_TERMS_MAX
+            assigned = _lloyd_driver(e0, cent_rows, iters, id_col, literal)
+            if literal:
+                # literal kernel + JVM pair self-join (the whitened
+                # dim-8 regime, where the interpreted per-pair folds
+                # are cheap and the Python boundary is not): eager
+                # tracked localCheckpoint materializes the Lloyd
                 # result once for both sides of the cluster self-join
                 # AND truncates the (literal-heavy) assignment lineage
                 # to a flat RDD scan (release via release_caches()).
@@ -336,7 +394,6 @@ def semantic_dedup_pairs(
                     tracked_local_checkpoint,
                 )
 
-                assigned = _lloyd_literal(e0, cent_rows, iters, id_col)
                 e = tracked_local_checkpoint(
                     assigned.select(
                         F.col(id_col),
@@ -346,6 +403,11 @@ def semantic_dedup_pairs(
                     )
                 )
                 return _pairs_exact(e, tau, id_col)
+            # above the literal cutoff (the dim-64 regime) the per-pair
+            # interpreted cosine folds dominate: one BIT-EXACT ordered
+            # Gram per cluster (applyInPandas) replaces the self-join —
+            # a single consumer, so the checkpoint goes too (r12)
+            return _pairs_exact_arrow(assigned, tau, id_col)
     assign = kmeans_assign(
         embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
         vectorized=vectorized,
@@ -444,5 +506,66 @@ def _pairs_vectorized(
         )
 
     return e.groupBy("cluster").applyInPandas(
+        pairs, "id_a long, id_b long, cluster long, cos_raw double"
+    )
+
+
+def _pairs_exact_arrow(
+    assigned: DataFrame, tau: float, id_col: str
+) -> DataFrame:
+    """Per-cluster pairwise cosine as one BIT-EXACT ordered Gram per
+    cluster — the vectorized replacement for :func:`_pairs_exact` above
+    the literal cutoff (see semantic_dedup_pairs).  Exactness contract
+    (the r12 _pq_assign_arrow pattern): the Gram accumulates one outer
+    product per coordinate in order (``G += v_i ⊗ v_i`` — elementwise
+    float64, so every pair's dot is the same left-to-right fold the JVM
+    ``aggregate`` computes), norms are the same ordered self-dot +
+    sqrt, and ``cos = dot / (na * nb)`` is the same two operations as
+    ``cosine_with_norms``.  Zero-norm denominators are excluded exactly
+    like the JVM NULL (nullif) rows.  Memory per task is O(|cluster|^2)
+    doubles — bounded by keeping k ~ sqrt(n), the same budget as
+    :func:`_pairs_vectorized`.  Input: the ``(id_col, v, cluster)``
+    assignment (vector riding along — no re-join, single consumer, no
+    checkpoint)."""
+    import numpy as np
+    import pandas as pd
+
+    def pairs(key, pdf):
+        empty = pd.DataFrame(
+            {"id_a": [], "id_b": [], "cluster": [], "cos_raw": []}
+        ).astype({"id_a": "int64", "id_b": "int64",
+                  "cluster": "int64", "cos_raw": "float64"})
+        ids = pdf[id_col].to_numpy()
+        if len(ids) < 2:
+            return empty
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        order = np.argsort(ids)
+        ids, V = ids[order], V[order]
+        n, d = V.shape
+        G = np.zeros((n, n), dtype=np.float64)
+        accn = np.zeros(n, dtype=np.float64)
+        for i in range(d):  # coordinate order == the SQL fold
+            G += V[:, i : i + 1] * V[:, i][None, :]
+            accn += V[:, i] * V[:, i]
+        nrm = np.sqrt(accn)
+        den = nrm[:, None] * nrm[None, :]  # na * nb, the JVM multiply
+        iu = np.triu_indices(n, 1)
+        dg, dd = G[iu], den[iu]
+        ok = dd > 0
+        cos = np.zeros(len(dg), dtype=np.float64)
+        cos[ok] = dg[ok] / dd[ok]
+        keep = ok & (cos >= tau)
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[0][keep]].astype("int64"),
+                "id_b": ids[iu[1][keep]].astype("int64"),
+                "cluster": np.full(int(keep.sum()), key[0], dtype="int64"),
+                "cos_raw": cos[keep],
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
         pairs, "id_a long, id_b long, cluster long, cos_raw double"
     )

@@ -1491,6 +1491,71 @@ def test_pq_assign_arrow_cell_and_residual_match_jvm(spark):
             assert dists[s] == best[0], (i, s)  # exact float equality
 
 
+def test_kmeans_arrow_kernels_match_jvm_exact(spark):
+    """The r12 ordered-numpy k-means kernels must be BIT-identical to
+    the JVM exact paths they replaced above the literal cutoff:
+    _assign_exact_arrow == the broadcast crossJoin fold + min_by(cid,
+    struct(dist, cid)), and _pairs_exact_arrow == the cluster self-join
+    + cosine_with_norms filter.  Exact float equality on cos_raw — the
+    oracle-equality argument rests on it.  Duplicate vectors exercise
+    exact-tie paths."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from arrow_ballista_spark.operators.kmeans import (
+        _assign_exact_arrow,
+        _collect_centroids,
+        _pairs_exact,
+        _pairs_exact_arrow,
+        _sqdist,
+    )
+    from arrow_ballista_spark.operators.similarity import norm
+
+    rng = np.random.RandomState(13)
+    X = rng.randn(60, 16)
+    X[9] = X[4]   # duplicates: exact distance ties
+    X[11] = 0.0   # zero-norm row: NULL-cosine lane
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    e = df.select("vec_id", F.col("embedding").alias("v"))
+    cent_rows = _collect_centroids(e, 5, "vec_id")
+    kern = _assign_exact_arrow(e, cent_rows, "vec_id")
+    # JVM reference: broadcast crossJoin fold + min_by
+    cents = spark.createDataFrame(
+        [(cid, c) for cid, c in cent_rows], "cid long, cent array<double>"
+    )
+    ref = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("dist", _sqdist("v", "cent"))
+        .groupBy("vec_id")
+        .agg(F.expr("min_by(cid, struct(dist, cid))").alias("cluster"))
+    )
+    got = {r.vec_id: r.cluster for r in kern.collect()}
+    want = {r.vec_id: r.cluster for r in ref.collect()}
+    assert got == want
+    # pairs kernel vs the JVM self-join, exact cos_raw equality
+    assigned = kern  # (vec_id, v, cluster)
+    jvm_e = assigned.select(
+        "vec_id",
+        "cluster",
+        F.col("v").alias("vec"),
+        norm(F.col("v")).alias("nrm"),
+    )
+    ref_pairs = sorted(
+        (r.id_a, r.id_b, r.cluster, r.cos_raw)
+        for r in _pairs_exact(jvm_e, 0.1, "vec_id").collect()
+    )
+    kern_pairs = sorted(
+        (r.id_a, r.id_b, r.cluster, r.cos_raw)
+        for r in _pairs_exact_arrow(assigned, 0.1, "vec_id").collect()
+    )
+    assert kern_pairs == ref_pairs  # exact float equality
+    assert len(kern_pairs) > 0
+
+
 def test_image_stats_degrades_on_corrupt_blobs(spark):
     """Corrupt/truncated blobs of every native format must yield NULL
     rows, never abort the batch: truncated PNG headers raise
