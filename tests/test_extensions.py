@@ -1556,6 +1556,65 @@ def test_kmeans_arrow_kernels_match_jvm_exact(spark):
     assert len(kern_pairs) > 0
 
 
+def test_minhash_sigs_arrow_matches_column_form(spark):
+    """The r12 vectorized signature kernel (minhash_sigs_arrow) must be
+    BIT-identical to the minhash_signature column form on every lane:
+    normal docs, an empty-gram doc (NULL signature), and a NULL-grams
+    doc — and the array banding (band_hash_array_from_sig) must produce
+    the same band keys as the column banding on all of them.  Integer
+    arithmetic end to end, so equality is exact."""
+    from pyspark.sql import functions as F
+
+    from arrow_ballista_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),
+            (2, "completely different words here friend"),
+            (3, ""),   # empty text -> degenerate gram lane
+            (4, None),  # NULL text -> NULL grams
+            (5, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    grams = docs.select(
+        F.col("doc_id"), dedup.word_shingles("text", 3).alias("grams")
+    )
+    hashes = grams.select(
+        F.col("doc_id"), dedup.base_hashes("grams").alias("hashes")
+    )
+    num_perm, rpb = 32, 4
+    col_form = hashes.select(
+        F.col("doc_id"), *dedup.minhash_signature("hashes", num_perm)
+    )
+    want = {
+        r.doc_id: [r[f"mh_{i}"] for i in range(num_perm)]
+        for r in col_form.collect()
+    }
+    kern = dedup.minhash_sigs_arrow(hashes, "doc_id", "hashes", num_perm)
+    got = {
+        r.doc_id: (list(r.mh) if r.mh is not None else [None] * num_perm)
+        for r in kern.collect()
+    }
+    assert got == want
+    # banding parity: same band keys from both layouts
+    want_bands = {
+        r.doc_id: list(r.b)
+        for r in col_form.select(
+            "doc_id", dedup.band_hash_array(num_perm, rpb).alias("b")
+        ).collect()
+    }
+    got_bands = {
+        r.doc_id: list(r.b)
+        for r in kern.select(
+            "doc_id",
+            dedup.band_hash_array_from_sig("mh", num_perm, rpb).alias("b"),
+        ).collect()
+    }
+    assert got_bands == want_bands
+
+
 def test_image_stats_degrades_on_corrupt_blobs(spark):
     """Corrupt/truncated blobs of every native format must yield NULL
     rows, never abort the batch: truncated PNG headers raise

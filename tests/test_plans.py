@@ -201,26 +201,25 @@ def test_h2o_factor_join_broadcasts_dim(spark):
 
 
 def test_semantic_dedup_no_cartesian(spark):
-    """The intra-cluster pair stage must be an equi-join on the cluster id
-    (residual id/cosine predicates), never a nested-loop over all pairs;
-    the k-centroid assignment crossJoin IS broadcast (k rows)."""
+    """The intra-cluster pair stage must be KEYED on the cluster id,
+    never a nested-loop over all pairs.  Since the r12 kernel swap the
+    dim-64 exact path runs one cluster-keyed applyInPandas Gram per
+    cluster (FlatMapGroupsInPandas over a hashpartitioning(cluster)
+    exchange) instead of a cluster self-join; both shapes are keyed —
+    what must never appear is a cartesian/unkeyed nested loop over the
+    point set."""
     df = REG["ext_dedup_semantic"].spark(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    # pair stage: a real KEYED equi-join on the cluster id (sort-merge /
-    # shuffled-hash at scale; Catalyst may broadcast one side at tiny SF
-    # once the cached assignment has materialized stats — also keyed)
-    assert (
-        "SortMergeJoin" in plan
-        or "ShuffledHashJoin" in plan
-        or "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the pair stage: cluster-keyed applyInPandas (current kernel) or a
+    # keyed equi-join (the pre-r12 self-join shape)
+    assert "FlatMapGroupsInPandas" in plan or any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
-    # the only nested loops are the k-row centroid broadcasts inside the
-    # assignment subtree: 2 per Lloyd iteration x up to 2 printed
-    # references (the string printer may repeat the cached subtree per
-    # self-join side depending on cache state) — the pair join itself is
-    # asserted keyed above, so any count beyond 8 means a real regression
-    assert plan.count("BroadcastNestedLoopJoin") <= 8
+    if "FlatMapGroupsInPandas" in plan:
+        assert "hashpartitioning(cluster" in plan
 
 
 def test_pack_shards_offsets_broadcast_not_casewhen(spark):
