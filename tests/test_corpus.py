@@ -180,8 +180,9 @@ def test_kmeans_assignment_broadcasts_centroids(spark):
     never shuffle the point set against the centroids.  r12 gate, pinned
     from both sides: below _LITERAL_TERMS_MAX distance terms the
     centroids are bounded driver state embedded as exact literals (NO
-    join and NO exchange at all); above it the k centroids broadcast
-    into the fold kernel (broadcast join, still no point shuffle)."""
+    join and NO exchange at all); above it the bit-exact Arrow kernel
+    (MapInArrow — centroids ride the closure, still no join, no
+    exchange, no point shuffle)."""
     from arrow_ballista_spark.operators.kmeans import kmeans_assign
 
     emb = load_table(spark, SF_DIR, "embeddings")
@@ -190,10 +191,13 @@ def test_kmeans_assignment_broadcasts_centroids(spark):
     assert "CartesianProduct" not in plan
     assert "Join" not in plan
     assert "Exchange" not in plan
-    # k=8 x dim 64 = 512 terms > 384: broadcast-fold kernel
+    # k=8 x dim 64 = 512 terms > 384: vectorized Arrow kernel — also
+    # fully map-only since r12 session 4
     plan8 = explain.explain_str(kmeans_assign(emb, k=8, iters=2), "simple")
-    assert "BroadcastNestedLoopJoin" in plan8 or "BroadcastExchange" in plan8
+    assert "MapInArrow" in plan8
     assert "CartesianProduct" not in plan8
+    assert "Join" not in plan8
+    assert "Exchange" not in plan8
 
 
 def test_merge_upsert_and_snapshot_diff_semantics(spark):
