@@ -211,8 +211,10 @@ def _bench_frame(reg, name, spark, sf_dir):
 
 def summary_line(out: dict, times: dict) -> str:
     """The ONE stdout JSON line, hard-capped under the driver's 2000-char
-    tail capture with staged fallbacks (drop deltas, then truncate the
-    queries dict to the TPC-H core)."""
+    tail capture with staged fallbacks (drop deltas, truncate the queries
+    dict to the TPC-H core, compact the family roll-up, then shrink the
+    ext_top dict — so the per-entry ext timings the r12 PERF was blind to
+    survive every stage but the last)."""
     line = json.dumps(out)
     if len(line) > 1900:
         out.pop("delta_total", None)
@@ -228,6 +230,12 @@ def summary_line(out: dict, times: dict) -> str:
         out["families"] = {
             k: v["min_total"] for k, v in out["families"].items()
         }
+        line = json.dumps(out)
+    while len(line) > 1900 and len(out.get("ext_top", ())) > 3:
+        out["ext_top"] = dict(list(out["ext_top"].items())[:-1])
+        line = json.dumps(out)
+    if len(line) > 1900:
+        out.pop("ext_top", None)
         line = json.dumps(out)
     return line
 
@@ -352,6 +360,18 @@ def main() -> None:
     ext_total = round(
         sum(v for k, v in times.items() if not k.startswith("tpch_")), 3
     )
+    # The 10 slowest non-TPC-H entries, 1 decimal (VERDICT r12 item 2:
+    # the stdout fallback truncates `queries` to the TPC-H core, which
+    # left the driver's PERF structurally blind to the ext entries the
+    # optimization rounds actually touch; this compact dict survives the
+    # truncation stages so PERF gets per-entry ext ground truth).
+    ext_top = {
+        k: round(v, 1)
+        for k, v in sorted(
+            ((k, v) for k, v in times.items() if not k.startswith("tpch_")),
+            key=lambda kv: -kv[1],
+        )[:10]
+    }
     out = {
         "metric": "tpch_suite_wall_seconds",
         "value": total,
@@ -359,6 +379,7 @@ def main() -> None:
         "stat": "min_of_warm_interleaved_samples",
         "queries": times,
         "ext_total_min": ext_total,
+        "ext_top": ext_top,
         "families": families,
         "sf": sf,
     }
@@ -391,6 +412,15 @@ def main() -> None:
         }
     except Exception:  # never let the anchor break the bench contract
         calibration = None
+    if calibration:
+        # raw anchor values in the one-line JSON (VERDICT r12 item 9) so
+        # PERF can host-annotate without digging into the detail file:
+        # [pyloop, blas32, spark_micro] seconds
+        out["anchors"] = [
+            calibration["pyloop_sec"],
+            calibration["blas32_sec"],
+            calibration["spark_micro_sec"],
+        ]
 
     detail = {
         "iterations": iters,
