@@ -145,6 +145,11 @@ def _pq_assign_arrow(
     guide §4.1); numpy state is built once per task before the batch
     loop (§4.5).  Callers must pre-filter zero-norm rows when ``cents``
     is given (the serving-index population), as the JVM path always did.
+
+    Input contract (ADVICE r12): non-NULL, fixed-dimension vectors —
+    ``flatten().reshape(n, d)`` raises on NULL/ragged rows; all callers
+    feed dense fixture embeddings.  Zero-norm CENTROIDS are rejected at
+    setup below.
     """
     import math
 
@@ -164,6 +169,17 @@ def _pq_assign_arrow(
         if cents_py is not None
         else None
     )
+    if cnorms_py is not None and not all(x > 0 for x in cnorms_py):
+        # fail fast (ADVICE r12): a zero-norm centroid would make the
+        # kernel's sims NaN and argmax could pick the NaN lane, silently
+        # diverging from the JVM nullif path that ignores that centroid.
+        # choose_centroids never emits one; only caller-supplied cents
+        # (ivf_pq_residual_topk) could.
+        raise ValueError(
+            "_pq_assign_arrow: zero-norm centroid in cents — the cosine "
+            "cell assignment is undefined for it; filter it out (the "
+            "JVM nullif path ignores such centroids)"
+        )
 
     def assign(batches):
         import numpy as np
