@@ -76,6 +76,33 @@ def _sq_fold(vec, cw, s, sub: int):
     )
 
 
+def _books_literal(books) -> F.Column:
+    """The m*k*sub codebook as ONE parsed SQL array literal.  r13:
+    ``F.lit(books)`` converted every nested element through py4j
+    individually — ~2 s of pure driver plan-build for the trained
+    16x32x4 codebook, the dominant cost of ext_sim_topk_pq_trained
+    (measured: adc_build 2.0 s -> ~0.05 s with the parsed form).  The
+    repr round-trip CAST is the repo's exact-float64 literal contract
+    (``kmeans._dlit``), so the column holds bit-identical doubles."""
+    return F.expr(
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array("
+                + ", ".join(
+                    f"CAST('{float(x)!r}' AS DOUBLE)" for x in cw
+                )
+                + ")"
+                for cw in sb
+            )
+            + ")"
+            for sb in books
+        )
+        + ")"
+    )
+
+
 def _pq_dist_tables(vec, books):
     """Per-query ADC table as a nested-array column: ``tbl[s][code]`` =
     exact subspace distance from ``vec``'s subvector ``s`` to codeword
@@ -87,7 +114,7 @@ def _pq_dist_tables(vec, books):
     it — the pq_adc_topk engine-stability contract)."""
     sub = len(books[0][0])
     return F.transform(
-        F.lit(books),
+        _books_literal(books),
         lambda sb, s: F.transform(
             sb, lambda cw, c: _sq_fold(vec, cw, s, sub)
         ),
@@ -773,7 +800,19 @@ def ivf_pq_residual_topk(
     coded = _pq_assign_arrow(
         nz, corpus_id, "_v", books, cents=cents, residual=True
     )
-    centlit = F.lit([[float(x) for x in c] for c in cents])
+    # r13: one parsed SQL literal instead of F.lit(nested list) — the
+    # latter crosses py4j once per element (~1 s of plan build for
+    # 16x64 doubles; the _books_literal finding)
+    centlit = F.expr(
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c)
+            + ")"
+            for c in cents
+        )
+        + ")"
+    )
     qt = (
         ivf.probe_cells(
             queries.select(

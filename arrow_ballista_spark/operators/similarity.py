@@ -193,16 +193,100 @@ def _infer_dim(df: DataFrame, vec: str, dim: int | None) -> int:
 
 
 def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id from random hyperplanes (map-only)."""
+    """Sign-bit bucket id from random hyperplanes (map-only).  The plane
+    arrays parse as ONE SQL literal each (r13): ``F.array(*[F.lit(x)
+    ...])`` crossed py4j once per element — n_tables * n_planes * dim
+    driver round-trips of pure plan build; the repr round-trip CAST is
+    the exact-float64 literal contract (``kmeans._dlit``)."""
     bucket = F.lit(0).cast("bigint")
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
+        p = F.expr(
+            "array("
+            + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in plane)
+            + ")"
+        )
         bucket = bucket.bitwiseOR(
             F.when(
                 dot(vec_col, p) > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
             ).otherwise(F.lit(0).cast("bigint"))
         )
     return bucket
+
+
+def lsh_buckets_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    all_planes: list[list[list[float]]],
+    carry_vec: bool = False,
+) -> DataFrame:
+    """All n_tables hyperplane sign-bit buckets per row in ONE vectorized
+    Arrow pass — the bit-exact kernel form of n_tables x :func:`lsh_bucket`
+    (r13; the r12 ``_pq_assign_arrow`` recipe).  Returns
+    ``(id_col[, v], buckets array<long>)`` with ``buckets[t]`` ==
+    ``lsh_bucket(vec, all_planes[t])``.
+
+    Why: ``lsh_bucket`` evaluates one interpreted ``aggregate`` dot fold
+    per (row, table, plane) — ext_sim_topk_lsh at its registry settings
+    (32 tables x 8 planes x dim 64) pays ~16k interpreted multiply-adds
+    per corpus row, measured ~50 s at sf0.1 on the single scan
+    partition.  Here each batch accumulates ALL table/plane dots per
+    coordinate in order (``acc += v_i * p_i`` — elementwise float64,
+    identical to the SQL left-to-right fold, so every SIGN matches
+    bit-for-bit), then packs sign bits integer-exactly.
+
+    Input contract (the kernel family's): non-NULL fixed-dim vectors.
+    ``carry_vec=True`` passes the vector through for consumers that
+    re-rank candidates with exact cosine (one copy — the downstream
+    explode duplicates it exactly as the column form did)."""
+    from pyspark.sql import types as T
+
+    n_tables = len(all_planes)
+    n_planes = len(all_planes[0])
+    dim = len(all_planes[0][0])
+    planes_py = [
+        [float(x) for x in p] for planes in all_planes for p in planes
+    ]
+
+    def kern(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        P = np.asarray(planes_py, dtype=np.float64).reshape(
+            n_tables * n_planes, dim
+        )
+        for batch in batches:
+            ids = batch.column(0)
+            va = batch.column(1)
+            n = len(va)
+            V = va.flatten().to_numpy(zero_copy_only=False).reshape(n, dim)
+            D = np.zeros((n, n_tables * n_planes), dtype=np.float64)
+            for i in range(dim):  # coordinate order == the SQL fold
+                D += V[:, i : i + 1] * P[:, i][None, :]
+            bits = (D > 0).astype(np.int64)
+            buckets = np.zeros((n, n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                for i in range(n_planes):
+                    buckets[:, t] |= bits[:, t * n_planes + i] << i
+            offs = pa.array(
+                np.arange(0, (n + 1) * n_tables, n_tables, dtype=np.int32)
+            )
+            blist = pa.ListArray.from_arrays(
+                offs, pa.array(buckets.reshape(-1))
+            )
+            cols = [ids, va, blist] if carry_vec else [ids, blist]
+            names = (
+                [id_col, "v", "buckets"] if carry_vec else [id_col, "buckets"]
+            )
+            yield pa.RecordBatch.from_arrays(cols, names)
+
+    fields = [df.schema[id_col]]
+    if carry_vec:
+        fields.append(T.StructField("v", T.ArrayType(T.DoubleType())))
+    fields.append(T.StructField("buckets", T.ArrayType(T.LongType())))
+    return df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).mapInArrow(kern, T.StructType(fields))
 
 
 def hyperplane_lsh_topk(
@@ -232,48 +316,48 @@ def hyperplane_lsh_topk(
     all_planes = [
         _hyperplanes(n_planes, dim, seed + 1000 * t) for t in range(n_tables)
     ]
-    c_keys = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                lsh_bucket(F.col("cv"), planes).alias("bucket"),
-            )
-            for t, planes in enumerate(all_planes)
-        ]
-    )
+    # r13: corpus buckets via the vectorized kernel — the column form
+    # paid n_tables*n_planes interpreted dot folds per row (~50 s at the
+    # topk_lsh registry settings at sf0.1); bucket values bit-identical
+    # (ordered accumulation — see lsh_buckets_arrow)
     c = (
-        corpus.select(
-            F.col(corpus_id),
-            F.col(vec).alias("cv"),
-            norm(F.col(vec)).alias("cn"),
-        )
-        .select(corpus_id, "cv", "cn", F.explode(c_keys).alias("k"))
+        lsh_buckets_arrow(corpus, corpus_id, vec, all_planes, carry_vec=True)
         .select(
-            corpus_id, "cv", "cn", F.col("k.tbl").alias("tbl"),
-            F.col("k.bucket").alias("bucket"),
+            F.col(corpus_id),
+            F.col("v").alias("cv"),
+            norm(F.col("v")).alias("cn"),
+            F.posexplode("buckets").alias("tbl", "bucket"),
         )
     )
-    # query side: own bucket + Hamming-1 probes per table
-    q_keys = []
-    for t, planes in enumerate(all_planes):
-        b0 = lsh_bucket(F.col("qv"), planes)
-        for probe in [b0] + [
-            b0.bitwiseXOR(F.lit(1 << i).cast("bigint"))
-            for i in range(n_planes)
-        ]:
-            q_keys.append(
-                F.struct(F.lit(t).alias("tbl"), probe.alias("bucket"))
-            )
+    # query side: own bucket + Hamming-1 probes per table.  r13: buckets
+    # come from the same kernel and the probes are integer XORs on the
+    # bucket VALUE — the previous form repeated the full n_planes-fold
+    # bucket EXPRESSION inside every probe struct (n_tables * (n_planes
+    # + 1) copies, a ~400k-node Project that cost ~30 s of pure Catalyst
+    # analysis at the topk_lsh registry settings).  Same probe values.
+    b0 = F.col("_b0")
     qp = (
-        queries.select(
-            F.col(query_id),
-            F.col(vec).alias("qv"),
-            norm(F.col(vec)).alias("qn"),
-        )
-        .select(query_id, "qv", "qn", F.explode(F.array(*q_keys)).alias("k"))
+        lsh_buckets_arrow(queries, query_id, vec, all_planes, carry_vec=True)
         .select(
-            query_id, "qv", "qn", F.col("k.tbl").alias("tbl"),
-            F.col("k.bucket").alias("bucket"),
+            F.col(query_id),
+            F.col("v").alias("qv"),
+            norm(F.col("v")).alias("qn"),
+            F.posexplode("buckets").alias("tbl", "_b0"),
+        )
+        .select(
+            query_id,
+            "qv",
+            "qn",
+            "tbl",
+            F.explode(
+                F.array(
+                    b0,
+                    *[
+                        b0.bitwiseXOR(F.lit(1 << i).cast("bigint"))
+                        for i in range(n_planes)
+                    ],
+                )
+            ).alias("bucket"),
         )
     )
     scored = F.broadcast(qp).join(c, ["tbl", "bucket"])
@@ -323,20 +407,18 @@ def lsh_cosine_near_dup_pairs(
     (table, bucket); exact verify keeps precision at 1."""
     h = df.select(F.col(id_col), F.col(vec).alias("v"))
     dim = _infer_dim(df, vec, dim)
-    tables = []
-    for t in range(n_tables):
-        planes = _hyperplanes(n_planes, dim, seed + 1000 * t)
-        tables.append(
-            F.struct(
-                F.lit(t).alias("tbl"), lsh_bucket(F.col("v"), planes).alias("b")
-            )
-        )
+    all_planes = [
+        _hyperplanes(n_planes, dim, seed + 1000 * t) for t in range(n_tables)
+    ]
     # tracked persist: both sides of the bucket self-join read this, and
     # the L x k hyperplane dot products are the expensive part (release
-    # via operators.caching.release_caches() after the consuming action)
+    # via operators.caching.release_caches() after the consuming action).
+    # r13: buckets via the vectorized kernel (bit-identical — see
+    # lsh_buckets_arrow) instead of L*k interpreted folds per row.
     e = tracked_persist(
-        h.select(F.col(id_col), F.explode(F.array(*tables)).alias("k"))
-        .select(id_col, F.col("k.tbl").alias("tbl"), F.col("k.b").alias("b"))
+        lsh_buckets_arrow(df, id_col, vec, all_planes).select(
+            F.col(id_col), F.posexplode("buckets").alias("tbl", "b")
+        )
     )
     a = e.select(F.col(id_col).alias("id_a"), "tbl", "b")
     b = e.select(F.col(id_col).alias("id_b"), "tbl", "b")
