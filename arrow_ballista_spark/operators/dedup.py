@@ -884,6 +884,66 @@ def simhash_near_dup_pairs(
     )
 
 
+#: Driver union-find pair cap (r13): below this many near-dup pairs the
+#: CC labeling collects the pair list once (two longs per pair — ~32 MB
+#: at the cap) and runs exact min-label union-find on the driver — the
+#: BPE-driver-loop precedent (operators/text.py:_BPE_DRIVER_VOCAB_CAP).
+#: The distributed pointer-jumping loop costs ~1 Spark job per round
+#: plus the edge/label materializations (~10 jobs at sf0.1, each with
+#: ~50-100 ms local fixed cost) — pure overhead when the pair graph
+#: fits in driver memory.  Above the cap the loop below is unchanged,
+#: so 100 TB behavior is identical; labels are value-identical on both
+#: sides (min reachable id, exactly).
+_CC_DRIVER_PAIRS_CAP = 2_000_000
+
+
+def _cc_driver(spark, rows, a_col: str, b_col: str, id_type, stats):
+    """Exact min-label union-find over a collected pair list — the
+    bounded small-graph path of :func:`connected_components` (labels ==
+    smallest id reachable, the same values the distributed loop
+    computes)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for x in parent:
+        r = find(x)
+        m = comp_min.get(r)
+        if m is None or x < m:
+            comp_min[r] = x
+    if stats is not None:
+        stats["n_nodes"] = len(parent)
+        stats["rounds"] = 0  # driver path: no distributed rounds ran
+        stats["driver_union_find"] = True
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("cluster_id", id_type),
+        ]
+    )
+    return spark.createDataFrame(
+        [(x, comp_min[find(x)]) for x in parent], schema
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
@@ -891,6 +951,7 @@ def connected_components(
     max_iter: int = 25,
     stats: dict | None = None,
     checkpoint_dir: str | None = None,
+    driver_pairs_cap: int = _CC_DRIVER_PAIRS_CAP,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph: returns
     ``(id, cluster_id)`` where ``cluster_id`` is the smallest id reachable
@@ -946,6 +1007,24 @@ def connected_components(
     # the union consumes `pairs` twice — persist so an expensive upstream
     # (the LSH pipeline) materializes once, not per branch
     pairs = tracked_persist(pairs.select(a_col, b_col))
+    if driver_pairs_cap and checkpoint_dir is None:
+        # r13 small-graph fast path (see _CC_DRIVER_PAIRS_CAP): one
+        # bounded limit-collect decides; at or under the cap the rows
+        # are already in hand and union-find labels them exactly.
+        # ``stats["rounds"]`` reports 0 on this path — the log-round
+        # pins force the distributed loop with driver_pairs_cap=0.
+        # A caller passing checkpoint_dir wants durable round recovery
+        # (a cluster-scale run) — never shortcut that to the driver.
+        head = pairs.limit(driver_pairs_cap + 1).collect()
+        if len(head) <= driver_pairs_cap:
+            return _cc_driver(
+                pairs.sparkSession,
+                head,
+                a_col,
+                b_col,
+                pairs.schema[a_col].dataType,
+                stats,
+            )
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).unionByName(

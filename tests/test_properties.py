@@ -160,8 +160,12 @@ def test_connected_components_matches_union_find(spark, edges):
     want = {x: find(x) for x in parent}
 
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    # driver_pairs_cap=0 pins the DISTRIBUTED pointer-jumping loop —
+    # the r13 small-graph driver path IS union-find, so letting it run
+    # here would compare union-find with itself
     got = {
-        r.id: r.cluster_id for r in connected_components(pairs).collect()
+        r.id: r.cluster_id
+        for r in connected_components(pairs, driver_pairs_cap=0).collect()
     }
     assert got == want
 
@@ -181,7 +185,9 @@ def test_connected_components_path_graph_log_rounds(spark):
     stats: dict = {}
     got = {
         r.id: r.cluster_id
-        for r in connected_components(pairs, stats=stats).collect()
+        for r in connected_components(
+            pairs, stats=stats, driver_pairs_cap=0
+        ).collect()
     }
     assert got == {i: 0 for i in range(n)}
     assert stats["rounds"] <= 7, stats
@@ -198,7 +204,7 @@ def test_connected_components_reports_node_count(spark):
         [(0, 1), (1, 2), (5, 6), (8, 9), (9, 8)], "id_a long, id_b long"
     )
     stats: dict = {}
-    out = connected_components(pairs, stats=stats).collect()
+    out = connected_components(pairs, stats=stats, driver_pairs_cap=0).collect()
     assert stats["n_nodes"] == 7  # {0,1,2,5,6,8,9}
     assert stats["n_nodes"] == len(out)
 
@@ -254,8 +260,12 @@ def test_iterative_operators_reliable_checkpoint_dir(spark, tmp_path):
         [(i, i + 1) for i in range(23)] + [(100, 101), (101, 102)],
         "id_a long, id_b long",
     )
+    # base runs the distributed loop too (cap=0): the durable arm always
+    # does (checkpoint_dir disables the driver path), so compare like
+    # with like
     base = {
-        r.id: r.cluster_id for r in connected_components(pairs).collect()
+        r.id: r.cluster_id
+        for r in connected_components(pairs, driver_pairs_cap=0).collect()
     }
     durable = {
         r.id: r.cluster_id
@@ -476,8 +486,12 @@ def test_connected_components_sparse_trees_match_union_find(spark, edges):
     want = {x: find(x) for x in parent}
 
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    # driver_pairs_cap=0 pins the DISTRIBUTED pointer-jumping loop —
+    # the r13 small-graph driver path IS union-find, so letting it run
+    # here would compare union-find with itself
     got = {
-        r.id: r.cluster_id for r in connected_components(pairs).collect()
+        r.id: r.cluster_id
+        for r in connected_components(pairs, driver_pairs_cap=0).collect()
     }
     assert got == want
 

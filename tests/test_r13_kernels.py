@@ -146,3 +146,33 @@ def test_lloyd_update_partials_match_posexplode_means(spark):
         for r in _lloyd_driver(e, cent_rows, 3, "vec_id", False).collect()
     )
     assert out1 == out2 and len(out1) == 40
+
+
+def test_cc_driver_union_find_matches_distributed(spark):
+    """The bounded driver union-find path (r13) must produce the exact
+    labels of the distributed pointer-jumping loop, report n_nodes the
+    same way, and stay off when checkpoint_dir is given."""
+    from arrow_ballista_spark.operators.dedup import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(40)]          # a 41-node chain
+        + [(100, 101), (101, 102), (100, 102)]   # a clique
+        + [(200, 201)]
+        + [(7, 7)]                               # self-loop
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    s_drv: dict = {}
+    s_dist: dict = {}
+    drv = {
+        r.id: r.cluster_id
+        for r in connected_components(pairs, stats=s_drv).collect()
+    }
+    dist = {
+        r.id: r.cluster_id
+        for r in connected_components(
+            pairs, stats=s_dist, driver_pairs_cap=0
+        ).collect()
+    }
+    assert drv == dist
+    assert s_drv["driver_union_find"] is True
+    assert s_drv["n_nodes"] == s_dist["n_nodes"] == len(drv)
