@@ -632,25 +632,33 @@ def lsh_candidate_pairs(
         if sig_col
         else band_hash_array(num_perm, rows_per_band)
     )
-    # r13 (§2.4 remove shuffles): ONE exchange groups the exploded band
-    # table into per-bucket id lists; pairs are generated map-side by a
-    # double explode (codegen'd Generate — not an interpreted HOF).  The
-    # previous band_sig self-join shuffled the n*bands exploded table
-    # TWICE (once per join side) and needed a tracked persist so the
-    # signature pipeline would not run per side; the bucket form reads
-    # the pipeline once, so the persist goes too.  Pair set identical:
-    # per-bucket ids are distinct, so explode-explode with id_a < id_b
-    # emits exactly the join's matches; the cross-band DISTINCT is
-    # unchanged.  Per-bucket memory equals the join's per-key hash
-    # bucket (LSH buckets are near-dup groups — small by construction).
-    exploded = sigs.select(F.col(id_col), F.explode(bands).alias("band_sig"))
+    # r13 NO-GO note (measured, then reverted): a single-exchange
+    # bucket form (groupBy(band_sig) + collect_list + double explode)
+    # is value-identical and saved one exchange of the exploded band
+    # table locally (minhash_lsh 1.50->1.45 s min, medians far more
+    # stable), BUT the first explode copies the whole per-bucket id
+    # array into every emitted row — an UNCAPPED LSH bucket (a large
+    # duplicate cluster shares every band) would pay O(bucket^2) array-
+    # payload duplication on top of the inherent O(bucket^2) pair rows.
+    # The self-join emits 16-byte pair rows instead; winnowing_dedup_
+    # pairs keeps the bucket form because its max_df cap bounds buckets.
+    # tracked persist: the self-join consumes this twice, and without
+    # persistence each side re-runs the whole shingle+signature pipeline
+    # (release via operators.caching.release_caches() after the action)
+    exploded = tracked_persist(
+        sigs.select(F.col(id_col), F.explode(bands).alias("band_sig"))
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
     return (
-        exploded.groupBy("band_sig")
-        .agg(F.collect_list(F.col(id_col)).alias("_ids"))
-        .where(F.size("_ids") >= 2)
-        .select(F.explode("_ids").alias("id_a"), "_ids")
-        .select("id_a", F.explode("_ids").alias("id_b"))
-        .where(F.col("id_a") < F.col("id_b"))
+        a.join(
+            b,
+            (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
         .distinct()
     )
 
@@ -1386,10 +1394,18 @@ def winnowing_dedup_pairs(
         )
         fps = fps.join(F.broadcast(hot), "fp", "left_anti")
     cnt = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    a = fps.select(F.col(id_col).alias("id_a"), "fp")
-    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    # r13 (§2.4, the lsh_candidate_pairs bucket form): ONE exchange
+    # groups fps into per-fingerprint id lists (bounded by the max_df
+    # cap) and a map-side double explode emits the shared-fp pair rows
+    # — the fp self-join shuffled the fps table twice for the same
+    # multiset; per-pair counts are identical (ids are distinct per fp:
+    # fingerprints are per-doc distinct).
     pairs = (
-        a.join(b, "fp")
+        fps.groupBy("fp")
+        .agg(F.collect_list(F.col(id_col)).alias("_ids"))
+        .where(F.size("_ids") >= 2)
+        .select(F.explode("_ids").alias("id_a"), "_ids")
+        .select("id_a", F.explode("_ids").alias("id_b"))
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("int").alias("shared_fps"))
@@ -1522,6 +1538,14 @@ def ppjoin_pairs(
     # the pair: the FIRST shared token under the global order lies in
     # both prefixes and satisfies the bound whenever J >= t (the 1e-9
     # slack keeps float rounding of t/(1+t) from over-tightening ceil).
+    # r13 NO-GO note: rewriting this self-join as the
+    # lsh_candidate_pairs bucket form (groupBy(tok) + collect_list +
+    # double explode) was value-IDENTICAL but measured 5x SLOWER at
+    # sf0.1 (1.6 -> 7.8 s): the first explode copies the whole
+    # per-token struct array into every emitted row, so hot shared
+    # bigrams pay O(bucket^2) payload duplication the join never
+    # materializes.  The bucket form is only right when buckets are
+    # small/capped (LSH bands, winnowing's max_df) — reverted here.
     alpha_min = F.ceil(
         F.lit(threshold / (1.0 + threshold))
         * (F.col("_sza") + F.col("_szb"))

@@ -47,53 +47,63 @@ def test_winnowing_kernel_matches_expression_form(spark):
     assert a, "expected non-empty fingerprints"
 
 
-def test_lsh_bucket_pairs_match_self_join_form(spark):
-    """The single-exchange groupBy/collect_list/double-explode candidate
-    generator must emit exactly the pair set of the retired band_sig
-    self-join — including multi-band duplicate pairs (deduped once) and
-    all-NULL signatures (which band together, as xxhash64 of NULL rows
-    is a deterministic non-NULL value)."""
-    from arrow_ballista_spark.operators.dedup import (
-        band_hash_array_from_sig,
-        lsh_candidate_pairs,
-    )
+def test_winnowing_bucket_pairs_match_self_join_form(spark):
+    """winnowing_dedup_pairs' single-exchange bucket pair generator
+    (groupBy(fp) + collect_list + double explode — safe there because
+    max_df caps bucket size) must emit exactly the pairs and shared-fp
+    counts of the retired fp self-join, including the df cap and the
+    min_shared filter."""
+    from arrow_ballista_spark.operators.caching import release_caches
+    from arrow_ballista_spark.operators.dedup import winnowing_dedup_pairs
+    from arrow_ballista_spark.operators.text import winnowing_fingerprints
 
     rows = [
-        (1, [7, 7, 3, 3]),
-        (2, [7, 7, 9, 9]),   # shares band 0 with doc 1
-        (3, [7, 7, 3, 3]),   # identical sig: pairs with 1 in BOTH bands
-        (4, [0, 1, 2, 5]),   # no shared band
-        (5, None),           # NULL sig
-        (6, None),           # NULL sig: bands with doc 5
-    ]
-    sigs = spark.createDataFrame(rows, "doc_id long, mh array<long>")
+        (i,
+         "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         + f"tail{i} more{i} filler{i} words{i} end{i}")
+        for i in range(1, 5)
+    ] + [(7, "totally different words here nothing shared"),
+         (8, "alpha beta gamma delta epsilon zeta eta theta other end")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
     got = sorted(
-        (r["id_a"], r["id_b"])
-        for r in lsh_candidate_pairs(
-            sigs, "doc_id", num_perm=4, rows_per_band=2, sig_col="mh"
-        ).collect()
+        map(str, winnowing_dedup_pairs(
+            df, "text", "doc_id", k=3, w=4, min_shared=2, max_df=8
+        ).collect())
     )
-    # reference: the retired self-join form, inlined
-    exploded = sigs.select(
-        "doc_id",
-        F.explode(band_hash_array_from_sig("mh", 4, 2)).alias("band_sig"),
+    release_caches()
+
+    # reference: the retired fp self-join, inlined
+    fps = winnowing_fingerprints(df, "text", "doc_id", k=3, w=4)
+    hot = (
+        fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > 8).select("fp")
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
+    fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    cnt = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    pairs = (
+        a.join(b, "fp").where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("shared_fps"))
+        .where(F.col("shared_fps") >= 2)
+    )
+    s = F.col("shared_fps").cast("double")
     want = sorted(
-        (r["id_a"], r["id_b"])
-        for r in a.join(
-            b,
-            (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .distinct()
-        .collect()
+        map(str, pairs
+            .join(cnt.withColumnRenamed("doc_id", "id_a"), "id_a")
+            .withColumnRenamed("_n", "_na")
+            .join(cnt.withColumnRenamed("doc_id", "id_b"), "id_b")
+            .withColumnRenamed("_n", "_nb")
+            .select(
+                "id_a", "id_b", "shared_fps",
+                F.col("_na").cast("int").alias("n_a"),
+                F.col("_nb").cast("int").alias("n_b"),
+                (F.floor(s / (F.col("_na") + F.col("_nb") - s) * 10000.0
+                         + 0.5) / 10000.0).alias("jaccard"),
+            ).collect())
     )
-    assert got == want
-    assert (1, 3) in got and (5, 6) in got and (1, 2) in got
+    assert got == want and got, got
 
 
 def test_lloyd_update_partials_match_posexplode_means(spark):
