@@ -515,9 +515,13 @@ def minhash_sigs_arrow(
             ha = batch.column(1)
             n = len(ha)
             o = ha.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            # slice by [o[0]:o[-1]], not [:o[-1]]: a SLICED ListArray's
+            # offsets start above 0 (legal Arrow; not produced by Spark
+            # today) and the relative segment starts below assume flat
+            # begins at this array's first element
             flat = ha.values.to_numpy(zero_copy_only=False).astype(
                 np.int64, copy=False
-            )[: o[-1]]
+            )[o[0] : o[-1]]
             lengths = np.diff(o)
             valid = (lengths > 0) & ~ha.is_null().to_numpy(
                 zero_copy_only=False
@@ -893,16 +897,20 @@ def simhash_near_dup_pairs(
 
 
 #: Driver union-find pair cap (r13): below this many near-dup pairs the
-#: CC labeling collects the pair list once (two longs per pair — ~32 MB
-#: at the cap) and runs exact min-label union-find on the driver — the
-#: BPE-driver-loop precedent (operators/text.py:_BPE_DRIVER_VOCAB_CAP).
-#: The distributed pointer-jumping loop costs ~1 Spark job per round
-#: plus the edge/label materializations (~10 jobs at sf0.1, each with
+#: CC labeling collects the pair list once and runs exact min-label
+#: union-find on the driver — the BPE-driver-loop precedent
+#: (operators/text.py:_BPE_DRIVER_VOCAB_CAP).  Sizing is by PYTHON
+#: driver memory, not raw longs: collected Rows cost ~10-20x the
+#: 16-byte payload (Row objects + the union-find dicts + the
+#: createDataFrame buffers), so 500k pairs is ~100-250 MB peak — safe
+#: even on a default 1g external driver.  The distributed
+#: pointer-jumping loop costs ~1 Spark job per round plus the
+#: edge/label materializations (~10 jobs at sf0.1, each with
 #: ~50-100 ms local fixed cost) — pure overhead when the pair graph
 #: fits in driver memory.  Above the cap the loop below is unchanged,
 #: so 100 TB behavior is identical; labels are value-identical on both
 #: sides (min reachable id, exactly).
-_CC_DRIVER_PAIRS_CAP = 2_000_000
+_CC_DRIVER_PAIRS_CAP = 500_000
 
 
 def _cc_driver(spark, rows, a_col: str, b_col: str, id_type, stats):
@@ -1016,18 +1024,19 @@ def connected_components(
     # (the LSH pipeline) materializes once, not per branch
     pairs = tracked_persist(pairs.select(a_col, b_col))
     if driver_pairs_cap and checkpoint_dir is None:
-        # r13 small-graph fast path (see _CC_DRIVER_PAIRS_CAP): one
-        # bounded limit-collect decides; at or under the cap the rows
-        # are already in hand and union-find labels them exactly.
+        # r13 small-graph fast path (see _CC_DRIVER_PAIRS_CAP): a
+        # bounded limit-COUNT decides (JVM-side — no Python rows ship
+        # on the over-cap path, where a limit-collect would fetch and
+        # then discard cap+1 Rows); at or under the cap the cached
+        # pairs collect once and union-find labels them exactly.
         # ``stats["rounds"]`` reports 0 on this path — the log-round
         # pins force the distributed loop with driver_pairs_cap=0.
         # A caller passing checkpoint_dir wants durable round recovery
         # (a cluster-scale run) — never shortcut that to the driver.
-        head = pairs.limit(driver_pairs_cap + 1).collect()
-        if len(head) <= driver_pairs_cap:
+        if pairs.limit(driver_pairs_cap + 1).count() <= driver_pairs_cap:
             return _cc_driver(
                 pairs.sparkSession,
-                head,
+                pairs.collect(),
                 a_col,
                 b_col,
                 pairs.schema[a_col].dataType,
@@ -1394,23 +1403,38 @@ def winnowing_dedup_pairs(
         )
         fps = fps.join(F.broadcast(hot), "fp", "left_anti")
     cnt = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    # r13 (§2.4, the lsh_candidate_pairs bucket form): ONE exchange
-    # groups fps into per-fingerprint id lists (bounded by the max_df
-    # cap) and a map-side double explode emits the shared-fp pair rows
-    # — the fp self-join shuffled the fps table twice for the same
-    # multiset; per-pair counts are identical (ids are distinct per fp:
-    # fingerprints are per-doc distinct).
-    pairs = (
-        fps.groupBy("fp")
-        .agg(F.collect_list(F.col(id_col)).alias("_ids"))
-        .where(F.size("_ids") >= 2)
-        .select(F.explode("_ids").alias("id_a"), "_ids")
-        .select("id_a", F.explode("_ids").alias("id_b"))
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("int").alias("shared_fps"))
-        .where(F.col("shared_fps") >= min_shared)
-    )
+    # r13 (§2.4): with a max_df cap in force, ONE exchange groups fps
+    # into per-fingerprint id lists (bounded by the cap) and a map-side
+    # double explode emits the shared-fp pair rows — the fp self-join
+    # shuffled the fps table twice for the same multiset; per-pair
+    # counts are identical (ids are distinct per fp: fingerprints are
+    # per-doc distinct).  WITHOUT a cap the bucket form is the measured
+    # PPJoin pathology (the first explode copies the whole per-key
+    # array into every emitted row — O(df^2) payload on a hot
+    # boilerplate fingerprint), so max_df=None keeps the 16-byte-row
+    # self-join.
+    if max_df is not None:
+        pairs = (
+            fps.groupBy("fp")
+            .agg(F.collect_list(F.col(id_col)).alias("_ids"))
+            .where(F.size("_ids") >= 2)
+            .select(F.explode("_ids").alias("id_a"), "_ids")
+            .select("id_a", F.explode("_ids").alias("id_b"))
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("int").alias("shared_fps"))
+            .where(F.col("shared_fps") >= min_shared)
+        )
+    else:
+        a = fps.select(F.col(id_col).alias("id_a"), "fp")
+        b = fps.select(F.col(id_col).alias("id_b"), "fp")
+        pairs = (
+            a.join(b, "fp")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("int").alias("shared_fps"))
+            .where(F.col("shared_fps") >= min_shared)
+        )
     s = F.col("shared_fps").cast("double")
     return (
         pairs.join(cnt.withColumnRenamed(id_col, "id_a"), "id_a")

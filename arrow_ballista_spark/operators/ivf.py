@@ -25,20 +25,11 @@ from pyspark.sql import functions as F
 
 from arrow_ballista_spark.operators.caching import tracked_persist
 from arrow_ballista_spark.operators.similarity import (
+    _dlit,
+    _sql_array,
     cosine_with_norms,
     norm,
 )
-
-
-def _dlit(x: float) -> str:
-    """Engine-exact double literal for generated SQL: repr() round-trips
-    the binary value and the string-cast parses it back bit-identically
-    (a bare 1.23 in Spark SQL would parse as DECIMAL)."""
-    return f"CAST('{float(x)!r}' AS DOUBLE)"
-
-
-def _sql_array(vec: list[float]) -> str:
-    return "array(" + ", ".join(_dlit(x) for x in vec) + ")"
 
 
 def _sql_dot(vec_col: str, lit_array: str) -> str:

@@ -53,10 +53,9 @@ def _sqdist(vec: str, cent: str) -> F.Column:
 _LITERAL_TERMS_MAX = 384
 
 
-def _dlit(x: float) -> str:
-    """repr round-trips the exact float64 bits; CAST keeps Spark typing
-    it DOUBLE (the literal-W / IVF-centroid portability contract)."""
-    return f"CAST('{float(x)!r}' AS DOUBLE)"
+# the exact-float64 SQL literal contract lives in similarity._dlit
+# (one definition — r13); re-exported here for the literal-W callers
+from arrow_ballista_spark.operators.similarity import _dlit  # noqa: E402,F401
 
 
 def _collect_centroids(e: DataFrame, k: int, id_col: str):
@@ -241,13 +240,25 @@ def _lloyd_driver(
             pos_rows = (
                 _update_partials_arrow(e, cent_rows)
                 .groupBy("cluster", "pos")
+                # try_divide: the kernel emits (s=0, n=0) partials for
+                # EMPTY clusters, and under Spark 4's default ANSI mode
+                # a bare sum/0 throws (non-ANSI would yield NULL) — the
+                # NULL means are dropped below either way
                 .agg(
-                    F.round(F.sum("s") / F.sum("n"), 6).alias("m")
+                    F.round(F.try_divide(F.sum("s"), F.sum("n")), 6)
+                    .alias("m")
                 )
                 .collect()
             )
             by_cid: dict = {}
             for r in pos_rows:
+                if r["m"] is None:
+                    # empty cluster: the kernel emits (s=0, n=0) partials
+                    # for every centroid, so sum/0 is NULL here — drop
+                    # the cluster exactly like the retired posexplode
+                    # update (no assigned rows -> no centroid row) and
+                    # the literal path's groupBy do
+                    continue
                 by_cid.setdefault(int(r["cluster"]), {})[int(r["pos"])] = (
                     float(r["m"])
                 )

@@ -83,20 +83,13 @@ def _books_literal(books) -> F.Column:
     16x32x4 codebook, the dominant cost of ext_sim_topk_pq_trained
     (measured: adc_build 2.0 s -> ~0.05 s with the parsed form).  The
     repr round-trip CAST is the repo's exact-float64 literal contract
-    (``kmeans._dlit``), so the column holds bit-identical doubles."""
+    (``similarity._dlit``), so the column holds bit-identical doubles."""
+    from arrow_ballista_spark.operators.similarity import _sql_array
+
     return F.expr(
         "array("
         + ", ".join(
-            "array("
-            + ", ".join(
-                "array("
-                + ", ".join(
-                    f"CAST('{float(x)!r}' AS DOUBLE)" for x in cw
-                )
-                + ")"
-                for cw in sb
-            )
-            + ")"
+            "array(" + ", ".join(_sql_array(cw) for cw in sb) + ")"
             for sb in books
         )
         + ")"
@@ -803,15 +796,10 @@ def ivf_pq_residual_topk(
     # r13: one parsed SQL literal instead of F.lit(nested list) — the
     # latter crosses py4j once per element (~1 s of plan build for
     # 16x64 doubles; the _books_literal finding)
+    from arrow_ballista_spark.operators.similarity import _sql_array
+
     centlit = F.expr(
-        "array("
-        + ", ".join(
-            "array("
-            + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c)
-            + ")"
-            for c in cents
-        )
-        + ")"
+        "array(" + ", ".join(_sql_array(c) for c in cents) + ")"
     )
     qt = (
         ivf.probe_cells(

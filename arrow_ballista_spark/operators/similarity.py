@@ -27,6 +27,23 @@ from pyspark.sql import functions as F
 from arrow_ballista_spark.operators.caching import tracked_persist
 
 
+def _dlit(x: float) -> str:
+    """Engine-exact double literal for generated SQL: repr() round-trips
+    the binary value and the string-cast parses it back bit-identically
+    (a bare 1.23 in Spark SQL would parse as DECIMAL).  THE shared
+    exact-float64 literal contract — ivf/pq/kmeans import this one
+    definition (r13: four hand-rolled copies could drift)."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _sql_array(vec: "list[float]") -> str:
+    """One parsed SQL array literal over :func:`_dlit` values — always
+    prefer this to ``F.array(*[F.lit(x) ...])`` / ``F.lit(list)``, which
+    cross py4j once per element (measured: seconds of pure driver plan
+    build at codebook/plane sizes)."""
+    return "array(" + ", ".join(_dlit(x) for x in vec) + ")"
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold double dot product of two float array columns."""
     return F.aggregate(
@@ -196,15 +213,11 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id from random hyperplanes (map-only).  The plane
     arrays parse as ONE SQL literal each (r13): ``F.array(*[F.lit(x)
     ...])`` crossed py4j once per element — n_tables * n_planes * dim
-    driver round-trips of pure plan build; the repr round-trip CAST is
-    the exact-float64 literal contract (``kmeans._dlit``)."""
+    driver round-trips of pure plan build; :func:`_sql_array` is the
+    exact-float64 literal contract."""
     bucket = F.lit(0).cast("bigint")
     for i, plane in enumerate(planes):
-        p = F.expr(
-            "array("
-            + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in plane)
-            + ")"
-        )
+        p = F.expr(_sql_array(plane))
         bucket = bucket.bitwiseOR(
             F.when(
                 dot(vec_col, p) > 0, F.shiftleft(F.lit(1).cast("bigint"), i)

@@ -141,7 +141,7 @@ def test_lloyd_update_partials_match_posexplode_means(spark):
         (int(r["cluster"]), int(r["pos"])): float(r["m"])
         for r in _update_partials_arrow(e, cent_rows)
         .groupBy("cluster", "pos")
-        .agg(F.round(F.sum("s") / F.sum("n"), 6).alias("m"))
+        .agg(F.round(F.try_divide(F.sum("s"), F.sum("n")), 6).alias("m"))
         .collect()
     }
     assert new == old
@@ -186,3 +186,29 @@ def test_cc_driver_union_find_matches_distributed(spark):
     assert drv == dist
     assert s_drv["driver_union_find"] is True
     assert s_drv["n_nodes"] == s_dist["n_nodes"] == len(drv)
+
+
+def test_lloyd_arrow_update_drops_empty_clusters(spark):
+    """An empty cluster (duplicate seed vectors: argmin first-hit sends
+    every point to the first copy) must be dropped by the fused partial-
+    sum update exactly like the retired posexplode update dropped it —
+    not crash on the NULL sum/0 mean (r13 review finding)."""
+    from arrow_ballista_spark.operators.kmeans import (
+        _collect_centroids,
+        _lloyd_driver,
+    )
+
+    rows = [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0])] + [
+        (i, [float(i), float(i % 5), 0.25 * i]) for i in range(2, 30)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cent_rows = _collect_centroids(e, 3, "vec_id")
+    assert cent_rows[0][1] == cent_rows[1][1]  # duplicate seeds
+    out = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in _lloyd_driver(e, cent_rows, 3, "vec_id", False).collect()
+    )
+    assert len(out) == 30
+    assert all(c in (0, 1, 2) for _, c in out)
+    # the duplicated centroid 1 must have emptied (first-hit ties)
+    assert not any(c == 1 for _, c in out)
